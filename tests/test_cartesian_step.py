@@ -1,0 +1,136 @@
+"""Cartesian ADI step: physics sanity + exposed-face truth tables.
+
+The strongest correctness anchor is tests/test_reference_parity.py (bitwise
+comparison against the reference implementation on tiny grids); these tests
+are self-contained invariants that keep holding after the reference is gone.
+"""
+import numpy as np
+
+import jax.numpy as jnp
+
+from adi_thermal_fields_tpu import (CartesianGrid, Material, build_coeff_packs,
+                                    adi_step_cartesian, exposed_face)
+
+
+def _setup(nx=6, ny=5, nz=4, dx=1e-3):
+    grid = CartesianGrid(nx, ny, nz, dx)
+    mat = Material(rho=7800.0, cp=490.0, k=54.0)
+    return grid, mat
+
+
+def test_exposed_face_truth_table():
+    mask = np.zeros((3, 3, 3), bool)
+    mask[1, 1, 1] = True  # isolated voxel: exposed on all six faces
+    mask[0, 1, 1] = True  # neighbor on x-: that face no longer exposed
+    m = jnp.asarray(mask)
+    assert not bool(exposed_face(m, "x-")[1, 1, 1])
+    for f in ("x+", "y-", "y+", "z-", "z+"):
+        assert bool(exposed_face(m, f)[1, 1, 1])
+    # the cell at the domain edge is exposed on its boundary face
+    assert bool(exposed_face(m, "x-")[0, 1, 1])
+
+
+def test_uniform_field_insulated_stays_uniform():
+    """No BCs => adiabatic solid: a uniform field is a fixed point."""
+    grid, mat = _setup()
+    mask = jnp.ones(grid.shape, bool)
+    packs = build_coeff_packs(mask, grid, mat)
+    T0 = jnp.full(grid.shape, 300.0)
+    T1 = adi_step_cartesian(T0, mask, packs, grid, mat, dt=0.1, theta=0.5)
+    np.testing.assert_allclose(np.asarray(T1), 300.0, rtol=1e-12)
+
+
+def test_insulated_energy_conservation():
+    """Adiabatic solid conserves total energy to solver precision."""
+    grid, mat = _setup()
+    rng = np.random.default_rng(0)
+    mask = jnp.asarray(rng.random(grid.shape) > 0.3)
+    packs = build_coeff_packs(mask, grid, mat)
+    T = jnp.asarray(np.where(np.asarray(mask), 100.0 + 500.0 * rng.random(grid.shape), 0.0))
+    e0 = float(jnp.sum(jnp.where(mask, T, 0.0)))
+    for _ in range(5):
+        T = adi_step_cartesian(T, mask, packs, grid, mat, dt=0.05, theta=0.5)
+    e1 = float(jnp.sum(jnp.where(mask, T, 0.0)))
+    assert abs(e1 - e0) / abs(e0) < 1e-10
+
+
+def test_void_cells_carry_initial_value():
+    """Void cells are untouched by the step (reference keeps R0 = Tn there)."""
+    grid, mat = _setup()
+    mask_np = np.ones(grid.shape, bool)
+    mask_np[0, :, :] = False
+    mask = jnp.asarray(mask_np)
+    packs = build_coeff_packs(mask, grid, mat, robin_h=50.0)
+    T0 = jnp.full(grid.shape, 500.0).at[0].set(-123.0)
+    T1 = adi_step_cartesian(T0, mask, packs, grid, mat, dt=0.1, theta=0.5, t_inf=20.0)
+    np.testing.assert_allclose(np.asarray(T1)[0], -123.0)
+
+
+def test_dirichlet_pins_values():
+    grid, mat = _setup()
+    mask = jnp.ones(grid.shape, bool)
+    dir_mask = np.zeros(grid.shape, bool)
+    dir_mask[:, :, 0] = True
+    packs = build_coeff_packs(mask, grid, mat,
+                              dirichlet_mask=jnp.asarray(dir_mask),
+                              dirichlet_value=250.0)
+    T = jnp.full(grid.shape, 900.0)
+    for _ in range(3):
+        T = adi_step_cartesian(T, mask, packs, grid, mat, dt=0.05, theta=0.5)
+    np.testing.assert_allclose(np.asarray(T)[:, :, 0], 250.0, rtol=1e-12)
+    # heat flows toward the cold face
+    assert float(T[:, :, -1].mean()) < 900.0
+    assert float(T[:, :, 1].mean()) < float(T[:, :, -1].mean())
+
+
+def test_robin_cools_toward_ambient():
+    grid, mat = _setup()
+    mask = jnp.ones(grid.shape, bool)
+    packs = build_coeff_packs(mask, grid, mat, robin_h=200.0)
+    T = jnp.full(grid.shape, 900.0)
+    t_inf = 20.0
+    prev = 900.0
+    for _ in range(20):
+        T = adi_step_cartesian(T, mask, packs, grid, mat, dt=0.5, theta=0.5,
+                               t_inf=t_inf)
+        cur = float(T.mean())
+        assert cur < prev  # monotone cooling
+        prev = cur
+    assert cur > t_inf  # never undershoots ambient
+
+
+def test_neumann_heating_rate():
+    """Uniform flux on z+ of a fully-masked slab heats the surface cells at
+    q''/(rho cp dx) K/s in the first step (explicit source term)."""
+    grid, mat = _setup()
+    mask = jnp.ones(grid.shape, bool)
+    q = 1e6  # W/m^2 into the solid
+    packs = build_coeff_packs(mask, grid, mat, neumann={"z+": q})
+    T0 = jnp.full(grid.shape, 20.0)
+    dt = 1e-3
+    T1 = adi_step_cartesian(T0, mask, packs, grid, mat, dt=dt, theta=0.5)
+    # surface slab got dt*q/(rho cp dx), then diffusion spreads a bit;
+    # total energy added must equal exactly dt * q * A_total / (rho cp V)
+    dT_sum = float(jnp.sum(T1 - T0))
+    expected = dt * q / (mat.rho * mat.cp * grid.dx) * grid.nx * grid.ny
+    np.testing.assert_allclose(dT_sum, expected, rtol=1e-7)
+    assert float(T1[:, :, -1].min()) > 20.0
+
+
+def test_per_face_robin_dict_and_field():
+    """robin_h accepts a scalar, a per-face dict, and a full 3-D field
+    (reference adi3d_numba_coeff.py:80-88)."""
+    grid, mat = _setup()
+    mask = jnp.ones(grid.shape, bool)
+    h = 120.0
+    p_scalar = build_coeff_packs(mask, grid, mat, robin_h=h)
+    p_dict = build_coeff_packs(mask, grid, mat,
+                               robin_h={f: h for f in ("x-", "x+", "y-", "y+", "z-", "z+")})
+    p_field = build_coeff_packs(mask, grid, mat, robin_h=jnp.full(grid.shape, h))
+    for a, b in ((p_scalar.coeff, p_dict.coeff), (p_scalar.coeff, p_field.coeff)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # only z faces
+    p_z = build_coeff_packs(mask, grid, mat, robin_h={"z-": h, "z+": h})
+    np.testing.assert_allclose(np.asarray(p_z.coeff[0]), 0.0)
+    np.testing.assert_allclose(np.asarray(p_z.coeff[1]), 0.0)
+    assert float(p_z.coeff[2].max()) > 0.0
