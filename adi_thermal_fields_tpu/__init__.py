@@ -19,6 +19,7 @@ from .step.cartesian import apply_surface_impulse
 from .step.cylindrical import RobinBC, ZFaceBC
 from .step.cylindrical import adi_step as adi_step_cylindrical
 from .step.cylindrical import adi_step_masked as adi_step_cylindrical_masked
+from .step.cylindrical_masked import adi_step_masked_robin
 
 __version__ = "0.1.0"
 
@@ -28,4 +29,5 @@ __all__ = [
     "CoeffPacks", "build_coeff_packs",
     "adi_step_cartesian", "apply_surface_impulse",
     "RobinBC", "ZFaceBC", "adi_step_cylindrical", "adi_step_cylindrical_masked",
+    "adi_step_masked_robin",
 ]

@@ -1,0 +1,217 @@
+"""Mask-aware cylindrical ADI step with Robin at material/void interfaces.
+
+The reference has no mask-aware cylindrical solver: its ``adi_step_masked``
+(quick_spiral_deposition_gif_v5.py:31-70) clamps void cells to ambient and
+runs the unmasked core, so every material/void interface cools with an
+effective film coefficient k/dx (thousands of W/m^2/K) instead of the
+physical convective h — inconsistent with its own analytic spiral oracle,
+which applies Robin h at the growth front (spiral_analytic_solution.py:193-204).
+
+This module is the physically consistent masked solver, built the same way as
+the Cartesian core (adi3d_numba_coeff.py:57-118 semantics): couplings are
+severed across active/void boundaries and every *exposed face* of an active
+cell — interior interface or domain end alike — contributes a Robin sink
+``theta*dt*alpha*(h/k)*(A_face/V_cell)`` to the diagonal (and ``*T_inf`` to
+the RHS).  In the cylindrical metric the face/volume ratios are
+
+    r-faces:   A/V = r_{i+-1/2} / (r_i dr)
+    phi-faces: A/V = 1 / (r_i dphi)
+    z-faces:   A/V = 1 / dz
+
+which makes the domain-boundary rows *identical* to the unmasked core's
+ghost-cell elimination (adi3d_cyl_phi_v3.py:189-202, :276-294) — interface
+and boundary Robin unify into one formulation.
+
+Backward-Euler chaining r -> phi -> z, matching the unmasked BE step.  The
+phi sweep solves mask-broken *cyclic* tridiagonal systems (Sherman–Morrison;
+the FFT path requires circulant operators and only applies to the unmasked
+core).  Void rows are identity rows pinned to the void ambient.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.grid import CylindricalGrid
+from ..core.material import Material
+from ..solvers.thomas import cyclic_thomas, thomas
+from .cylindrical import RobinBC, ZFaceBC
+
+__all__ = ["adi_step_masked_robin"]
+
+
+def _shift(m: jax.Array, axis: int, direction: int, fill=False) -> jax.Array:
+    pad = [(0, 0)] * m.ndim
+    sl = [slice(None)] * m.ndim
+    if direction == +1:
+        pad[axis] = (0, 1)
+        sl[axis] = slice(1, None)
+    else:
+        pad[axis] = (1, 0)
+        sl[axis] = slice(0, -1)
+    return jnp.pad(m, pad, constant_values=fill)[tuple(sl)]
+
+
+def adi_step_masked_robin(T: jax.Array, grid: CylindricalGrid, mat: Material, *,
+                          dt, active: jax.Array,
+                          robin_outer: RobinBC, zbc: ZFaceBC,
+                          robin_inner: RobinBC | None = None,
+                          h_void: float = 0.0, T_inf_void: float = 20.0,
+                          h_front: float | None = None,
+                          source: jax.Array | None = None) -> jax.Array:
+    """One BE step of the masked cylindrical problem.
+
+    Parameters
+    ----------
+    active : (nr, nphi, nz) bool — solid material mask (element birth state).
+    robin_outer / robin_inner : Robin data for the *domain* radial faces
+        (outer always; inner only on annular grids — a full disk's axis is a
+        zero-flux face by metric, r_{-1/2} = 0).
+    zbc : domain z-end BCs; kinds "neumann0" | "dirichlet" | "robin".
+    h_void, T_inf_void : Robin data applied on interior material/void
+        interface faces (all directions).
+    h_front : optional override for z+ interface faces (the growth front);
+        defaults to ``h_void``.  Lets the front match an end-face film
+        coefficient distinct from lateral interfaces.
+    """
+    dtype = T.dtype
+    active = active.astype(bool)
+    nr, nphi, nz = grid.shape
+    dr, dz, dphi = grid.dr, grid.dz, grid.dphi
+    if h_front is None:
+        h_front = h_void
+
+    r = np.maximum(np.asarray(grid.r, np.float64), 1e-15)
+    r_imh = np.maximum(np.asarray(grid.r_imh, np.float64), 0.0)
+    r_iph = np.asarray(grid.r_iph, np.float64)
+
+    fac = jnp.asarray(dt * mat.alpha, dtype)  # BE: theta = 1
+    inv_k = 1.0 / mat.k
+
+    # Coupling presence per face (both cells active; domain edges absent).
+    def coupled(axis, direction):
+        return active & _shift(active, axis, direction)
+
+    # Exposed faces: active cell whose neighbor across the face is void or
+    # the domain edge.
+    def exposed(axis, direction):
+        return active & ~_shift(active, axis, direction)
+
+    # ---- per-face Robin sink fields: (h/k) * (A_face / V_cell) ------------
+    col = lambda v: jnp.asarray(v, dtype)[:, None, None]
+
+    g_r_minus = col(r_imh / (r * dr))           # A/V for r- faces
+    g_r_plus = col(r_iph / (r * dr))            # A/V for r+ faces
+    g_phi = col(1.0 / (r * dphi))               # A/V for phi faces
+    g_z = 1.0 / dz                              # A/V for z faces
+
+    h_in = robin_inner.h if (grid.is_annular and robin_inner is not None) else 0.0
+    t_in = robin_inner.T_inf if robin_inner is not None else T_inf_void
+    h_out, t_out = robin_outer.h, robin_outer.T_inf
+
+    idx_r0 = jnp.arange(nr)[:, None, None]
+    is_r_first = idx_r0 == 0
+    is_r_last = idx_r0 == nr - 1
+    idx_z = jnp.arange(nz)[None, None, :]
+    is_z_first = idx_z == 0
+    is_z_last = idx_z == nz - 1
+
+    def hT(face_exposed, geom, is_domain_slab, h_domain, t_domain, h_ifc, t_ifc):
+        """(sink, sink*T_inf) fields for one face direction: Robin sink
+        ``(h/k) * A_face/V_cell`` on exposed faces, choosing domain vs
+        interface Robin data per cell."""
+        h = jnp.where(is_domain_slab, h_domain, h_ifc)
+        t_ = jnp.where(is_domain_slab, t_domain, t_ifc)
+        s = jnp.where(face_exposed, h * inv_k * geom, 0.0).astype(dtype)
+        return s, (s * t_).astype(dtype)
+
+    # z-end BC data: robin -> (h, T_inf); neumann0 -> h=0; dirichlet handled
+    # below by pinning rows.
+    hz_bot = zbc.h_bot if zbc.kind_bot == "robin" else 0.0
+    tz_bot = zbc.T_inf_bot
+    hz_top = zbc.h_top if zbc.kind_top == "robin" else 0.0
+    tz_top = zbc.T_inf_top
+
+    sink_rm, rhs_rm = hT(exposed(0, -1), g_r_minus, is_r_first, h_in, t_in,
+                         h_void, T_inf_void)
+    sink_rp, rhs_rp = hT(exposed(0, +1), g_r_plus, is_r_last, h_out, t_out,
+                         h_void, T_inf_void)
+    s1, r1 = hT(exposed(1, -1), g_phi, False, 0.0, 0.0, h_void, T_inf_void)
+    s2, r2 = hT(exposed(1, +1), g_phi, False, 0.0, 0.0, h_void, T_inf_void)
+    sink_pm, rhs_pm = s1 + s2, r1 + r2
+    sink_zm, rhs_zm = hT(exposed(2, -1), g_z, is_z_first, hz_bot, tz_bot,
+                         h_void, T_inf_void)
+    sink_zp, rhs_zp = hT(exposed(2, +1), g_z, is_z_last, hz_top, tz_top,
+                         h_front, T_inf_void)
+
+    # Dirichlet z-end rows: active cells in the end slab pinned to the value.
+    pin = jnp.zeros(grid.shape, bool)
+    pin_val = jnp.zeros(grid.shape, dtype)
+    if zbc.kind_bot == "dirichlet":
+        pb = active & is_z_first
+        pin = pin | pb
+        pin_val = jnp.where(pb, zbc.T_bot, pin_val)
+    if zbc.kind_top == "dirichlet":
+        pt = active & is_z_last
+        pin = pin | pt
+        pin_val = jnp.where(pt, zbc.T_top, pin_val)
+
+    ambient = jnp.asarray(T_inf_void, dtype)
+
+    def sweep(rhs, axis, cup_lo, cup_hi, geom_lo, geom_hi, sink, sink_rhs,
+              periodic=False, row_zero_phi=False):
+        """Generic masked implicit sweep along ``axis``.
+
+        cup_lo/cup_hi: bool coupling masks to the -/+ neighbors.
+        geom_lo/geom_hi: geometric coupling factors (per unit fac).
+        sink/sink_rhs: Robin diagonal additions and their RHS terms
+        (per unit fac).
+        """
+        a = jnp.where(cup_lo, -fac * geom_lo, 0.0).astype(dtype)
+        c = jnp.where(cup_hi, -fac * geom_hi, 0.0).astype(dtype)
+        b = 1.0 - (a + c) + fac * sink
+        d = rhs + fac * sink_rhs
+        # void rows: identity pinned to ambient
+        b = jnp.where(active, b, 1.0)
+        a = jnp.where(active, a, 0.0)
+        c = jnp.where(active, c, 0.0)
+        d = jnp.where(active, d, ambient)
+        # Dirichlet-pinned rows
+        a = jnp.where(pin, 0.0, a)
+        c = jnp.where(pin, 0.0, c)
+        b = jnp.where(pin, 1.0, b)
+        d = jnp.where(pin, pin_val, d)
+
+        mv = lambda t: jnp.moveaxis(t, axis, 0)
+        if periodic:
+            x = cyclic_thomas(mv(a), mv(b), mv(c), mv(d))
+        else:
+            x = thomas(mv(a), mv(b), mv(c), mv(d))
+        return jnp.moveaxis(x, 0, axis)
+
+    R0 = T if source is None else T + dt * source / (mat.rho * mat.cp)
+    R0 = jnp.where(active, R0, ambient)
+
+    # --- r sweep ---
+    geo_r_lo = col(r_imh / (r * dr * dr))
+    geo_r_hi = col(r_iph / (r * dr * dr))
+    X = sweep(R0, 0, coupled(0, -1), coupled(0, +1), geo_r_lo, geo_r_hi,
+              sink_rm + sink_rp, rhs_rm + rhs_rp)
+
+    # --- phi sweep (periodic, mask-broken cyclic systems) ---
+    if nphi > 1:
+        geo_phi = col(1.0 / (r * r * dphi * dphi))
+        if not grid.is_annular:
+            # axis-row regularity on full disks (adi3d_cyl_phi_v3.py:314-317)
+            geo_phi = geo_phi.at[0].set(0.0)
+        X = sweep(X, 1, jnp.roll(active, 1, 1) & active,
+                  jnp.roll(active, -1, 1) & active, geo_phi, geo_phi,
+                  sink_pm, rhs_pm, periodic=True)
+
+    # --- z sweep ---
+    geo_z = 1.0 / (dz * dz)
+    X = sweep(X, 2, coupled(2, -1), coupled(2, +1), geo_z, geo_z,
+              sink_zm + sink_zp, rhs_zm + rhs_zp)
+
+    return jnp.where(active, X, ambient)
