@@ -1,0 +1,103 @@
+"""Benchmark harness: Cartesian masked ADI step throughput on one chip.
+
+Prints exactly ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Metric: ADI cell-updates/sec/chip at the largest grid that fits (target 512^3,
+float32), on a realistic masked WAAM configuration (solid plate + deposited
+block, Robin on all faces, Neumann flux on z+).
+
+vs_baseline: fraction of the HBM-bandwidth "speed of light" for this
+algorithm (the reference publishes no numbers — BASELINE.md — so the roofline
+is the recorded baseline protocol).  Traffic model for a perfectly fused
+step, per cell: explicit pass reads T(4B)+mask(1B) and writes R0(4B) = 9B;
+each of the 3 sweeps reads rhs(4B)+mask(1B)+robin coeff(4B) and writes its
+output(4B) = 13B; total 48 B/cell/step.  v5e HBM ~819 GB/s => SOL ~17.1e9
+cell-updates/s.  vs_baseline > 1 is impossible; higher is better.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+HBM_BYTES_PER_S = 819e9      # TPU v5e per-chip HBM bandwidth
+TRAFFIC_B_PER_CELL = 48.0    # see module docstring
+SOL_CELLS_PER_S = HBM_BYTES_PER_S / TRAFFIC_B_PER_CELL
+
+
+def build_case(n, dtype):
+    import jax.numpy as jnp
+
+    from adi_thermal_fields_tpu import (CartesianGrid, Material,
+                                        build_coeff_packs)
+
+    grid = CartesianGrid(n, n, n, 1e-3)
+    mat = Material(7800.0, 490.0, 54.0)
+    zsplit = (3 * n) // 4
+    mask_np = np.ones(grid.shape, bool)
+    mask_np[:, :, zsplit:] = False
+    mask_np[n // 4: 3 * n // 4, n // 4: 3 * n // 4, zsplit: zsplit + n // 8] = True
+    mask = jnp.asarray(mask_np)
+    T = jnp.where(mask, 900.0, 20.0).astype(dtype)
+    packs = build_coeff_packs(mask, grid, mat, robin_h=200.0,
+                              neumann={"z+": 5e5}, dtype=dtype)
+    return grid, mat, T, mask, packs
+
+
+def run(n, steps=20, dtype=None):
+    import jax
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.float32
+    from adi_thermal_fields_tpu import adi_step_cartesian
+
+    grid, mat, T, mask, packs = build_case(n, dtype)
+
+    @jax.jit
+    def step(T, mask, packs, dt):
+        return adi_step_cartesian(T, mask, packs, grid, mat, dt=dt,
+                                  theta=0.5, t_inf=20.0)
+
+    # NOTE: on the remote-tunnel (axon) platform block_until_ready() can
+    # return before execution completes; pulling a scalar that depends on the
+    # whole step chain is the reliable synchronization.
+    probe = jax.jit(lambda x: jnp.sum(x[::64, ::64, ::64]))
+
+    dt = jnp.asarray(0.05, dtype)
+    T = step(T, mask, packs, dt)
+    float(probe(T))  # compile + warm-up both programs
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        T = step(T, mask, packs, dt)
+    float(probe(T))
+    el = (time.perf_counter() - t0) / steps
+    assert bool(jnp.isfinite(T).all()), "non-finite field in benchmark run"
+    return grid.ncells / el, el
+
+
+def main():
+    value = None
+    for n in (512, 384, 256, 128):
+        try:
+            value, per_step = run(n)
+            print(f"[bench] {n}^3: {per_step * 1e3:.2f} ms/step -> "
+                  f"{value / 1e9:.3f} Gcell/s", file=sys.stderr)
+            break
+        except Exception as e:  # OOM or compile failure: shrink
+            print(f"[bench] {n}^3 failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+    if value is None:
+        print(json.dumps({"metric": "adi_cell_updates_per_s_per_chip",
+                          "value": 0.0, "unit": "cell/s", "vs_baseline": 0.0}))
+        return
+    print(json.dumps({
+        "metric": f"adi_cell_updates_per_s_per_chip_{n}^3_f32",
+        "value": value,
+        "unit": "cell/s",
+        "vs_baseline": value / SOL_CELLS_PER_S,
+    }))
+
+
+if __name__ == "__main__":
+    main()
