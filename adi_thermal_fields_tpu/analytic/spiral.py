@@ -35,7 +35,9 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 from scipy import optimize
-from scipy.special import erfc, jv, jvp, yv, yvp
+from scipy.special import jv, jvp, yv, yvp
+
+from .kernels import robin_halfspace_G
 
 __all__ = ["SpiralAnalyticConfig", "SpiralModeCache", "build_mode_cache",
            "temperature_map_at_probe"]
@@ -158,9 +160,8 @@ def _mode_amplitude(m: int, kap: float, cfg: SpiralAnalyticConfig) -> float:
     """P_n * R_n(probe_r) for the normalized mode: projection of a radially
     uniform unit deposit (P = int R r dr with int R^2 r dr = 1) evaluated at
     the probe radius."""
-    kv = np.asarray([kap])
     gi = cfg.h_inner / cfg.k
-    Ra1, Ra2 = _robin_rows(m, kv, cfg.a, gi, sign=-1.0)
+    Ra1, Ra2 = _robin_rows(m, np.float64(kap), cfg.a, gi, sign=-1.0)
     B = 0.0 if abs(float(Ra2)) < 1e-14 else -float(Ra1) / float(Ra2)
 
     rs = np.linspace(cfg.a, cfg.b, 1024)
@@ -199,11 +200,114 @@ def _z_profile(cfg: SpiralAnalyticConfig, s: np.ndarray, u: float,
     if cfg.cell_averaged_z and dz_cell is not None:
         off = (np.arange(cfg.n_z_avg) + 0.5) / cfg.n_z_avg - 0.5
         s_pts = np.maximum(s[:, None] + off[None, :] * dz_cell, 0.0)
-        G = _G_robin_halfspace(s_pts[:, :, None], xi[None, None, :] + offset,
-                               u, cfg.alpha, cfg.h_end / cfg.k)
+        G = robin_halfspace_G(s_pts[:, :, None], xi[None, None, :] + offset,
+                              u, cfg.alpha, cfg.h_end / cfg.k)
         return np.trapezoid(G, xi, axis=2).mean(axis=1)
-    G = _G_robin_halfspace(s[:, None], xi[None, :] + offset, u,
-                           cfg.alpha, cfg.h_end / cfg.k)
+    G = robin_halfspace_G(s[:, None], xi[None, :] + offset, u,
+                          cfg.alpha, cfg.h_end / cfg.k)
+    return np.trapezoid(G, xi, axis=1)
+
+
+def _angular_profile(cfg: SpiralAnalyticConfig, kappas, amp, u: float,
+                     phi_rel: np.ndarray) -> np.ndarray:
+    """Fourier reconstruction of one arc event at angular offsets ``phi_rel``
+    (phi - phi_0), including the radial mode decay and optional phi-cell
+    averaging."""
+    delta = 2.0 * np.pi / cfg.n_events_per_loop
+    dphi_cell = 2.0 * np.pi / cfg.nphi
+    ang = np.zeros_like(np.asarray(phi_rel, float))
+    for m in range(cfg.m_max + 1):
+        kl = kappas[m]
+        if kl.size == 0:
+            continue
+        decay = np.exp(-cfg.alpha * kl * kl * u)
+        radial = float(np.dot(amp[m], decay))
+        if m == 0:
+            ang += (delta / (2.0 * np.pi)) * radial
+        else:
+            w = (2.0 / (m * np.pi)) * np.sin(0.5 * m * delta)
+            if cfg.cell_averaged_phi:
+                x = 0.5 * m * dphi_cell
+                w *= np.sin(x) / x
+            ang += w * radial * np.cos(m * phi_rel)
+    return ang
+
+
+def _event_amplitudes(cfg: SpiralAnalyticConfig, kappas, amp,
+                      events) -> np.ndarray:
+    """Sequential deposit amplitudes with rebirth correction.
+
+    Pure superposition of ``delta_T`` deposits double-counts heat near fresh
+    cells: the quasi-static modal model lets older events' heat diffuse into
+    not-yet-deposited regions, while physically a deposition *resets* the
+    newborn cells to T_deposit.  Linearizing that reset, event e carries
+    amplitude ``A_e = delta_T - theta_pre`` where ``theta_pre`` is the
+    superposed pre-heat of all earlier events evaluated at e's own cell
+    centre at its deposit time.  (The reference model omits this and can
+    exceed T_deposit near the growth front.)
+    """
+    amps = np.zeros(len(events))
+    for i, (t_e, layer_e, phi0_e) in enumerate(events):
+        z_c = (layer_e + 0.5) * cfg.layer_height
+        L_full_e = layer_e * cfg.layer_height
+        theta_pre = 0.0
+        for j in range(i):
+            t_p, layer_p, phi0_p = events[j]
+            u = t_e - t_p
+            if u <= 0.0:
+                continue
+            front = max((layer_p + 1) * cfg.layer_height, L_full_e)
+            s = np.maximum(front - z_c, 0.0)
+            offset = front - (layer_p + 1) * cfg.layer_height
+            zp = float(_z_profile(cfg, np.asarray([s]), u, offset,
+                                  dz_cell=cfg.layer_height)[0])
+            ang = float(_angular_profile(cfg, kappas, amp, u,
+                                         np.asarray([phi0_e - phi0_p]))[0])
+            theta_pre += amps[j] * zp * ang
+        amps[i] = cfg.delta_T - theta_pre
+    return amps
+
+
+def build_mode_cache(cfg: SpiralAnalyticConfig) -> SpiralModeCache:
+    kappas: Dict[int, np.ndarray] = {}
+    amp: Dict[int, np.ndarray] = {}
+    for m in range(cfg.m_max + 1):
+        kl = _find_kappas(m, cfg)
+        kappas[m] = kl
+        amp[m] = np.asarray([_mode_amplitude(m, k, cfg) for k in kl])
+    if cfg.cell_averaged_phi:
+        # column centres of the numeric phi cells
+        phi_grid = (np.arange(cfg.nphi) + 0.5) * (2.0 * np.pi / cfg.nphi)
+    else:
+        phi_grid = np.linspace(0.0, 2.0 * np.pi, cfg.nphi, endpoint=False)
+    if cfg.cell_centered_z:
+        dz = (cfg.z_back + cfg.z_front) / cfg.nz
+        z_grid = -cfg.z_back + (np.arange(cfg.nz) + 0.5) * dz
+    else:
+        z_grid = np.linspace(-cfg.z_back, cfg.z_front, cfg.nz)
+    events = _build_events(cfg)
+    amplitudes = _event_amplitudes(cfg, kappas, amp, events)
+    return SpiralModeCache(kappas, amp, events, amplitudes, phi_grid, z_grid)
+
+
+def _z_profile(cfg: SpiralAnalyticConfig, s: np.ndarray, u: float,
+               offset: float, dz_cell: float | None = None) -> np.ndarray:
+    """Layer-thickness integral of the Robin half-space kernel at depths s.
+
+    When ``cfg.cell_averaged_z`` and ``dz_cell`` are set, the profile is
+    additionally averaged over each z cell (the numeric field stores cell
+    averages), with depths clamped to the half-space s >= 0.
+    """
+    xi = np.linspace(0.0, cfg.layer_height, cfg.n_xi_quad)
+    s = np.asarray(s, float)
+    if cfg.cell_averaged_z and dz_cell is not None:
+        off = (np.arange(cfg.n_z_avg) + 0.5) / cfg.n_z_avg - 0.5
+        s_pts = np.maximum(s[:, None] + off[None, :] * dz_cell, 0.0)
+        G = robin_halfspace_G(s_pts[:, :, None], xi[None, None, :] + offset,
+                              u, cfg.alpha, cfg.h_end / cfg.k)
+        return np.trapezoid(G, xi, axis=2).mean(axis=1)
+    G = robin_halfspace_G(s[:, None], xi[None, :] + offset, u,
+                          cfg.alpha, cfg.h_end / cfg.k)
     return np.trapezoid(G, xi, axis=1)
 
 

@@ -1,2 +1,4 @@
-from .spiral import (spiral_activation_times, ring_activation_times,
-                     active_at, newborn_between)
+from .layers import (activation_times_from_layer_times, layer_activation_times,
+                     track_activation_times)
+from .spiral import (active_at, newborn_between, ring_activation_times,
+                     spiral_activation_times)
