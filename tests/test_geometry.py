@@ -1,0 +1,178 @@
+"""Geometry pipeline tests: STL I/O, voxelization, morphology, BC correction.
+
+Replaces trimesh-based reference components with native equivalents
+(stl_utils.py, waam_from_stl_v7_mm.py:218-318, voxel_bc_correction.py) and
+ports the grid-convergence validation of the projected-area correction
+(quick_compare_robin_correction_gridconv.py semantics).
+"""
+import numpy as np
+import pytest
+
+from adi_thermal_fields_tpu.geometry.bc_correction import (
+    corrected_robin_fields, voxel_projected_areas)
+from adi_thermal_fields_tpu.geometry.morphology import (closing6, dilate6,
+                                                        erode6, fill_enclosed,
+                                                        flood_fill_outside,
+                                                        solidify_mask)
+from adi_thermal_fields_tpu.geometry.perimeter import digital_perimeter
+from adi_thermal_fields_tpu.geometry.primitives import (box_mesh,
+                                                        cylinder_mesh,
+                                                        uv_sphere_mesh)
+from adi_thermal_fields_tpu.geometry.stl import load_stl, save_stl_binary
+from adi_thermal_fields_tpu.geometry.voxelize import (auto_cell_size,
+                                                      voxelize_shell,
+                                                      voxelize_solid)
+
+
+def test_stl_roundtrip(tmp_path):
+    mesh = box_mesh(size=(0.01, 0.02, 0.03))
+    path = tmp_path / "box.stl"
+    save_stl_binary(str(path), mesh)
+    loaded = load_stl(str(path), units="m")
+    assert loaded.n_faces == 12
+    np.testing.assert_allclose(np.sort(loaded.triangles.ravel()),
+                               np.sort(mesh.triangles.ravel()), atol=1e-7)
+    np.testing.assert_allclose(loaded.face_areas.sum(),
+                               2 * (0.01 * 0.02 + 0.02 * 0.03 + 0.01 * 0.03),
+                               rtol=1e-5)
+
+
+def test_stl_mm_autoscale(tmp_path):
+    mesh = box_mesh(size=(10.0, 10.0, 10.0))  # "mm" box
+    path = tmp_path / "box_mm.stl"
+    save_stl_binary(str(path), mesh)
+    loaded = load_stl(str(path), units="auto")
+    np.testing.assert_allclose(loaded.extents, 0.01, rtol=1e-5)
+
+
+def test_box_normals_point_outward():
+    mesh = box_mesh(size=(2.0, 2.0, 2.0))
+    out = np.einsum("ij,ij->i", mesh.face_normals, mesh.centroids)
+    assert (out > 0).all()
+
+
+def test_voxelize_solid_box_volume():
+    mesh = box_mesh(size=(0.010, 0.010, 0.010), center=(0.005, 0.005, 0.005))
+    dx = 1e-3
+    mask, origin = voxelize_solid(mesh, dx)
+    vol = mask.sum() * dx ** 3
+    np.testing.assert_allclose(vol, 1e-6, rtol=0.05)
+
+
+def test_voxelize_solid_sphere_volume():
+    R = 0.01
+    mesh = uv_sphere_mesh(R, n_theta=48, n_phi=96)
+    dx = 1e-3
+    mask, origin = voxelize_solid(mesh, dx)
+    vol = mask.sum() * dx ** 3
+    np.testing.assert_allclose(vol, 4 / 3 * np.pi * R ** 3, rtol=0.05)
+    # watertight: no outside air inside
+    assert not (fill_enclosed(mask) & ~mask).any()
+
+
+def test_voxelize_shell_then_solidify_matches_solid():
+    R = 0.01
+    mesh = uv_sphere_mesh(R, n_theta=48, n_phi=96)
+    dx = 1e-3
+    shell, origin = voxelize_shell(mesh, dx)
+    solid = solidify_mask(shell, mode="fill")
+    ref, _ = voxelize_solid(mesh, dx, origin=origin, dims=shell.shape)
+    # the filled shell contains the parity solid and is at most one cell fatter
+    assert (solid | ref).sum() <= solid.sum() + 0.02 * ref.sum()
+    assert (ref & ~solid).mean() < 0.02
+    vol_ratio = solid.sum() / ref.sum()
+    assert 0.95 < vol_ratio < 1.45  # shell adds a surface layer
+
+
+def test_morphology_basics():
+    m = np.zeros((5, 5, 5), bool)
+    m[2, 2, 2] = True
+    d = dilate6(m)
+    assert d.sum() == 7
+    assert erode6(d).sum() == 1
+    assert (closing6(d) == d).all()
+
+
+def test_flood_fill_and_cavity():
+    box = np.zeros((8, 8, 8), bool)
+    box[1:7, 1:7, 1:7] = True
+    box[3:5, 3:5, 3:5] = False  # internal cavity
+    outside = flood_fill_outside(box)
+    assert not outside[3, 3, 3]      # cavity is not outside
+    assert outside[0, 0, 0]
+    filled = fill_enclosed(box)
+    assert filled[3, 3, 3]
+    assert filled.sum() == 6 ** 3
+
+
+def test_solidify_auto_on_shell():
+    shell = np.zeros((10, 10, 10), bool)
+    shell[2:8, 2:8, 2:8] = True
+    shell[3:7, 3:7, 3:7] = False  # hollow box (watertight shell)
+    solid = solidify_mask(shell, mode="auto")
+    assert solid[5, 5, 5]
+    assert solid.sum() == 6 ** 3
+
+
+def test_auto_cell_size_budget():
+    mesh = box_mesh(size=(0.1, 0.1, 0.1))
+    dx = auto_cell_size(mesh, 1e-4, max_voxels=100_000)
+    n = np.prod(np.ceil(mesh.extents / dx))
+    assert n <= 100_000
+
+
+def test_projected_area_sphere_total():
+    """Summed projected areas over all 6 face buckets ~ integral of |n| over
+    the sphere = surface area * mean(|nx|+|ny|+|nz|) = 4 pi R^2 * (3/2)/...
+    — instead assert each direction pair sums to the great-circle silhouette
+    area pi R^2 (projection theorem for convex bodies)."""
+    R = 0.01
+    mesh = uv_sphere_mesh(R, n_theta=64, n_phi=128)
+    dx = 1e-3
+    mask, origin = voxelize_solid(mesh, dx)
+    proj = voxel_projected_areas(mesh, mask, origin, dx)
+    for pair in (("x-", "x+"), ("y-", "y+"), ("z-", "z+")):
+        tot = proj[pair[0]].sum() + proj[pair[1]].sum()
+        np.testing.assert_allclose(tot, 2 * np.pi * R ** 2, rtol=0.06)
+
+
+def test_corrected_robin_matches_exact_projections_cylinder():
+    """Grid-convergence check (quick_compare_robin_correction_gridconv
+    semantics): the corrected per-direction area sums must match the exact
+    analytic projections of the cylinder's lateral surface
+    (``int |n.x| dA = 4 R H`` per x/y direction pair), and the per-cell h
+    must track the local surface obliquity (small where the surface is
+    parallel to the face), unlike the all-or-nothing staircase exposure.
+
+    Note the sum of ALL per-face projections equals the digital staircase
+    area identically (projection theorem) — this corrector redistributes h
+    over faces to the true projected areas; the separate perimeter/area
+    scaling (geometry/perimeter.py, validated in test_layer_birth) fixes the
+    staircase total.
+    """
+    R, H = 0.02, 0.04
+    mesh = cylinder_mesh(R, H, center=(0, 0, H / 2), n_phi=128)
+    for nxr in (8, 16):
+        dx = R / nxr
+        mask, origin = voxelize_solid(mesh, dx)
+        base_h = {f: 1.0 for f in ("x-", "x+", "y-", "y+")}
+        robin, scale = corrected_robin_fields(mesh, mask, origin, dx, base_h,
+                                              fallback_to_base=False)
+        for pair in (("x-", "x+"), ("y-", "y+")):
+            tot = (robin[pair[0]].sum() + robin[pair[1]].sum()) * dx * dx
+            np.testing.assert_allclose(tot, 4 * R * H, rtol=0.08)
+        # obliquity: x+ faces near phi ~ 90 deg (surface parallel to x) carry
+        # much less h than faces near phi ~ 0 (surface perpendicular to x)
+        nx, ny, nz = mask.shape
+        mid = nz // 2
+        h_x = robin["x+"][:, :, mid]
+        front = h_x[:, ny // 2 - 1: ny // 2 + 1].max()   # phi ~ 0: n || x
+        side_col = h_x[nx // 2 - 1: nx // 2 + 1, :]      # phi ~ 90: n perp x
+        assert front > 0.85, front
+        assert side_col.max() < 0.6 * front, (side_col.max(), front)
+
+
+def test_digital_perimeter_square():
+    m = np.zeros((10, 10), bool)
+    m[2:8, 2:8] = True
+    assert digital_perimeter(m, 1.0) == 24.0
