@@ -1,0 +1,1 @@
+from .engine import EventLoop, make_cartesian_advance

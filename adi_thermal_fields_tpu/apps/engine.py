@@ -1,0 +1,111 @@
+"""Event-driven simulation engine shared by the CLI apps.
+
+Host orchestrates the event list (births U frames) — exactly the structure of
+the reference's WAAM loop (waam_from_stl_v7_mm.py:515-551) — while everything
+between events runs on device: `make_cartesian_advance` folds the functional
+pack rebuild AND the sub-step loop into one jitted program
+(``lax.fori_loop`` with a traced trip count, so event-aligned dt and varying
+sub-step counts never retrace).  Births are pure data updates against a
+precomputed activation-time field (birth/*.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..bc.packs import build_coeff_packs
+from ..core.grid import CartesianGrid
+from ..core.material import Material
+from ..step.cartesian import adi_step
+
+__all__ = ["make_cartesian_advance", "EventLoop"]
+
+
+def make_cartesian_advance(grid: CartesianGrid, mat: Material, *,
+                           theta: float = 0.5, t_inf: float = 20.0,
+                           robin_h=None, neumann=None,
+                           dirichlet_mask=None, dirichlet_value=None):
+    """Jitted ``advance(T, active, dt, n_sub) -> T``: rebuild packs for the
+    current activation mask, then take ``n_sub`` ADI steps of ``dt``."""
+
+    @jax.jit
+    def advance(T, active, dt, n_sub):
+        active = active.astype(bool)
+        packs = build_coeff_packs(active, grid, mat, robin_h=robin_h,
+                                  neumann=neumann,
+                                  dirichlet_mask=dirichlet_mask,
+                                  dirichlet_value=dirichlet_value,
+                                  dtype=T.dtype)
+
+        def body(_, T):
+            return adi_step(T, active, packs, grid, mat, dt=dt, theta=theta,
+                            t_inf=t_inf)
+
+        return lax.fori_loop(0, n_sub, body, T)
+
+    return advance
+
+
+@dataclasses.dataclass
+class EventLoop:
+    """Run an element-birth simulation through its event schedule.
+
+    advance : jitted (T, active, dt, n_sub) -> T
+    activation_times : device array broadcastable to the field shape;
+        cell born when ``activation_times < t`` (substrate = -inf).
+    deposit_T : temperature assigned to newborn cells.
+    dt_cap : max sub-step (event segments are split evenly to respect it,
+        waam_from_stl_v7_mm.py:526-528).
+    """
+
+    advance: Callable
+    activation_times: Any
+    deposit_T: float
+    dt_cap: float
+
+    def run(self, T, *, frame_times, t_end: float | None = None,
+            on_frame: Callable | None = None, extra_events=(),
+            start_t: float = 0.0):
+        act = self.activation_times
+        eps = 1e-12
+        finite = jnp.isfinite(act) & (act > start_t - eps)
+        births = jnp.unique(jnp.where(finite, act, jnp.inf))
+        births = [float(b) for b in births if math.isfinite(float(b))]
+        frame_times = [float(t) for t in frame_times]
+        t_end = t_end if t_end is not None else (max(frame_times) if frame_times else 0.0)
+        events = sorted(set(b for b in births if b <= t_end)
+                        | set(frame_times) | set(extra_events) | {t_end})
+        frames = set(frame_times)
+
+        t = start_t
+        active = act < t + eps
+        # layers whose birth time coincides with the start are deposited now
+        born_now = active & jnp.isfinite(act) & (act > start_t - eps)
+        T = jnp.where(born_now, self.deposit_T, T)
+        if t in frames and on_frame is not None:
+            on_frame(t, T, jnp.broadcast_to(active, T.shape))
+
+        for te in events:
+            if te <= t + eps:
+                continue
+            seg = te - t
+            has_active = bool(jnp.any(active))
+            if has_active:
+                n_sub = max(1, int(math.ceil(seg / self.dt_cap)))
+                dt = seg / n_sub
+                T = self.advance(T, jnp.broadcast_to(active, T.shape),
+                                 jnp.asarray(dt, T.dtype),
+                                 jnp.asarray(n_sub, jnp.int32))
+            t = te
+            new_active = act < t + eps
+            newborn = new_active & ~active
+            T = jnp.where(newborn, self.deposit_T, T)
+            active = new_active
+            if te in frames and on_frame is not None:
+                on_frame(t, T, jnp.broadcast_to(active, T.shape))
+        return T, active, t

@@ -1,0 +1,193 @@
+"""Spiral/ring WAAM tube deposition on a cylindrical grid (CLI app).
+
+Layer-by-layer circumferential deposition of an annular wall: the nozzle
+sweeps arcs at angular speed omega, activating (phi, z) columns on the
+current layer, with a masked cylindrical ADI solve per fixed dt.  Mirrors the
+reference driver (quick_spiral_deposition_gif_v5.py) with two upgrades:
+annular grids actually work (r_inner is first-class — the reference's
+``GridCyl(..., R_in=...)`` call crashes), and the masked step defaults to
+physical Robin material/void interfaces (step/cylindrical_masked.py) with
+the reference's ambient-clamp mode available via --void_mode clamp.
+
+Example:
+    python -m adi_thermal_fields_tpu.apps.spiral_tube --R_out 32 \
+        --wall_thickness 2 --height 8 --z_back 20 --pitch 4 --out spiral.gif
+"""
+from __future__ import annotations
+
+import argparse
+import math
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="WAAM tube: spiral/ring deposition, masked cylindrical ADI")
+    # geometry [mm]
+    p.add_argument("--R_out", type=float, required=True)
+    p.add_argument("--wall_thickness", type=float, required=True)
+    p.add_argument("--height", type=float, required=True)
+    p.add_argument("--z_back", type=float, required=True)
+    p.add_argument("--nr", type=int, default=8)
+    p.add_argument("--nphi", type=int, default=36)
+    p.add_argument("--dz", type=float, default=None, help="override dz [mm] (default dr)")
+    # material
+    p.add_argument("--rho", type=float, default=7800.0)
+    p.add_argument("--cp", type=float, default=490.0)
+    p.add_argument("--k", type=float, default=54.0)
+    # BCs
+    p.add_argument("--h_side", type=float, default=300.0)
+    p.add_argument("--h_end", type=float, default=150.0)
+    p.add_argument("--h_void", type=float, default=None)
+    p.add_argument("--T_inf", type=float, default=20.0)
+    p.add_argument("--Ts", type=float, default=1000.0)
+    p.add_argument("--void_mode", choices=["robin", "clamp"], default="robin")
+    # time / kinematics
+    p.add_argument("--t_tot", type=float, default=30.0)
+    p.add_argument("--dt_fixed", type=float, default=0.05)
+    p.add_argument("--pitch", type=float, required=True,
+                   help="vertical distance per full turn [mm]")
+    p.add_argument("--speed", type=float, default=None, help="tangential speed [mm/s]")
+    p.add_argument("--auto_speed", action="store_true",
+                   help="choose speed so all layers fit in t_tot")
+    p.add_argument("--loops_per_layer", type=int, default=1)
+    p.add_argument("--layer_cells_z", type=int, default=None,
+                   help="layer thickness in z cells (default: derived from pitch)")
+    # output
+    p.add_argument("--nframes", type=int, default=30)
+    p.add_argument("--out", type=str, default="spiral_tube.gif")
+    p.add_argument("--iphi_slice", type=int, default=0)
+    p.add_argument("--precision", choices=["float32", "float64"], default="float32")
+    return p
+
+
+def run(args) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from ..birth.spiral import (active_at, newborn_between,
+                                spiral_activation_times)
+    from ..core.grid import CylindricalGrid
+    from ..core.material import Material
+    from ..io.logging import log
+    from ..step.cylindrical import RobinBC, ZFaceBC
+    from ..step.cylindrical import adi_step_masked as step_clamp
+    from ..step.cylindrical_masked import adi_step_masked_robin
+
+    mm = 1e-3
+    R_out = args.R_out * mm
+    wall = args.wall_thickness * mm
+    R_in = max(0.0, R_out - wall)
+    dr = wall / args.nr
+    dz = (args.dz * mm) if args.dz else dr
+    nz = int(round((args.z_back * mm + args.height * mm) / dz))
+    grid = CylindricalGrid(args.nr, args.nphi, nz, dr, dz, r_inner=R_in)
+    mat = Material(args.rho, args.cp, args.k)
+    iz_base = int(round(args.z_back * mm / dz))
+    # layer thickness: explicit cells, else derived from pitch (vertical
+    # distance per full turn; layer_height = pitch / loops_per_layer)
+    if args.layer_cells_z is not None:
+        layer_cells = max(1, args.layer_cells_z)
+    else:
+        layer_cells = max(1, int(round(args.pitch * mm
+                                       / (dz * args.loops_per_layer))))
+    layer_h = layer_cells * dz
+    n_layers = max(1, int(round(args.height * mm / layer_h)))
+
+    # kinematics: time per loop from tangential speed at the wall mid-radius
+    r_mid = R_in + 0.5 * wall
+    if args.auto_speed or args.speed is None:
+        tau_loop = args.t_tot / (n_layers * args.loops_per_layer)
+    else:
+        tau_loop = 2 * math.pi * r_mid / (args.speed * mm)
+    log(f"grid (nr,nphi,nz)=({grid.nr},{grid.nphi},{grid.nz}), "
+        f"R_in={R_in*1e3:.3g} mm, {n_layers} layers, tau_loop={tau_loop:.3f} s",
+        tag="spiral")
+
+    act = jnp.asarray(spiral_activation_times(
+        grid, iz_base=iz_base, layer_cells=layer_cells,
+        n_layers=n_layers, tau_dep=tau_loop * args.loops_per_layer,
+        loops_per_layer=args.loops_per_layer))
+
+    h_void = args.h_void if args.h_void is not None else args.h_side
+    rob_out = RobinBC(args.h_side, args.T_inf)
+    rob_in = RobinBC(args.h_side, args.T_inf)
+    zbc = ZFaceBC(kind_bot="neumann0", kind_top="robin", h_top=args.h_end,
+                  T_inf_top=args.T_inf)
+
+    if args.void_mode == "robin":
+        @jax.jit
+        def step(T, active2d, dt):
+            a3 = jnp.broadcast_to(active2d[None, :, :], grid.shape)
+            return adi_step_masked_robin(
+                T, grid, mat, dt=dt, active=a3, robin_outer=rob_out, zbc=zbc,
+                robin_inner=rob_in, h_void=h_void, T_inf_void=args.T_inf,
+                h_front=args.h_end)
+    else:
+        @jax.jit
+        def step(T, active2d, dt):
+            a3 = jnp.broadcast_to(active2d[None, :, :], grid.shape)
+            return step_clamp(T, grid, mat, dt=dt, robin_outer=rob_out,
+                              zbc=zbc, active=a3, robin_inner=rob_in,
+                              robin_void=RobinBC(h_void, args.T_inf))
+
+    dtype = jnp.float32 if args.precision == "float32" else jnp.float64
+    T = jnp.full(grid.shape, args.T_inf, dtype)
+    dt = args.dt_fixed
+    n_steps = int(round(args.t_tot / dt))
+    frame_every = max(1, n_steps // max(1, args.nframes))
+
+    frames = []
+    t = 0.0
+    for i in range(n_steps):
+        t_next = t + dt
+        newborn = newborn_between(act, t, t_next)
+        T = jnp.where(newborn[None, :, :], args.Ts, T)
+        active = active_at(act, t_next)
+        T = step(T, active, jnp.asarray(dt, dtype))
+        t = t_next
+        if (i + 1) % frame_every == 0 or i == n_steps - 1:
+            a_np = np.broadcast_to(np.asarray(active)[None], grid.shape)
+            T_np = np.asarray(T)
+            tmax = float(np.nanmax(np.where(a_np, T_np, np.nan)))
+            log(f"t={t:8.3f} s  Tmax={tmax:8.1f}", tag="frame")
+            frames.append((t, T_np, a_np.copy()))
+
+    if args.out:
+        _save_gif(args.out, frames, grid, args)
+        log(f"saved {args.out}", tag="gif")
+    return {"T": T, "frames": frames, "grid": grid}
+
+
+def _save_gif(path, frames, grid, args):
+    import matplotlib
+    matplotlib.use("Agg")
+    import imageio.v2 as imageio
+    import matplotlib.pyplot as plt
+
+    images = []
+    vmax = max(np.nanmax(np.where(a, T, np.nan)) for _, T, a in frames)
+    ir = grid.nr - 1  # outer surface view
+    for t, T, a in frames:
+        fig, ax = plt.subplots(figsize=(6.4, 3.6))
+        sl = np.where(a[ir], T[ir], np.nan)   # (nphi, nz)
+        im = ax.imshow(sl.T, origin="lower", aspect="auto",
+                       vmin=args.T_inf, vmax=vmax, cmap="inferno",
+                       extent=[0, 360, 0, grid.nz * grid.dz * 1e3])
+        ax.set_xlabel("phi, deg")
+        ax.set_ylabel("z, mm")
+        ax.set_title(f"outer surface T, t = {t:.2f} s")
+        fig.colorbar(im, ax=ax, label="T, C")
+        fig.tight_layout()
+        fig.canvas.draw()
+        images.append(np.asarray(fig.canvas.buffer_rgba())[:, :, :3].copy())
+        plt.close(fig)
+    imageio.mimsave(path, images, fps=8)
+
+
+def main(argv=None):
+    run(build_argparser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""I/O round trips and app smoke tests (tiny configs, CPU)."""
+import os
+
+import numpy as np
+
+from adi_thermal_fields_tpu.io.checkpoint import (RunState, load_checkpoint,
+                                                  save_checkpoint)
+from adi_thermal_fields_tpu.io.vtk import write_vtk_structured_points
+
+
+def test_vtk_roundtrip(tmp_path):
+    from adi_thermal_fields_tpu.apps.viewer import read_vtk_structured_points
+
+    rng = np.random.default_rng(0)
+    T = rng.random((4, 5, 6)) * 100
+    M = rng.random((4, 5, 6)) > 0.5
+    path = str(tmp_path / "t.vtk")
+    write_vtk_structured_points(path, {"Temperature": T,
+                                       "Mask": M.astype(np.float32)},
+                                spacing=1.0, origin=(1, 2, 3))
+    back = read_vtk_structured_points(path)
+    np.testing.assert_allclose(back["Temperature"], T, rtol=1e-4)
+    np.testing.assert_array_equal(back["Mask"] > 0.5, M)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    st = RunState(T=rng.random((3, 4, 5)), active=rng.random((3, 4, 5)) > 0.5,
+                  t=12.5, event_index=7)
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, st)
+    st2 = load_checkpoint(path)
+    np.testing.assert_allclose(st2.T, st.T)
+    np.testing.assert_array_equal(st2.active, st.active)
+    assert st2.t == 12.5 and st2.event_index == 7
+
+
+def test_single_track_app_smoke(tmp_path):
+    from adi_thermal_fields_tpu.apps.single_track import build_argparser, run
+
+    out = str(tmp_path / "track.gif")
+    args = build_argparser().parse_args([
+        "--plate_x_mm", "10", "--plate_y_mm", "14", "--plate_z_mm", "3",
+        "--dx_mm", "1", "--track_len_mm", "6", "--t_tail", "0.5",
+        "--nframes", "3", "--out", out, "--precision", "float64"])
+    res = run(args)
+    assert os.path.exists(out)
+    t, T, a = res["frames"][-1]
+    Tact = np.where(a, T, np.nan)
+    assert np.nanmax(Tact) > 20.0
+    assert np.isfinite(Tact[a]).all()
+
+
+def test_waam_app_smoke(tmp_path):
+    from adi_thermal_fields_tpu.apps.waam_from_stl import build_argparser, run
+    from adi_thermal_fields_tpu.geometry.primitives import box_mesh
+    from adi_thermal_fields_tpu.geometry.stl import save_stl_binary
+
+    stl = str(tmp_path / "cube_mm.stl")
+    save_stl_binary(stl, box_mesh(size=(6.0, 6.0, 8.0), center=(3, 3, 4)))
+    outdir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck.npz")
+    args = build_argparser().parse_args([
+        "--stl", stl, "--dx_mm", "1", "--nframes", "3", "--save_vtk", "1",
+        "--outdir", outdir, "--checkpoint", ck, "--precision", "float64",
+        "--bead_height_mm", "2"])
+    res = run(args)
+    assert len(res["layers"]) == 4
+    vtks = [f for f in os.listdir(outdir) if f.endswith(".vtk")]
+    assert len(vtks) == 3
+    assert os.path.exists(ck)
+    # all solid cells active at the end
+    assert int(np.asarray(res["active"]).sum()) > 0
+    assert float(np.asarray(res["T"]).max()) > 20.0
+
+    # resume from the checkpoint and run a little further
+    args2 = build_argparser().parse_args([
+        "--stl", stl, "--dx_mm", "1", "--nframes", "2", "--outdir", outdir,
+        "--resume", ck, "--precision", "float64", "--bead_height_mm", "2"])
+    res2 = run(args2)
+    assert res2["t"] >= res["t"] - 1e-9
+
+
+def test_waam_app_corrected_bc_smoke(tmp_path):
+    from adi_thermal_fields_tpu.apps.waam_from_stl import build_argparser, run
+    from adi_thermal_fields_tpu.geometry.primitives import cylinder_mesh
+    from adi_thermal_fields_tpu.geometry.stl import save_stl_binary
+
+    stl = str(tmp_path / "cyl_mm.stl")
+    save_stl_binary(stl, cylinder_mesh(4.0, 8.0, center=(0, 0, 4), n_phi=32))
+    args = build_argparser().parse_args([
+        "--stl", stl, "--dx_mm", "1", "--nframes", "2", "--outdir",
+        str(tmp_path / "o"), "--corrected_bc", "1", "--precision", "float64"])
+    res = run(args)
+    assert float(np.asarray(res["T"]).max()) > 20.0
+
+
+def test_spiral_tube_app_smoke(tmp_path):
+    from adi_thermal_fields_tpu.apps.spiral_tube import build_argparser, run
+
+    out = str(tmp_path / "sp.gif")
+    args = build_argparser().parse_args([
+        "--R_out", "32", "--wall_thickness", "2", "--height", "4",
+        "--z_back", "8", "--nr", "4", "--nphi", "12", "--dz", "2",
+        "--pitch", "2", "--auto_speed", "--t_tot", "2", "--dt_fixed", "0.2",
+        "--nframes", "2", "--out", out, "--precision", "float64"])
+    res = run(args)
+    assert os.path.exists(out)
+    t, T, a = res["frames"][-1]
+    assert np.isfinite(T[a]).all()
+    assert np.nanmax(np.where(a, T, np.nan)) > 20.0
