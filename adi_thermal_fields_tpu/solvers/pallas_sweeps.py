@@ -1,0 +1,182 @@
+"""Fused Pallas TPU kernels for the masked implicit ADI sweeps.
+
+One sweep of the Cartesian theta-scheme solves, per pencil along the sweep
+axis, the tridiagonal system built from the mask/BC state
+(step/cartesian.implicit_sweep).  The XLA reference path materializes
+a, b, c, d and the Thomas cp/dp recurrences through HBM (~20 memory passes
+per sweep); this kernel fuses coefficient construction + forward elimination
++ back substitution into a single pass:
+
+  * inputs per cell: rhs (4B), Robin coeff (4B), and a 3-bit mask code
+    (int8: 1 = coupled to i-1, 2 = coupled to i+1, 4 = Dirichlet-pinned);
+  * a/b/c are built in registers per line position: ``a = -tg*low``,
+    ``c = -tg*high``, ``b = 1 + tg*(low+high) + dt*coeff`` (void rows have no
+    couplings and zero coeff, so b = 1 and d = rhs carries through — identity
+    rows for free);
+  * dp lives in VMEM scratch; cp is staged in the OUTPUT block during the
+    forward pass and overwritten by x on the way back, so the whole solve
+    fits the 16 MB VMEM budget with double-buffered blocks at n = 512;
+  * Neumann sources and Dirichlet values, when present, are folded into the
+    rhs by a fused XLA prepass (kernel stays 4-input);
+  * HBM traffic: read rhs+coeff+code (9B), write x (4B) ~= 13B/cell/sweep.
+
+Layout: arrays are (n, B1, B2) with the solve axis leading; per-position
+slices are (B1, B2) = (8, 128) sublane x lane tiles.  y/z sweeps move their
+axis to the front (XLA transpose) before the call; the mask codes are
+precomputed per axis in the transposed layout (they only change on birth
+events).  Mosaic note: int8 vector shifts don't legalize — bits are tested
+with compares on int32.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["sweep_code", "fused_sweep", "fused_sweep_axis0"]
+
+_LOW, _HIGH, _PIN = np.int8(1), np.int8(2), np.int8(4)
+
+
+def sweep_code(mask: jax.Array, dir_mask: jax.Array | None, axis: int) -> jax.Array:
+    """int8 per-cell sweep code for ``axis``, in the (axis-first) layout.
+
+    Bits: 1 = coupling to the i-1 neighbor, 2 = coupling to i+1,
+    4 = Dirichlet-pinned row.  Built once per mask change (birth event)."""
+    from ..bc.faces import shift_in
+
+    mask = mask.astype(bool)
+    low = mask & shift_in(mask, axis, -1, fill=False)
+    high = mask & shift_in(mask, axis, +1, fill=False)
+    code = (low.astype(jnp.int8) * _LOW) | (high.astype(jnp.int8) * _HIGH)
+    if dir_mask is not None:
+        pin = dir_mask.astype(bool) & mask
+        code = jnp.where(pin, _PIN, code)  # pinned rows have no couplings
+    return jnp.moveaxis(code, axis, 0)
+
+
+def _sweep_kernel(scal_ref, d_ref, code_ref, coeff_ref, out_ref, dp_ref, *, n):
+    """scal_ref: SMEM (4,) = [theta_gam, dt, t_inf, unused].
+
+    Forward stages cp into out_ref; backward overwrites it with x."""
+    tg = scal_ref[0]
+    dt = scal_ref[1]
+    t_inf = scal_ref[2]
+    f32 = d_ref.dtype
+
+    def coeffs_at(i):
+        code = code_ref[i].astype(jnp.int32)
+        one = jnp.ones((), f32)
+        zero_s = jnp.zeros((), f32)
+        low = jnp.where((code & 1) > 0, one, zero_s)
+        high = jnp.where((code & 2) > 0, one, zero_s)
+        pin = jnp.where((code & 4) > 0, one, zero_s)
+        cf = coeff_ref[i]
+        a = -tg * low
+        c = -tg * high
+        b = 1.0 + tg * (low + high) + dt * cf
+        b = b * (1.0 - pin) + pin  # pinned rows: identity
+        d = d_ref[i] + dt * cf * t_inf
+        return a, b, c, d
+
+    def fwd(i, carry):
+        cp_prev, dp_prev = carry
+        a, b, c, d = coeffs_at(i)
+        inv = 1.0 / (b - a * cp_prev)
+        cp = c * inv
+        dp = (d - a * dp_prev) * inv
+        out_ref[i] = cp
+        dp_ref[i] = dp
+        return cp, dp
+
+    zero = jnp.zeros(d_ref.shape[1:], f32)
+    lax.fori_loop(0, n, fwd, (zero, zero))
+
+    def bwd(j, x_next):
+        i = n - 1 - j
+        x = dp_ref[i] - out_ref[i] * x_next
+        out_ref[i] = x
+        return x
+
+    lax.fori_loop(0, n, bwd, zero)
+
+
+def _round_up(v, m):
+    return -(-v // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_b1", "block_b2"))
+def fused_sweep_axis0(rhs, code, coeff, theta_gam, dt, t_inf,
+                      qflux=None, dir_val=None, *, interpret: bool = False,
+                      block_b1: int = 8, block_b2: int = 128):
+    """Fused masked tridiagonal sweep along axis 0 of (n, B1, B2) arrays."""
+    n, b1, b2 = rhs.shape
+    dtype = rhs.dtype
+
+    # Fold optional Neumann source / Dirichlet values into rhs and coeff so
+    # the kernel itself is always 4-input (one fused elementwise XLA pass).
+    if qflux is not None:
+        rhs = rhs + jnp.asarray(dt, dtype) * qflux
+    if dir_val is not None:
+        pin = (code & _PIN) > 0
+        rhs = jnp.where(pin, dir_val, rhs)
+        coeff = jnp.where(pin, 0.0, coeff)
+
+    p1 = _round_up(b1, block_b1) - b1
+    p2 = _round_up(b2, block_b2) - b2
+    if p1 or p2:
+        pad = ((0, 0), (0, p1), (0, p2))
+        rhs = jnp.pad(rhs, pad)
+        code = jnp.pad(code, pad)  # padded cells: code 0, coeff 0 -> identity
+        coeff = jnp.pad(coeff, pad)
+    P1, P2 = rhs.shape[1], rhs.shape[2]
+
+    scal = jnp.stack([jnp.asarray(theta_gam, dtype), jnp.asarray(dt, dtype),
+                      jnp.asarray(t_inf, dtype), jnp.zeros((), dtype)])
+
+    grid = (P1 // block_b1, P2 // block_b2)
+    blk = (n, block_b1, block_b2)
+    idx = lambda i, j: (0, i, j)
+    vspec = pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_sweep_kernel, n=n),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
+            vspec,                                   # rhs/d
+            pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM),  # code (int8)
+            vspec,                                   # coeff
+        ],
+        out_specs=vspec,
+        out_shape=jax.ShapeDtypeStruct((n, P1, P2), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n, block_b1, block_b2), dtype),  # dp
+        ],
+        interpret=interpret,
+    )(scal, rhs, code, coeff)
+
+    if p1 or p2:
+        out = out[:, :b1, :b2]
+    return out
+
+
+def fused_sweep(rhs, code_ax0, coeff, theta_gam, dt, t_inf, axis: int,
+                qflux=None, dir_val=None, *, interpret: bool = False,
+                block_b2: int = 128):
+    """Masked implicit sweep along ``axis`` of (nx, ny, nz) arrays.
+
+    ``code_ax0`` must already be in the axis-first layout (from sweep_code);
+    rhs/coeff/qflux/dir_val are in natural (x, y, z) layout and are
+    transposed here.
+    """
+    mv = lambda t: (t if (t is None or axis == 0) else jnp.moveaxis(t, axis, 0))
+    out = fused_sweep_axis0(mv(rhs), code_ax0, mv(coeff), theta_gam, dt,
+                            t_inf, qflux=mv(qflux), dir_val=mv(dir_val),
+                            interpret=interpret, block_b2=block_b2)
+    return out if axis == 0 else jnp.moveaxis(out, 0, axis)

@@ -1,0 +1,97 @@
+"""Performance-path Cartesian ADI step built on the fused Pallas sweeps.
+
+Numerically identical to step/cartesian.adi_step (the lax.scan reference
+path) — see tests/test_pallas_sweeps.py — but each implicit sweep is one
+fused kernel (solvers/pallas_sweeps.py) and all mask/BC-derived sweep inputs
+are prebuilt per axis in axis-first layouts by ``build_sweep_plan`` (they
+change only on birth events).  Per step the field makes three XLA transposes:
+
+    R0 (x,y,z) -> sweep_x -> T(1,0,2) -> sweep_y -> T(2,1,0) -> sweep_z
+    (z,x,y) -> T(1,2,0) -> (x,y,z)
+
+instead of a transpose pair around every sweep.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..bc.packs import CoeffPacks
+from ..core.grid import CartesianGrid
+from ..core.material import Material
+from ..solvers.pallas_sweeps import fused_sweep_axis0, sweep_code
+from .cartesian import masked_laplacian_1d
+
+__all__ = ["SweepPlan", "build_sweep_plan", "adi_step_pallas"]
+
+# layout of each sweep's arrays (axes of the natural (x,y,z) field)
+_PERM = {0: (0, 1, 2), 1: (1, 0, 2), 2: (2, 0, 1)}
+
+
+class SweepPlan(NamedTuple):
+    """Per-axis sweep inputs in axis-first layouts (rebuilt on birth only)."""
+
+    mask: jax.Array                 # (x, y, z) bool — for the explicit part
+    codes: tuple                    # 3 int8 arrays, axis-first
+    coeffs: tuple                   # 3 f32 arrays, axis-first
+    qfluxes: tuple | None           # 3 arrays or None (no Neumann)
+    dir_vals: tuple | None          # 3 arrays or None (no Dirichlet)
+
+
+def build_sweep_plan(mask: jax.Array, packs: CoeffPacks, *,
+                     has_neumann: bool | None = None,
+                     has_dirichlet: bool | None = None) -> SweepPlan:
+    """Precompute per-axis codes and transposed coefficient fields.
+
+    ``has_neumann`` / ``has_dirichlet`` must be python bools when tracing
+    (they select the kernel variant); default: derived from the packs when
+    called outside jit.
+    """
+    mask = mask.astype(bool)
+    if has_dirichlet is None:
+        has_dirichlet = bool(packs.dir_mask.any())
+    if has_neumann is None:
+        has_neumann = bool(jnp.any(packs.qflux != 0))
+
+    dirm = packs.dir_mask if has_dirichlet else None
+    codes = tuple(sweep_code(mask, dirm, ax) for ax in range(3))
+    tr = lambda arr, ax: jnp.transpose(arr, _PERM[ax])
+    coeffs = tuple(tr(packs.coeff[ax], ax) for ax in range(3))
+    qfluxes = (tuple(tr(packs.qflux[ax], ax) for ax in range(3))
+               if has_neumann else None)
+    dir_vals = (tuple(tr(packs.dir_val, ax) for ax in range(3))
+                if has_dirichlet else None)
+    return SweepPlan(mask, codes, coeffs, qfluxes, dir_vals)
+
+
+def adi_step_pallas(T: jax.Array, plan: SweepPlan, grid: CartesianGrid,
+                    mat: Material, *, dt, theta: float = 0.5, t_inf=0.0,
+                    interpret: bool = False) -> jax.Array:
+    """One theta-scheme ADI step on the fused-kernel path."""
+    mask = plan.mask
+    kappa = mat.alpha
+    inv_dx2 = 1.0 / (grid.dx * grid.dx)
+    dt = jnp.asarray(dt, T.dtype)
+    gam = kappa * dt * inv_dx2
+    theta_gam = theta * gam
+
+    lap = (masked_laplacian_1d(T, mask, 0, inv_dx2)
+           + masked_laplacian_1d(T, mask, 1, inv_dx2)
+           + masked_laplacian_1d(T, mask, 2, inv_dx2))
+    R0 = T + dt * kappa * (1.0 - theta) * lap
+
+    q = plan.qfluxes or (None, None, None)
+    dv = plan.dir_vals or (None, None, None)
+
+    U = fused_sweep_axis0(R0, plan.codes[0], plan.coeffs[0], theta_gam, dt,
+                          t_inf, qflux=q[0], dir_val=dv[0],
+                          interpret=interpret)
+    V = fused_sweep_axis0(jnp.transpose(U, (1, 0, 2)), plan.codes[1],
+                          plan.coeffs[1], theta_gam, dt, t_inf, qflux=q[1],
+                          dir_val=dv[1], interpret=interpret)
+    W = fused_sweep_axis0(jnp.transpose(V, (2, 1, 0)), plan.codes[2],
+                          plan.coeffs[2], theta_gam, dt, t_inf, qflux=q[2],
+                          dir_val=dv[2], interpret=interpret)
+    return jnp.transpose(W, (1, 2, 0))

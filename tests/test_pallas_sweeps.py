@@ -1,0 +1,72 @@
+"""Equivalence of the fused Pallas sweep path with the XLA reference path.
+
+Runs in Pallas interpret mode on CPU (the same kernels compile for TPU; the
+benchmark harness and apps exercise them on hardware)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from adi_thermal_fields_tpu import (CartesianGrid, Material, adi_step_cartesian,
+                                    build_coeff_packs)
+from adi_thermal_fields_tpu.solvers.pallas_sweeps import fused_sweep, sweep_code
+from adi_thermal_fields_tpu.step.cartesian import implicit_sweep
+from adi_thermal_fields_tpu.step.cartesian_pallas import (adi_step_pallas,
+                                                          build_sweep_plan)
+
+
+@pytest.mark.parametrize("axis", [0, 1, 2])
+def test_fused_sweep_matches_reference(axis):
+    rng = np.random.default_rng(axis)
+    shape = (9, 11, 13)
+    mask = jnp.asarray(rng.random(shape) > 0.25)
+    dirm = jnp.asarray(rng.random(shape) > 0.9)
+    rhs = jnp.asarray(rng.random(shape) * 100)
+    coeff = jnp.asarray(np.where(rng.random(shape) > 0.5, 0.3, 0.0)
+                        * np.asarray(mask))
+    q = jnp.asarray(rng.random(shape) * np.asarray(mask))
+    dval = jnp.asarray(rng.random(shape) * 500)
+    tg, dt, tinf = 0.37, 0.05, 20.0
+
+    ref = implicit_sweep(rhs, mask, coeff, dirm, dval, q, tg, dt, tinf,
+                         axis=axis)
+    code = sweep_code(mask, dirm, axis)
+    got = fused_sweep(rhs, code, coeff, tg, dt, tinf, axis, qflux=q,
+                      dir_val=dval, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-12,
+                               atol=1e-12)
+
+
+@pytest.mark.parametrize("with_bcs", [False, True])
+def test_pallas_step_matches_xla_step(with_bcs):
+    rng = np.random.default_rng(7)
+    grid = CartesianGrid(10, 9, 12, 1e-3)
+    mat = Material(7800.0, 490.0, 54.0)
+    mask = jnp.asarray(rng.random(grid.shape) > 0.3)
+    T0 = jnp.asarray(np.where(np.asarray(mask),
+                              20 + 880 * rng.random(grid.shape), 20.0))
+    kw = {}
+    if with_bcs:
+        dirm = np.zeros(grid.shape, bool)
+        dirm[:, :, 0] = np.asarray(mask)[:, :, 0]
+        kw = dict(robin_h=250.0, neumann={"z+": 2e5},
+                  dirichlet_mask=jnp.asarray(dirm), dirichlet_value=77.0)
+    else:
+        kw = dict(robin_h=250.0)
+    packs = build_coeff_packs(mask, grid, mat, **kw)
+    dt, theta, t_inf = 0.02, 0.5, 20.0
+
+    ref = T0
+    for _ in range(2):
+        ref = adi_step_cartesian(ref, mask, packs, grid, mat, dt=dt,
+                                 theta=theta, t_inf=t_inf)
+
+    plan = build_sweep_plan(mask, packs, has_neumann=with_bcs,
+                            has_dirichlet=with_bcs)
+    got = T0
+    for _ in range(2):
+        got = adi_step_pallas(got, plan, grid, mat, dt=dt, theta=theta,
+                              t_inf=t_inf, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-12,
+                               atol=1e-10)
