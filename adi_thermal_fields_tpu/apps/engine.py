@@ -29,9 +29,15 @@ __all__ = ["make_cartesian_advance", "EventLoop"]
 def make_cartesian_advance(grid: CartesianGrid, mat: Material, *,
                            theta: float = 0.5, t_inf: float = 20.0,
                            robin_h=None, neumann=None,
-                           dirichlet_mask=None, dirichlet_value=None):
+                           dirichlet_mask=None, dirichlet_value=None,
+                           implementation: str = "auto"):
     """Jitted ``advance(T, active, dt, n_sub) -> T``: rebuild packs for the
-    current activation mask, then take ``n_sub`` ADI steps of ``dt``."""
+    current activation mask, then take ``n_sub`` ADI steps of ``dt``.
+
+    implementation: "pallas" (fused TPU kernels), "xla" (lax.scan reference),
+    or "auto" (pallas on TPU, xla elsewhere)."""
+    if implementation == "auto":
+        implementation = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
 
     @jax.jit
     def advance(T, active, dt, n_sub):
@@ -42,9 +48,21 @@ def make_cartesian_advance(grid: CartesianGrid, mat: Material, *,
                                   dirichlet_value=dirichlet_value,
                                   dtype=T.dtype)
 
-        def body(_, T):
-            return adi_step(T, active, packs, grid, mat, dt=dt, theta=theta,
-                            t_inf=t_inf)
+        if implementation == "pallas":
+            from ..step.cartesian_pallas import (adi_step_pallas,
+                                                 build_sweep_plan)
+
+            plan = build_sweep_plan(active, packs,
+                                    has_neumann=neumann is not None,
+                                    has_dirichlet=dirichlet_mask is not None)
+
+            def body(_, T):
+                return adi_step_pallas(T, plan, grid, mat, dt=dt,
+                                       theta=theta, t_inf=t_inf)
+        else:
+            def body(_, T):
+                return adi_step(T, active, packs, grid, mat, dt=dt,
+                                theta=theta, t_inf=t_inf)
 
         return lax.fori_loop(0, n_sub, body, T)
 

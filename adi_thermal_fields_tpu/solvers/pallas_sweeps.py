@@ -38,7 +38,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["sweep_code", "fused_sweep", "fused_sweep_axis0"]
+__all__ = ["sweep_code", "fused_sweep", "fused_sweep_axis0",
+           "fused_sweep_const"]
 
 _LOW, _HIGH, _PIN = np.int8(1), np.int8(2), np.int8(4)
 
@@ -160,6 +161,77 @@ def fused_sweep_axis0(rhs, code, coeff, theta_gam, dt, t_inf,
         ],
         interpret=interpret,
     )(scal, rhs, code, coeff)
+
+    if p1 or p2:
+        out = out[:, :b1, :b2]
+    return out
+
+
+def _const_sweep_kernel(a_ref, b_ref, c_ref, radd_ref, d_ref, out_ref,
+                        dp_ref, *, n):
+    """Tridiagonal solve with per-row SCALAR coefficients (SMEM vectors) —
+    the cylindrical core's r/z sweeps, where the matrix depends only on the
+    line position (radius/row) and the Robin ghost terms are already folded
+    into a/b/c and the per-row RHS addition ``radd``.
+
+    Forward stages cp in out_ref; backward overwrites with x.
+    HBM traffic: read rhs (4B) + write x (4B) = 8B/cell/sweep."""
+    f32 = d_ref.dtype
+
+    def fwd(i, carry):
+        cp_prev, dp_prev = carry
+        a = a_ref[i]
+        inv = 1.0 / (b_ref[i] - a * cp_prev)
+        cp = c_ref[i] * inv
+        dp = (d_ref[i] + radd_ref[i] - a * dp_prev) * inv
+        out_ref[i] = cp
+        dp_ref[i] = dp
+        return cp, dp
+
+    zero = jnp.zeros(d_ref.shape[1:], f32)
+    lax.fori_loop(0, n, fwd, (zero, zero))
+
+    def bwd(j, x_next):
+        i = n - 1 - j
+        x = dp_ref[i] - out_ref[i] * x_next
+        out_ref[i] = x
+        return x
+
+    lax.fori_loop(0, n, bwd, zero)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_b1", "block_b2"))
+def fused_sweep_const(rhs, a, b, c, radd=None, *, interpret: bool = False,
+                      block_b1: int = 8, block_b2: int = 128):
+    """Tridiagonal sweep along axis 0 of (n, B1, B2) rhs with per-row scalar
+    coefficient vectors a, b, c (shape (n,)) and optional per-row RHS
+    additions ``radd``."""
+    n, b1, b2 = rhs.shape
+    dtype = rhs.dtype
+    if radd is None:
+        radd = jnp.zeros((n,), dtype)
+
+    p1 = _round_up(b1, block_b1) - b1
+    p2 = _round_up(b2, block_b2) - b2
+    if p1 or p2:
+        rhs = jnp.pad(rhs, ((0, 0), (0, p1), (0, p2)))
+    P1, P2 = rhs.shape[1], rhs.shape[2]
+
+    grid = (P1 // block_b1, P2 // block_b2)
+    blk = (n, block_b1, block_b2)
+    vspec = pl.BlockSpec(blk, lambda i, j: (0, i, j), memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_const_sweep_kernel, n=n),
+        grid=grid,
+        in_specs=[sspec, sspec, sspec, sspec, vspec],
+        out_specs=vspec,
+        out_shape=jax.ShapeDtypeStruct((n, P1, P2), dtype),
+        scratch_shapes=[pltpu.VMEM((n, block_b1, block_b2), dtype)],
+        interpret=interpret,
+    )(a.astype(dtype), b.astype(dtype), c.astype(dtype), radd.astype(dtype),
+      rhs)
 
     if p1 or p2:
         out = out[:, :b1, :b2]

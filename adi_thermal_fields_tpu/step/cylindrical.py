@@ -118,7 +118,8 @@ def apply_Lz(T: jax.Array, grid: CylindricalGrid) -> jax.Array:
 # --------------------------------------------------------------------------
 
 def _r_sweep(rhs: jax.Array, grid: CylindricalGrid, mat: Material, theta_dt,
-             robin_outer: RobinBC, robin_inner: RobinBC | None) -> jax.Array:
+             robin_outer: RobinBC, robin_inner: RobinBC | None,
+             implementation: str = "xla") -> jax.Array:
     """Solve (I - theta*dt*alpha*L_r) x = rhs along axis 0.
 
     Interior/axis/outer-Robin coefficients match reference ``build_coeff_r``
@@ -150,15 +151,20 @@ def _r_sweep(rhs: jax.Array, grid: CylindricalGrid, mat: Material, theta_dt,
         rob_rhs[nr - 1] += g_out * robin_outer.T_inf
 
     fac = jnp.asarray(theta_dt * mat.alpha, dtype)
-    av = (-fac * jnp.asarray(ge_a, dtype))[:, None, None]
-    cv = (-fac * jnp.asarray(ge_c, dtype))[:, None, None]
-    bv = (1.0 + fac * jnp.asarray(ge_a + ge_c + ge_rob, dtype))[:, None, None]
-    d = rhs + fac * jnp.asarray(rob_rhs, dtype)[:, None, None]
-    return thomas(av, bv, cv, d)
+    a_vec = -fac * jnp.asarray(ge_a, dtype)
+    c_vec = -fac * jnp.asarray(ge_c, dtype)
+    b_vec = 1.0 + fac * jnp.asarray(ge_a + ge_c + ge_rob, dtype)
+    radd = fac * jnp.asarray(rob_rhs, dtype)
+    if implementation == "pallas":
+        from ..solvers.pallas_sweeps import fused_sweep_const
+
+        return fused_sweep_const(rhs, a_vec, b_vec, c_vec, radd)
+    return thomas(a_vec[:, None, None], b_vec[:, None, None],
+                  c_vec[:, None, None], rhs + radd[:, None, None])
 
 
 def _z_sweep(rhs: jax.Array, grid: CylindricalGrid, mat: Material, theta_dt,
-             zbc: ZFaceBC) -> jax.Array:
+             zbc: ZFaceBC, implementation: str = "xla") -> jax.Array:
     """Solve (I - theta*dt*alpha*L_z) x = rhs along axis 2 with end BCs.
     Coefficients match reference ``build_coeff_z`` (adi3d_cyl_phi_v3.py:255-298)."""
     dtype = rhs.dtype
@@ -196,11 +202,17 @@ def _z_sweep(rhs: jax.Array, grid: CylindricalGrid, mat: Material, theta_dt,
     d = end_row(nz - 1, zbc.kind_top, zbc.h_top, zbc.T_inf_top, zbc.T_top, d)
 
     fac = jnp.asarray(theta_dt * mat.alpha / (dz * dz), dtype)
-    av = (-fac * jnp.asarray(ge_a, dtype))[:, None, None]
-    cv = (-fac * jnp.asarray(ge_c, dtype))[:, None, None]
-    bv = (1.0 + fac * jnp.asarray(ge_b, dtype))[:, None, None]
-    d = d + fac * jnp.asarray(rob_rhs, dtype)[:, None, None]
-    x = thomas(av, bv, cv, d)
+    a_vec = -fac * jnp.asarray(ge_a, dtype)
+    c_vec = -fac * jnp.asarray(ge_c, dtype)
+    b_vec = 1.0 + fac * jnp.asarray(ge_b, dtype)
+    radd = fac * jnp.asarray(rob_rhs, dtype)
+    if implementation == "pallas":
+        from ..solvers.pallas_sweeps import fused_sweep_const
+
+        x = fused_sweep_const(d, a_vec, b_vec, c_vec, radd)
+    else:
+        x = thomas(a_vec[:, None, None], b_vec[:, None, None],
+                   c_vec[:, None, None], d + radd[:, None, None])
     return jnp.moveaxis(x, 0, 2)
 
 
@@ -212,7 +224,8 @@ def adi_step(T: jax.Array, grid: CylindricalGrid, mat: Material, *, dt,
              robin_outer: RobinBC, zbc: ZFaceBC,
              robin_inner: RobinBC | None = None,
              source: jax.Array | None = None,
-             scheme: str = "be", theta: float = 0.5) -> jax.Array:
+             scheme: str = "be", theta: float = 0.5,
+             implementation: str = "xla") -> jax.Array:
     """One cylindrical ADI step (reference ``adi_step``,
     adi3d_cyl_phi_v3.py:332-373).
 
@@ -223,9 +236,11 @@ def adi_step(T: jax.Array, grid: CylindricalGrid, mat: Material, *, dt,
     """
     if scheme == "be":
         R0 = T if source is None else T + dt * source / (mat.rho * mat.cp)
-        X = _r_sweep(R0, grid, mat, dt, robin_outer, robin_inner)
+        X = _r_sweep(R0, grid, mat, dt, robin_outer, robin_inner,
+                     implementation=implementation)
         X = phi_solve_spectral(X, grid, mat, 1.0, dt)
-        return _z_sweep(X, grid, mat, dt, zbc)
+        return _z_sweep(X, grid, mat, dt, zbc,
+                        implementation=implementation)
 
     if scheme != "douglas":
         raise ValueError(f"unknown scheme: {scheme!r}")
@@ -241,9 +256,10 @@ def adi_step(T: jax.Array, grid: CylindricalGrid, mat: Material, *, dt,
     # Douglas–Gunn stabilizing corrections: each implicit solve removes the
     # theta fraction of its own explicit operator applied to T^n.
     Y1 = _r_sweep(Y0 - th * dt * alpha * Lr, grid, mat, th * dt,
-                  robin_outer, robin_inner)
+                  robin_outer, robin_inner, implementation=implementation)
     Y2 = phi_solve_spectral(Y1 - th * dt * alpha * Lp, grid, mat, th, dt)
-    Y3 = _z_sweep(Y2 - th * dt * alpha * Lz, grid, mat, th * dt, zbc)
+    Y3 = _z_sweep(Y2 - th * dt * alpha * Lz, grid, mat, th * dt, zbc,
+                  implementation=implementation)
     return Y3
 
 
