@@ -50,12 +50,21 @@ def grid_from_mesh(mesh: TriMesh, dx: float, pad_cells: int = 1
     return origin, (int(dims[0]), int(dims[1]), int(dims[2]))
 
 
-def voxelize_solid(mesh: TriMesh, dx: float, origin=None, dims=None
-                   ) -> tuple[np.ndarray, np.ndarray]:
-    """Even-odd parity solid voxelization.  Returns (mask, origin)."""
+def voxelize_solid(mesh: TriMesh, dx: float, origin=None, dims=None,
+                   use_native: bool = True) -> tuple[np.ndarray, np.ndarray]:
+    """Even-odd parity solid voxelization.  Returns (mask, origin).
+
+    Uses the native C++ kernel (native/geometry_native.cpp, same algorithm
+    and jitter constants) when available; numpy otherwise."""
     if origin is None or dims is None:
         origin, dims = grid_from_mesh(mesh, dx)
     origin = np.asarray(origin, float)
+    if use_native:
+        from ..native.loader import voxelize_parity_native
+
+        native = voxelize_parity_native(mesh.triangles, origin, dx, dims)
+        if native is not None:
+            return native, origin
     nx, ny, nz = dims
     tri = mesh.triangles
     v0, v1, v2 = tri[:, 0], tri[:, 1], tri[:, 2]
