@@ -7,3 +7,5 @@ from .shapes import cylinder_mask, plate_mask
 from .stl import TriMesh, load_stl, save_stl_binary
 from .voxelize import (auto_cell_size, grid_from_mesh, subdivided_triangles,
                        voxelize_shell, voxelize_solid)
+from .slices import (per_slice_perimeter_scale, section_segments,
+                     slice_perimeter_area)

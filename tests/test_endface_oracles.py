@@ -153,3 +153,45 @@ def test_robin_end_step():
     z = (np.arange(NZ) + 0.5) * dx
     anas = [robin_end_profile(p, h_end, Delta, z, t) for t in times]
     _check(nums, anas, z, delta=Delta)
+
+
+def test_robin_end_with_stl_corrected_lateral_fields():
+    """The reference's corrected-BC validation
+    (quick_compare_robin_end_robin_corrected.py): the Robin end-step problem
+    solved with STL projected-area-corrected lateral h fields, composed with
+    the per-slice perimeter scale (total-area fix), must still match the
+    analytic solution."""
+    from adi_thermal_fields_tpu.geometry.bc_correction import corrected_robin_fields
+    from adi_thermal_fields_tpu.geometry.primitives import cylinder_mesh
+    from adi_thermal_fields_tpu.geometry.slices import per_slice_perimeter_scale
+    from adi_thermal_fields_tpu.geometry.voxelize import voxelize_solid
+
+    grid, mat, mask, dx = _cylinder_setup()
+    mesh = cylinder_mesh(R, NZ * dx, center=(0, 0, NZ * dx / 2), n_phi=256)
+    # voxelize onto the oracle's own grid (origin at the domain corner)
+    origin = np.array([-grid.nx / 2 * dx, -grid.ny / 2 * dx, 0.0])
+    mask_np, _ = voxelize_solid(mesh, dx, origin=origin, dims=grid.shape)
+    mask = jnp.asarray(mask_np)
+
+    base = {f: H_SIDE for f in ("x-", "x+", "y-", "y+")}
+    fields, _scales = corrected_robin_fields(mesh, mask_np, origin, dx, base)
+    gamma = per_slice_perimeter_scale(mesh, mask_np, origin, dx)
+    # compose: per-face redistribution * per-slice total correction
+    robin_h = {f: jnp.asarray(v * gamma[None, None, :])
+               for f, v in fields.items()}
+
+    h_end, Delta = 800.0, 500.0
+    dir_mask = np.zeros(grid.shape, bool)
+    dir_mask[:, :, -1] = np.asarray(mask)[:, :, -1]
+    packs = build_coeff_packs(mask, grid, mat,
+                              neumann={"z-": h_end * Delta},
+                              robin_h={**robin_h, "z-": h_end},
+                              dirichlet_mask=jnp.asarray(dir_mask),
+                              dirichlet_value=T_INF)
+    times = [0.5, 1.0, 2.0]
+    nums = _run_numeric(grid, mat, mask, packs, times, dx)
+
+    p = EndFaceProblem(K, RHO, CP, R, H_SIDE, T_INF)
+    z = (np.arange(NZ) + 0.5) * dx
+    anas = [robin_end_profile(p, h_end, Delta, z, t) for t in times]
+    _check(nums, anas, z, delta=Delta)

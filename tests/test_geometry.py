@@ -176,3 +176,31 @@ def test_digital_perimeter_square():
     m = np.zeros((10, 10), bool)
     m[2:8, 2:8] = True
     assert digital_perimeter(m, 1.0) == 24.0
+
+
+def test_slice_perimeter_area_cylinder_and_box():
+    from adi_thermal_fields_tpu.geometry.slices import slice_perimeter_area
+
+    R, H = 0.02, 0.04
+    mesh = cylinder_mesh(R, H, center=(0, 0, H / 2), n_phi=256)
+    p, a = slice_perimeter_area(mesh, 0.02)
+    np.testing.assert_allclose(p, 2 * np.pi * R, rtol=1e-3)
+    np.testing.assert_allclose(a, np.pi * R * R, rtol=1e-3)
+    b = box_mesh(size=(0.01, 0.02, 0.03), center=(0, 0, 0.015))
+    p2, a2 = slice_perimeter_area(b, 0.01)
+    np.testing.assert_allclose(p2, 0.06, rtol=1e-9)
+    np.testing.assert_allclose(a2, 2e-4, rtol=1e-9)
+    # empty section above the solid
+    p3, a3 = slice_perimeter_area(b, 1.0)
+    assert p3 == 0.0 and a3 == 0.0
+
+
+def test_per_slice_perimeter_scale_cylinder():
+    from adi_thermal_fields_tpu.geometry.slices import per_slice_perimeter_scale
+
+    R, H = 0.02, 0.04
+    mesh = cylinder_mesh(R, H, center=(0, 0, H / 2), n_phi=256)
+    mask, org = voxelize_solid(mesh, R / 12)
+    sc = per_slice_perimeter_scale(mesh, mask, org, R / 12)
+    mid = sc[mask.any(axis=(0, 1))]
+    np.testing.assert_allclose(mid[1:-1], np.pi / 4, rtol=0.02)
