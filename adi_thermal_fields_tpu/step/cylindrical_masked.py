@@ -137,8 +137,11 @@ def adi_step_masked_robin(T: jax.Array, grid: CylindricalGrid, mat: Material, *,
                          h_void, T_inf_void)
     sink_rp, rhs_rp = hT(exposed(0, +1), g_r_plus, is_r_last, h_out, t_out,
                          h_void, T_inf_void)
-    s1, r1 = hT(exposed(1, -1), g_phi, False, 0.0, 0.0, h_void, T_inf_void)
-    s2, r2 = hT(exposed(1, +1), g_phi, False, 0.0, 0.0, h_void, T_inf_void)
+    # phi faces are PERIODIC: exposure wraps around, no domain edge
+    exp_pm = active & ~jnp.roll(active, +1, 1)
+    exp_pp = active & ~jnp.roll(active, -1, 1)
+    s1, r1 = hT(exp_pm, g_phi, False, 0.0, 0.0, h_void, T_inf_void)
+    s2, r2 = hT(exp_pp, g_phi, False, 0.0, 0.0, h_void, T_inf_void)
     sink_pm, rhs_pm = s1 + s2, r1 + r2
     sink_zm, rhs_zm = hT(exposed(2, -1), g_z, is_z_first, hz_bot, tz_bot,
                          h_void, T_inf_void)

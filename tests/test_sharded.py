@@ -47,3 +47,31 @@ def test_sharded_layout_is_distributed():
     T = shard_field(jnp.linspace(0, 900, grid.ncells).reshape(grid.shape), mesh, 0)
     out = step(T, shard_field(mask, mesh, 0), packs, 0.01, 20.0)
     assert len(out.sharding.device_set) == 8
+
+
+def test_sharded_cylindrical_matches_single_device():
+    from adi_thermal_fields_tpu import CylindricalGrid, RobinBC, ZFaceBC
+    from adi_thermal_fields_tpu.dist.cylindrical import sharded_cylindrical_step
+    from adi_thermal_fields_tpu.step.cylindrical import adi_step
+
+    grid = CylindricalGrid(6, 16, 16, 5e-4, 1e-3, r_inner=0.02)
+    mat = Material(7800.0, 490.0, 54.0)
+    rob = RobinBC(350.0, 20.0)
+    zbc = ZFaceBC(kind_bot="dirichlet", kind_top="robin", h_top=500.0,
+                  T_inf_top=25.0, T_bot=100.0)
+    rng = np.random.default_rng(0)
+    T0 = jnp.asarray(20.0 + 880.0 * rng.random(grid.shape))
+    dt = 0.05
+
+    ref = adi_step(T0, grid, mat, dt=dt, robin_outer=rob, zbc=zbc,
+                   robin_inner=rob, scheme="be")
+
+    mesh = make_mesh()
+    step = sharded_cylindrical_step(grid, mat, mesh, robin_outer=rob,
+                                    zbc=zbc, robin_inner=rob)
+    T = jax.device_put(T0, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, "a", "b")))
+    out = step(T, dt)
+    assert len(out.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)
