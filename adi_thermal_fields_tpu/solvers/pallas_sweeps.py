@@ -107,6 +107,119 @@ def _sweep_kernel(scal_ref, d_ref, code_ref, coeff_ref, out_ref, dp_ref, *, n):
     lax.fori_loop(0, n, bwd, zero)
 
 
+def _sweep_kernel_axis1(scal_ref, d_ref, code_ref, coeff_ref, out_ref,
+                        dp_ref, *, n):
+    """Same solve as _sweep_kernel, but the line runs along axis 1 of
+    (B1, n, B2) blocks, letting the y-sweep run on the natural (x, y, z)
+    layout with no transposes (and the z-sweep with only a last-two-dims
+    swap).  Mosaic only allows sublane-dim ref indices that are multiples of
+    8, so the recurrence processes GROUPS of 8 line positions: each group is
+    loaded/stored as a (B1, 8, B2) ref slice and the 8 sequential updates
+    index the loaded values (register level, unconstrained)."""
+    tg = scal_ref[0]
+    dt = scal_ref[1]
+    t_inf = scal_ref[2]
+    f32 = d_ref.dtype
+    b1 = d_ref.shape[0]
+    b2 = d_ref.shape[2]
+    G = 8
+    n_grp = n // G  # n is padded to a multiple of 8 by the wrapper
+
+    one = jnp.ones((), f32)
+    zero_s = jnp.zeros((), f32)
+
+    def fwd(g, carry):
+        cp_prev, dp_prev = carry
+        s = pl.multiple_of(g * G, G)
+        code_g = code_ref[:, pl.ds(s, G), :].astype(jnp.int32)
+        cf_g = coeff_ref[:, pl.ds(s, G), :]
+        d_g = d_ref[:, pl.ds(s, G), :]
+        low = jnp.where((code_g & 1) > 0, one, zero_s)
+        high = jnp.where((code_g & 2) > 0, one, zero_s)
+        pin = jnp.where((code_g & 4) > 0, one, zero_s)
+        a_g = -tg * low
+        c_g = -tg * high
+        b_g = (1.0 + tg * (low + high) + dt * cf_g) * (1.0 - pin) + pin
+        dd_g = d_g + dt * cf_g * t_inf
+
+        cps, dps = [], []
+        for r in range(G):
+            inv = 1.0 / (b_g[:, r, :] - a_g[:, r, :] * cp_prev)
+            cp_prev = c_g[:, r, :] * inv
+            dp_prev = (dd_g[:, r, :] - a_g[:, r, :] * dp_prev) * inv
+            cps.append(cp_prev)
+            dps.append(dp_prev)
+        out_ref[:, pl.ds(s, G), :] = jnp.stack(cps, axis=1)
+        dp_ref[:, pl.ds(s, G), :] = jnp.stack(dps, axis=1)
+        return cp_prev, dp_prev
+
+    zero = jnp.zeros((b1, b2), f32)
+    lax.fori_loop(0, n_grp, fwd, (zero, zero))
+
+    def bwd(j, x_next):
+        g = n_grp - 1 - j
+        s = pl.multiple_of(g * G, G)
+        cp_g = out_ref[:, pl.ds(s, G), :]
+        dp_g = dp_ref[:, pl.ds(s, G), :]
+        xs = [None] * G
+        for r in range(G - 1, -1, -1):
+            x_next = dp_g[:, r, :] - cp_g[:, r, :] * x_next
+            xs[r] = x_next
+        out_ref[:, pl.ds(s, G), :] = jnp.stack(xs, axis=1)
+        return x_next
+
+    lax.fori_loop(0, n_grp, bwd, zero)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_b1", "block_b2"))
+def fused_sweep_axis1(rhs, code, coeff, theta_gam, dt, t_inf,
+                      qflux=None, dir_val=None, *, interpret: bool = False,
+                      block_b1: int = 8, block_b2: int = 128):
+    """Fused masked tridiagonal sweep along axis 1 of (B1, n, B2) arrays —
+    same math as fused_sweep_axis0, transpose-free layout."""
+    b1, n, b2 = rhs.shape
+    dtype = rhs.dtype
+
+    if qflux is not None:
+        rhs = rhs + jnp.asarray(dt, dtype) * qflux
+    if dir_val is not None:
+        pin = (code & _PIN) > 0
+        rhs = jnp.where(pin, dir_val, rhs)
+        coeff = jnp.where(pin, 0.0, coeff)
+
+    p1 = _round_up(b1, block_b1) - b1
+    p2 = _round_up(b2, block_b2) - b2
+    pn = _round_up(n, 8) - n  # kernel processes groups of 8 line positions
+    if p1 or p2 or pn:
+        pad = ((0, p1), (0, pn), (0, p2))
+        rhs = jnp.pad(rhs, pad)
+        code = jnp.pad(code, pad)  # padded positions: identity rows
+        coeff = jnp.pad(coeff, pad)
+    P1, P2 = rhs.shape[0], rhs.shape[2]
+    n_pad = rhs.shape[1]
+
+    scal = jnp.stack([jnp.asarray(theta_gam, dtype), jnp.asarray(dt, dtype),
+                      jnp.asarray(t_inf, dtype), jnp.zeros((), dtype)])
+
+    grid = (P1 // block_b1, P2 // block_b2)
+    blk = (block_b1, n_pad, block_b2)
+    vspec = pl.BlockSpec(blk, lambda i, j: (i, 0, j), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_sweep_kernel_axis1, n=n_pad),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), vspec, vspec, vspec],
+        out_specs=vspec,
+        out_shape=jax.ShapeDtypeStruct((P1, n_pad, P2), dtype),
+        scratch_shapes=[pltpu.VMEM(blk, dtype)],
+        interpret=interpret,
+    )(scal, rhs, code, coeff)
+
+    if p1 or p2 or pn:
+        out = out[:b1, :n, :b2]
+    return out
+
+
 def _round_up(v, m):
     return -(-v // m) * m
 
