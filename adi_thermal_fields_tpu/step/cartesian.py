@@ -89,10 +89,15 @@ def implicit_sweep(rhs, mask, coeff_ax, dir_mask, dir_val, qflux_ax,
 
 def adi_step(T: jax.Array, mask: jax.Array, packs: CoeffPacks,
              grid: CartesianGrid, mat: Material, *, dt, theta: float = 0.5,
-             t_inf=0.0) -> jax.Array:
+             t_inf=0.0, source: jax.Array | None = None) -> jax.Array:
     """Advance one ADI step (reference adi_step_numba_coeff,
     adi3d_numba_coeff.py:290-302).  Pure function; jit over (T, mask, packs,
-    dt, t_inf) with grid/mat static."""
+    dt, t_inf) with grid/mat static.
+
+    ``source``: optional volumetric heat rate [W/m^3] added explicitly to R0
+    as ``dt*S/(rho cp)`` on in-mask cells (the Cartesian analogue of the
+    cylindrical core's S, adi3d_cyl_phi_v3.py:339; enables moving heat
+    sources such as birth/heat_source.py's Goldak ellipsoid)."""
     mask = mask.astype(bool)
     kappa = mat.alpha
     inv_dx2 = 1.0 / (grid.dx * grid.dx)
@@ -103,6 +108,8 @@ def adi_step(T: jax.Array, mask: jax.Array, packs: CoeffPacks,
            + masked_laplacian_1d(T, mask, 1, inv_dx2)
            + masked_laplacian_1d(T, mask, 2, inv_dx2))
     R0 = T + dt * kappa * (1.0 - theta) * lap
+    if source is not None:
+        R0 = R0 + jnp.where(mask, dt * source / (mat.rho * mat.cp), 0.0)
 
     U = implicit_sweep(R0, mask, packs.coeff[0], packs.dir_mask, packs.dir_val,
                        packs.qflux[0], theta_gam, dt, t_inf, axis=0)

@@ -5,7 +5,7 @@ Prints exactly ONE JSON line:
 
 Metric: ADI cell-updates/sec/chip at the largest grid that fits (target 512^3,
 float32), on a realistic masked WAAM configuration (solid plate + deposited
-block, Robin on all faces, Neumann flux on z+).
+block, Robin on all faces — the WAAM flagship BC set).
 
 vs_baseline: fraction of the HBM-bandwidth "speed of light" for this
 algorithm (the reference publishes no numbers — BASELINE.md — so the roofline
@@ -40,8 +40,10 @@ def build_case(n, dtype):
     mask_np[n // 4: 3 * n // 4, n // 4: 3 * n // 4, zsplit: zsplit + n // 8] = True
     mask = jnp.asarray(mask_np)
     T = jnp.where(mask, 900.0, 20.0).astype(dtype)
-    packs = build_coeff_packs(mask, grid, mat, robin_h=200.0,
-                              neumann={"z+": 5e5}, dtype=dtype)
+    # Robin-only BCs: the flagship WAAM configuration (the reference's WAAM
+    # driver applies convective h on all faces and nothing else,
+    # waam_from_stl_v7_mm.py:446-455)
+    packs = build_coeff_packs(mask, grid, mat, robin_h=200.0, dtype=dtype)
     return grid, mat, T, mask, packs
 
 
@@ -58,7 +60,7 @@ def run(n, steps=20, dtype=None, implementation="pallas"):
 
     if implementation == "pallas":
         plan = jax.jit(lambda m, p: build_sweep_plan(
-            m, p, has_neumann=True, has_dirichlet=False))(mask, packs)
+            m, p, has_neumann=False, has_dirichlet=False))(mask, packs)
 
         @jax.jit
         def step(T, plan, packs, dt):

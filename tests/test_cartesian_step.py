@@ -134,3 +134,63 @@ def test_per_face_robin_dict_and_field():
     np.testing.assert_allclose(np.asarray(p_z.coeff[0]), 0.0)
     np.testing.assert_allclose(np.asarray(p_z.coeff[1]), 0.0)
     assert float(p_z.coeff[2].max()) > 0.0
+
+
+def test_goldak_source_integrates_to_power_and_heats():
+    """Goldak double-ellipsoid deposits exactly its absorbed power into the
+    half-space below the torch, and the ADI step converts it to the right
+    energy rise (new capability: the reference has no volumetric source)."""
+    from adi_thermal_fields_tpu.birth.heat_source import (GoldakSource,
+                                                          goldak_source)
+
+    grid = CartesianGrid(48, 48, 24, 5e-4)
+    mat = Material(7800.0, 490.0, 54.0)
+    g = GoldakSource(power=2000.0, a_f=2e-3, a_r=4e-3, b=2e-3, c=2e-3)
+    # torch at the top surface, mid-plate
+    center = (grid.nx * grid.dx / 2, grid.ny * grid.dx / 2,
+              grid.nz * grid.dx)
+    S = goldak_source(grid, g, center, dtype=jnp.float64)
+    total_power = float(S.sum()) * grid.cell_volume
+    np.testing.assert_allclose(total_power, g.power, rtol=0.02)
+
+    mask = jnp.ones(grid.shape, bool)
+    packs = build_coeff_packs(mask, grid, mat)
+    dt = 0.05
+    T0 = jnp.full(grid.shape, 20.0, jnp.float64)
+    T1 = adi_step_cartesian(T0, mask, packs, grid, mat, dt=dt, theta=0.5,
+                            source=S)
+    # adiabatic solid: energy rise == dt * P
+    dE = float((T1 - T0).sum()) * grid.cell_volume * mat.rho * mat.cp
+    np.testing.assert_allclose(dE, dt * g.power, rtol=0.02)
+    # hottest cell under the torch
+    i, j, k = np.unravel_index(int(jnp.argmax(T1)), grid.shape)
+    assert abs(i - grid.nx // 2) <= 1 and abs(j - grid.ny // 2) <= 1
+    assert k >= grid.nz - 3
+
+
+def test_float32_adequacy_vs_float64():
+    """SURVEY.md §7 "hard parts": the reference runs float64; TPU runs
+    float32.  Over a 50-step masked Robin cooling run the f32 trajectory must
+    track f64 to well below the analytic-oracle tolerances (degrees-scale)."""
+    grid, mat = _setup(nx=16, ny=14, nz=12)
+    rng = np.random.default_rng(5)
+    mask = jnp.asarray(rng.random(grid.shape) > 0.3)
+    T64 = jnp.asarray(np.where(np.asarray(mask),
+                               20 + 880 * rng.random(grid.shape), 20.0))
+    T32 = T64.astype(jnp.float32)
+    packs64 = build_coeff_packs(mask, grid, mat, robin_h=300.0,
+                                neumann={"z+": 1e5})
+    packs32 = build_coeff_packs(mask, grid, mat, robin_h=300.0,
+                                neumann={"z+": 1e5}, dtype=jnp.float32)
+    import jax
+
+    step64 = jax.jit(lambda T: adi_step_cartesian(
+        T, mask, packs64, grid, mat, dt=0.05, theta=0.5, t_inf=20.0))
+    step32 = jax.jit(lambda T: adi_step_cartesian(
+        T, mask, packs32, grid, mat, dt=jnp.float32(0.05), theta=0.5,
+        t_inf=jnp.float32(20.0)))
+    for _ in range(50):
+        T64 = step64(T64)
+        T32 = step32(T32)
+    err = float(jnp.abs(T32.astype(jnp.float64) - T64).max())
+    assert err < 0.05, err  # well under the 60 C oracle tolerances

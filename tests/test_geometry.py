@@ -204,3 +204,47 @@ def test_per_slice_perimeter_scale_cylinder():
     sc = per_slice_perimeter_scale(mesh, mask, org, R / 12)
     mid = sc[mask.any(axis=(0, 1))]
     np.testing.assert_allclose(mid[1:-1], np.pi / 4, rtol=0.02)
+
+
+def _cone_mesh(R=0.02, H=0.05, tilt=0.4, n_phi=128):
+    """Tilted cone: apex above the base center, then rotated about y."""
+    ph = np.linspace(0, 2 * np.pi, n_phi, endpoint=False)
+    base = np.stack([R * np.cos(ph), R * np.sin(ph), np.zeros_like(ph)], 1)
+    apex = np.array([0.0, 0.0, H])
+    b2 = np.roll(base, -1, axis=0)
+    c0 = np.zeros(3)
+    side = np.stack([base, b2, np.broadcast_to(apex, base.shape)], axis=1)
+    cap = np.stack([np.broadcast_to(c0, base.shape), b2, base], axis=1)
+    tris = np.concatenate([side, cap])
+    # rotate about y by `tilt`, then lift above z=0
+    cs, sn = np.cos(tilt), np.sin(tilt)
+    Rm = np.array([[cs, 0, sn], [0, 1, 0], [-sn, 0, cs]])
+    tris = tris @ Rm.T
+    tris[:, :, 2] -= tris[:, :, 2].min() - 0.001
+    from adi_thermal_fields_tpu.geometry.stl import TriMesh
+    return TriMesh(tris)
+
+
+def test_corrected_projections_tilted_cone_converge():
+    """Port of quick_compare_robin_correction_surface_complex.py: for an
+    arbitrary tilted body, the voxel-accumulated per-direction projected
+    areas must converge to the triangle-exact projections
+    ``sum_t max(n_t . e_f, 0) A_t`` as dx shrinks."""
+    mesh = _cone_mesh()
+    n = mesh.face_normals
+    A = mesh.face_areas
+    exact = {}
+    for f, (ax, sg) in {"x-": (0, -1), "x+": (0, 1), "y-": (1, -1),
+                        "y+": (1, 1), "z-": (2, -1), "z+": (2, 1)}.items():
+        exact[f] = float(np.sum(np.maximum(sg * n[:, ax], 0.0) * A))
+
+    errs = []
+    for dx in (2e-3, 1e-3):
+        mask, origin = voxelize_solid(mesh, dx)
+        proj = voxel_projected_areas(mesh, mask, origin, dx)
+        err = max(abs(proj[f].sum() - exact[f]) / max(exact[f], 1e-12)
+                  for f in exact)
+        errs.append(err)
+    assert errs[0] < 0.08, errs
+    assert errs[1] < 0.05, errs
+    assert errs[1] <= errs[0] + 0.005  # converging
