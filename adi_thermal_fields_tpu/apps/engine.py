@@ -85,6 +85,7 @@ class EventLoop:
     activation_times: Any
     deposit_T: float
     dt_cap: float
+    check_finite: bool = True   # raise on NaN/Inf with simulation context
 
     def run(self, T, *, frame_times, t_end: float | None = None,
             on_frame: Callable | None = None, extra_events=(),
@@ -120,6 +121,11 @@ class EventLoop:
                                  jnp.asarray(dt, T.dtype),
                                  jnp.asarray(n_sub, jnp.int32))
             t = te
+            if self.check_finite and not bool(jnp.isfinite(
+                    jnp.where(jnp.broadcast_to(active, T.shape), T, 0.0)).all()):
+                raise FloatingPointError(
+                    f"non-finite temperature detected at t={t:.6g} s "
+                    f"(dt_cap={self.dt_cap:.3g}; check material/BC magnitudes)")
             new_active = act < t + eps
             newborn = new_active & ~active
             T = jnp.where(newborn, self.deposit_T, T)

@@ -109,3 +109,26 @@ def test_spiral_tube_app_smoke(tmp_path):
     t, T, a = res["frames"][-1]
     assert np.isfinite(T[a]).all()
     assert np.nanmax(np.where(a, T, np.nan)) > 20.0
+
+
+def test_engine_detects_nonfinite():
+    """Failure detection: the event loop raises with simulation context when
+    the field goes non-finite (the reference only logs suspicious values,
+    waam_from_stl_v7_mm.py:503-506)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from adi_thermal_fields_tpu import CartesianGrid, Material
+    from adi_thermal_fields_tpu.apps.engine import EventLoop
+
+    grid = CartesianGrid(4, 4, 4, 1e-3)
+
+    def bad_advance(T, active, dt, n_sub):
+        return T * jnp.nan
+
+    act = jnp.full((4, 4, 4), -jnp.inf)  # all substrate
+    loop = EventLoop(advance=bad_advance, activation_times=act,
+                     deposit_T=1000.0, dt_cap=0.1)
+    T = jnp.full(grid.shape, 20.0)
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        loop.run(T, frame_times=[1.0], t_end=1.0)
