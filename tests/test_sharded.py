@@ -75,3 +75,37 @@ def test_sharded_cylindrical_matches_single_device():
     assert len(out.sharding.device_set) == 8
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_sharded_pallas_step_matches_xla(monkeypatch):
+    """The shard_map + fused-kernel step (interpret mode on the virtual mesh)
+    matches the single-device scan-path step."""
+    from adi_thermal_fields_tpu.dist.cartesian_pallas import (
+        shard_plan, sharded_adi_step_pallas)
+    from adi_thermal_fields_tpu.step.cartesian_pallas import build_sweep_plan
+
+    grid = CartesianGrid(16, 16, 16, 1e-3)
+    mat = Material(7800.0, 490.0, 54.0)
+    rng = np.random.default_rng(3)
+    mask = jnp.asarray(rng.random(grid.shape) > 0.25)
+    T0 = jnp.asarray(np.where(np.asarray(mask),
+                              20 + 880 * rng.random(grid.shape), 20.0))
+    packs = build_coeff_packs(mask, grid, mat, robin_h=250.0)
+    dt, theta, t_inf = 0.02, 0.5, 20.0
+
+    ref = T0
+    for _ in range(2):
+        ref = adi_step(ref, mask, packs, grid, mat, dt=dt, theta=theta,
+                       t_inf=t_inf)
+
+    mesh = make_mesh()
+    plan = shard_plan(build_sweep_plan(mask, packs, has_neumann=False,
+                                       has_dirichlet=False), mesh)
+    step = sharded_adi_step_pallas(grid, mat, mesh, theta=theta, t_inf=t_inf,
+                                   interpret=True)
+    T = shard_field(T0, mesh, 0)
+    for _ in range(2):
+        T = step(T, plan, dt)
+    assert len(T.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(T), np.asarray(ref), rtol=1e-11,
+                               atol=1e-9)
