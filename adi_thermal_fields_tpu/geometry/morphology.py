@@ -48,12 +48,18 @@ def closing6(m: np.ndarray, iterations: int = 1) -> np.ndarray:
     return erode6(dilate6(m, iterations), iterations)
 
 
-def flood_fill_outside(solid: np.ndarray, max_iters: int | None = None
-                       ) -> np.ndarray:
+def flood_fill_outside(solid: np.ndarray, max_iters: int | None = None,
+                       use_native: bool = True) -> np.ndarray:
     """Boolean field of 'outside air': void cells 6-connected to the domain
-    boundary.  Iterated dilation on a padded array
-    (waam_from_stl_v7_mm.py:105-131)."""
+    boundary.  Native O(N) BFS when available; otherwise iterated dilation
+    on a padded array (waam_from_stl_v7_mm.py:105-131)."""
     solid = np.asarray(solid, bool)
+    if use_native and max_iters is None:
+        from ..native.loader import flood_fill_outside_native
+
+        out = flood_fill_outside_native(solid)
+        if out is not None:
+            return out
     free = ~solid
     pad = np.pad(free, 1, constant_values=True)
     out = np.zeros_like(pad)

@@ -96,3 +96,62 @@ int voxelize_parity(const double* tris, int64_t ntri, const double* origin,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// 6-connected BFS flood fill of 'outside air': void cells reachable from the
+// domain boundary.  Replaces the O(diameter * N) iterated-dilation fallback
+// (geometry/morphology.py::flood_fill_outside) with a single O(N) pass.
+// solid: (nx*ny*nz) uint8 C-order; out_outside: same shape, set to 0/1.
+int flood_fill_outside(const uint8_t* solid, int64_t nx, int64_t ny,
+                       int64_t nz, uint8_t* out_outside) {
+  const size_t n = (size_t)nx * ny * nz;
+  std::memset(out_outside, 0, n);
+  std::vector<int64_t> stack;
+  stack.reserve(1 << 16);
+
+  auto idx = [=](int64_t i, int64_t j, int64_t k) {
+    return ((size_t)i * ny + j) * nz + k;
+  };
+  auto push_if = [&](int64_t i, int64_t j, int64_t k) {
+    size_t p = idx(i, j, k);
+    if (!solid[p] && !out_outside[p]) {
+      out_outside[p] = 1;
+      stack.push_back((int64_t)p);
+    }
+  };
+
+  // seed: all boundary faces
+  for (int64_t i = 0; i < nx; ++i)
+    for (int64_t j = 0; j < ny; ++j) {
+      push_if(i, j, 0);
+      push_if(i, j, nz - 1);
+    }
+  for (int64_t i = 0; i < nx; ++i)
+    for (int64_t k = 0; k < nz; ++k) {
+      push_if(i, 0, k);
+      push_if(i, ny - 1, k);
+    }
+  for (int64_t j = 0; j < ny; ++j)
+    for (int64_t k = 0; k < nz; ++k) {
+      push_if(0, j, k);
+      push_if(nx - 1, j, k);
+    }
+
+  while (!stack.empty()) {
+    int64_t p = stack.back();
+    stack.pop_back();
+    int64_t k = p % nz;
+    int64_t j = (p / nz) % ny;
+    int64_t i = p / ((int64_t)ny * nz);
+    if (i > 0) push_if(i - 1, j, k);
+    if (i < nx - 1) push_if(i + 1, j, k);
+    if (j > 0) push_if(i, j - 1, k);
+    if (j < ny - 1) push_if(i, j + 1, k);
+    if (k > 0) push_if(i, j, k - 1);
+    if (k < nz - 1) push_if(i, j, k + 1);
+  }
+  return 0;
+}
+
+}  // extern "C"

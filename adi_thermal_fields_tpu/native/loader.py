@@ -14,7 +14,8 @@ import threading
 
 import numpy as np
 
-__all__ = ["get_library", "native_available", "voxelize_parity_native"]
+__all__ = ["get_library", "native_available", "voxelize_parity_native",
+           "flood_fill_outside_native"]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "csrc", "geometry_native.cpp")
@@ -66,6 +67,12 @@ def get_library():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8),
         ]
+        lib.flood_fill_outside.restype = ctypes.c_int
+        lib.flood_fill_outside.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
         _lib = lib
         return _lib
 
@@ -94,3 +101,20 @@ def voxelize_parity_native(triangles: np.ndarray, origin, dx: float,
     if rc != 0:
         return None
     return out.reshape(nx, ny, nz).astype(bool)
+
+
+def flood_fill_outside_native(solid: np.ndarray) -> np.ndarray | None:
+    """Native 6-connected outside-air flood fill; None if unavailable."""
+    lib = get_library()
+    if lib is None:
+        return None
+    s = np.ascontiguousarray(np.asarray(solid, bool)).astype(np.uint8)
+    nx, ny, nz = s.shape
+    out = np.zeros_like(s)
+    rc = lib.flood_fill_outside(
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(nx), ctypes.c_int64(ny), ctypes.c_int64(nz),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc != 0:
+        return None
+    return out.astype(bool)

@@ -21,3 +21,34 @@ def test_native_voxelizer_matches_numpy(mesh_fn):
     np.testing.assert_array_equal(m_nat, m_py)
     np.testing.assert_allclose(org1, org2)
     assert m_nat.any()
+
+
+def test_native_flood_fill_matches_numpy():
+    from adi_thermal_fields_tpu.geometry.morphology import flood_fill_outside
+
+    rng = np.random.default_rng(2)
+    solid = rng.random((20, 18, 16)) > 0.6
+    solid[5:15, 5:13, 5:11] = True
+    solid[8:12, 7:11, 7:9] = False  # cavity
+    a = flood_fill_outside(solid, use_native=True)
+    b = flood_fill_outside(solid, use_native=False)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_native_flood_fill_speed():
+    import time
+
+    from adi_thermal_fields_tpu.geometry.morphology import flood_fill_outside
+    from adi_thermal_fields_tpu.geometry.primitives import uv_sphere_mesh
+    from adi_thermal_fields_tpu.geometry.voxelize import voxelize_solid
+
+    mesh = uv_sphere_mesh(0.02, n_theta=32, n_phi=64)
+    mask, _ = voxelize_solid(mesh, 4e-4)  # ~100^3
+    t0 = time.perf_counter()
+    nat = flood_fill_outside(mask, use_native=True)
+    t_nat = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ref = flood_fill_outside(mask, use_native=False)
+    t_py = time.perf_counter() - t0
+    np.testing.assert_array_equal(nat, ref)
+    assert t_nat < t_py  # BFS beats iterated dilation
