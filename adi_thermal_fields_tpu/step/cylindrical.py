@@ -117,6 +117,97 @@ def apply_Lz(T: jax.Array, grid: CylindricalGrid) -> jax.Array:
 # Implicit sweeps
 # --------------------------------------------------------------------------
 
+
+def _r_geometry(grid: CylindricalGrid, mat: Material,
+                robin_outer: RobinBC | None, robin_inner: RobinBC | None):
+    """Unit-fac radial geometry: off-diagonal couplings, Robin diagonal
+    additions, and Robin T_inf source (shared by the implicit solve and the
+    affine explicit operator)."""
+    nr, dr = grid.nr, grid.dr
+    r = np.maximum(np.asarray(grid.r, np.float64), 1e-15)
+    r_imh = np.maximum(np.asarray(grid.r_imh, np.float64), 1e-15)
+    r_iph = np.asarray(grid.r_iph, np.float64)
+    ge_a = r_imh / (r * dr * dr)
+    ge_c = r_iph / (r * dr * dr)
+    ge_a[0] = 0.0
+    ge_c[nr - 1] = 0.0
+    ge_rob = np.zeros(nr)
+    rob_rhs = np.zeros(nr)
+    if grid.is_annular and robin_inner is not None and robin_inner.h != 0.0:
+        g_in = (r_imh[0] * (robin_inner.h / mat.k)) / (r[0] * dr)
+        ge_rob[0] += g_in
+        rob_rhs[0] += g_in * robin_inner.T_inf
+    if robin_outer is not None and robin_outer.h != 0.0:
+        g_out = (r_iph[nr - 1] * (robin_outer.h / mat.k)) / (r[nr - 1] * dr)
+        ge_rob[nr - 1] += g_out
+        rob_rhs[nr - 1] += g_out * robin_outer.T_inf
+    return ge_a, ge_c, ge_rob, rob_rhs
+
+
+def _z_geometry(grid: CylindricalGrid, mat: Material, zbc: ZFaceBC):
+    """Unit-fac axial geometry (per 1/dz^2) including end-BC rows; Dirichlet
+    rows come out all-zero (their solve rows are identities pinned to the
+    value by _z_sweep)."""
+    nz, dz = grid.nz, grid.dz
+    ge_a = np.ones(nz)
+    ge_c = np.ones(nz)
+    ge_b = np.full(nz, 2.0)
+    rob_rhs = np.zeros(nz)
+    ge_a[0] = 0.0
+    ge_c[nz - 1] = 0.0
+    dir_rows = []
+
+    def end_row(idx, kind, h, t_inf, t_dir):
+        if kind == "neumann0":
+            ge_b[idx] = 1.0
+        elif kind == "dirichlet":
+            ge_a[idx] = 0.0
+            ge_c[idx] = 0.0
+            ge_b[idx] = 0.0
+            dir_rows.append((idx, float(t_dir)))
+        elif kind == "robin":
+            beta = h / mat.k
+            ge_b[idx] = 1.0 + beta * dz
+            rob_rhs[idx] = beta * dz * t_inf
+        else:
+            raise ValueError(f"unknown z-face BC kind: {kind!r}")
+
+    end_row(0, zbc.kind_bot, zbc.h_bot, zbc.T_inf_bot, zbc.T_bot)
+    end_row(nz - 1, zbc.kind_top, zbc.h_top, zbc.T_inf_top, zbc.T_top)
+    return ge_a, ge_c, ge_b, rob_rhs, dir_rows
+
+
+def r_operator(T: jax.Array, grid: CylindricalGrid, mat: Material,
+               robin_outer: RobinBC | None,
+               robin_inner: RobinBC | None = None) -> jax.Array:
+    """Affine explicit radial operator ``alpha*(L_r T + s)`` [K/s] — the EXACT
+    discrete operator whose implicit solve is _r_sweep (Robin rows included),
+    as Douglas-Gunn consistency requires.  Replaces the reference's
+    ``apply_Lr`` whose BC-free edges are inconsistent with its own implicit
+    matrices (part of why its "douglas" branch is defective, SURVEY.md §2 #16)."""
+    dtype = T.dtype
+    ge_a, ge_c, ge_rob, rob_rhs = _r_geometry(grid, mat, robin_outer, robin_inner)
+    al = mat.alpha
+    col = lambda v: jnp.asarray(al * v, dtype)[:, None, None]
+    Tdn = jnp.concatenate([jnp.zeros_like(T[:1]), T[:-1]], axis=0)
+    Tup = jnp.concatenate([T[1:], jnp.zeros_like(T[:1])], axis=0)
+    return (col(ge_a) * Tdn + col(ge_c) * Tup
+            - col(ge_a + ge_c + ge_rob) * T + col(rob_rhs))
+
+
+def z_operator(T: jax.Array, grid: CylindricalGrid, mat: Material,
+               zbc: ZFaceBC) -> jax.Array:
+    """Affine explicit axial operator ``alpha*(L_z T + s)`` [K/s] consistent
+    with _z_sweep's matrices (Dirichlet rows contribute zero rate)."""
+    dtype = T.dtype
+    ge_a, ge_c, ge_b, rob_rhs, _ = _z_geometry(grid, mat, zbc)
+    al = mat.alpha / (grid.dz * grid.dz)
+    row = lambda v: jnp.asarray(al * v, dtype)[None, None, :]
+    Tdn = jnp.concatenate([jnp.zeros_like(T[:, :, :1]), T[:, :, :-1]], axis=2)
+    Tup = jnp.concatenate([T[:, :, 1:], jnp.zeros_like(T[:, :, :1])], axis=2)
+    return row(ge_a) * Tdn + row(ge_c) * Tup - row(ge_b) * T + row(rob_rhs)
+
+
 def _r_sweep(rhs: jax.Array, grid: CylindricalGrid, mat: Material, theta_dt,
              robin_outer: RobinBC, robin_inner: RobinBC | None,
              implementation: str = "xla") -> jax.Array:
@@ -127,29 +218,10 @@ def _r_sweep(rhs: jax.Array, grid: CylindricalGrid, mat: Material, theta_dt,
     ghost elimination on annular grids.
     """
     dtype = rhs.dtype
-    nr = grid.nr
-    dr = grid.dr
-    r = np.maximum(np.asarray(grid.r, np.float64), 1e-15)
-    r_imh = np.maximum(np.asarray(grid.r_imh, np.float64), 1e-15)
-    r_iph = np.asarray(grid.r_iph, np.float64)
-
     # Static (numpy) geometric factors; the traced fac = theta*dt*alpha scales
     # them at trace time so a traced dt never recompiles or mutates arrays.
-    ge_a = r_imh / (r * dr * dr)   # multiplies x_{i-1}
-    ge_c = r_iph / (r * dr * dr)   # multiplies x_{i+1}
-    ge_a[0] = 0.0                  # zero flux through the inner face / axis
-    ge_c[nr - 1] = 0.0             # outer coupling eliminated into Robin row
-    ge_rob = np.zeros(nr)          # Robin ghost-elimination diagonal additions
-    rob_rhs = np.zeros(nr)         # ... and their T_inf RHS terms (per unit fac)
-    if grid.is_annular and robin_inner is not None and robin_inner.h != 0.0:
-        g_in = (r_imh[0] * (robin_inner.h / mat.k)) / (r[0] * dr)
-        ge_rob[0] += g_in
-        rob_rhs[0] += g_in * robin_inner.T_inf
-    if robin_outer is not None and robin_outer.h != 0.0:
-        g_out = (r_iph[nr - 1] * (robin_outer.h / mat.k)) / (r[nr - 1] * dr)
-        ge_rob[nr - 1] += g_out
-        rob_rhs[nr - 1] += g_out * robin_outer.T_inf
-
+    ge_a, ge_c, ge_rob, rob_rhs = _r_geometry(grid, mat, robin_outer,
+                                              robin_inner)
     fac = jnp.asarray(theta_dt * mat.alpha, dtype)
     a_vec = -fac * jnp.asarray(ge_a, dtype)
     c_vec = -fac * jnp.asarray(ge_c, dtype)
@@ -158,7 +230,9 @@ def _r_sweep(rhs: jax.Array, grid: CylindricalGrid, mat: Material, theta_dt,
     if implementation == "pallas":
         from ..solvers.pallas_sweeps import fused_sweep_const
 
-        return fused_sweep_const(rhs, a_vec, b_vec, c_vec, radd)
+        interp = jax.default_backend() == "cpu"
+        return fused_sweep_const(rhs, a_vec, b_vec, c_vec, radd,
+                                 interpret=interp)
     return thomas(a_vec[:, None, None], b_vec[:, None, None],
                   c_vec[:, None, None], rhs + radd[:, None, None])
 
@@ -168,40 +242,14 @@ def _z_sweep(rhs: jax.Array, grid: CylindricalGrid, mat: Material, theta_dt,
     """Solve (I - theta*dt*alpha*L_z) x = rhs along axis 2 with end BCs.
     Coefficients match reference ``build_coeff_z`` (adi3d_cyl_phi_v3.py:255-298)."""
     dtype = rhs.dtype
-    nz = grid.nz
-    dz = grid.dz
-
     # Static (numpy) unit-fac geometry; traced fac scales it at trace time.
-    ge_a = np.ones(nz)
-    ge_c = np.ones(nz)
-    ge_b = np.full(nz, 2.0)       # diagonal addition per unit fac
-    rob_rhs = np.zeros(nz)        # RHS Robin terms per unit fac
-    ge_a[0] = 0.0
-    ge_c[nz - 1] = 0.0
+    ge_a, ge_c, ge_b, rob_rhs, dir_rows = _z_geometry(grid, mat, zbc)
 
     d = jnp.moveaxis(rhs, 2, 0)  # (nz, nr, nphi)
+    for idx, t_dir in dir_rows:
+        d = d.at[idx].set(jnp.asarray(t_dir, dtype))
 
-    def end_row(idx, kind, h, t_inf, t_dir, d):
-        if kind == "neumann0":
-            ge_b[idx] = 1.0
-        elif kind == "dirichlet":
-            # identity row pinned to t_dir, independent of fac
-            ge_a[idx] = 0.0
-            ge_c[idx] = 0.0
-            ge_b[idx] = 0.0
-            d = d.at[idx].set(jnp.asarray(t_dir, dtype))
-        elif kind == "robin":
-            beta = h / mat.k
-            ge_b[idx] = 1.0 + beta * dz
-            rob_rhs[idx] = beta * dz * t_inf
-        else:
-            raise ValueError(f"unknown z-face BC kind: {kind!r}")
-        return d
-
-    d = end_row(0, zbc.kind_bot, zbc.h_bot, zbc.T_inf_bot, zbc.T_bot, d)
-    d = end_row(nz - 1, zbc.kind_top, zbc.h_top, zbc.T_inf_top, zbc.T_top, d)
-
-    fac = jnp.asarray(theta_dt * mat.alpha / (dz * dz), dtype)
+    fac = jnp.asarray(theta_dt * mat.alpha / (grid.dz * grid.dz), dtype)
     a_vec = -fac * jnp.asarray(ge_a, dtype)
     c_vec = -fac * jnp.asarray(ge_c, dtype)
     b_vec = 1.0 + fac * jnp.asarray(ge_b, dtype)
@@ -209,7 +257,9 @@ def _z_sweep(rhs: jax.Array, grid: CylindricalGrid, mat: Material, theta_dt,
     if implementation == "pallas":
         from ..solvers.pallas_sweeps import fused_sweep_const
 
-        x = fused_sweep_const(d, a_vec, b_vec, c_vec, radd)
+        interp = jax.default_backend() == "cpu"
+        x = fused_sweep_const(d, a_vec, b_vec, c_vec, radd,
+                              interpret=interp)
     else:
         x = thomas(a_vec[:, None, None], b_vec[:, None, None],
                    c_vec[:, None, None], d + radd[:, None, None])
@@ -246,19 +296,19 @@ def adi_step(T: jax.Array, grid: CylindricalGrid, mat: Material, *, dt,
         raise ValueError(f"unknown scheme: {scheme!r}")
 
     th = theta if 0.0 < theta <= 1.0 else 0.5
-    alpha = mat.alpha
-    Lr = apply_Lr(T, grid)
-    Lp = apply_Lphi(T, grid)
-    Lz = apply_Lz(T, grid)
-    Y0 = T + dt * alpha * (Lr + Lp + Lz)
+    # BC-consistent affine operators [K/s]: the SAME discrete operators as
+    # the implicit solves (Robin ghost rows included) — required for the
+    # Douglas-Gunn corrections to cancel (steady states are fixed points).
+    Lr = r_operator(T, grid, mat, robin_outer, robin_inner)
+    Lp = mat.alpha * apply_Lphi(T, grid)
+    Lz = z_operator(T, grid, mat, zbc)
+    Y0 = T + dt * (Lr + Lp + Lz)
     if source is not None:
         Y0 = Y0 + dt * source / (mat.rho * mat.cp)
-    # Douglas–Gunn stabilizing corrections: each implicit solve removes the
-    # theta fraction of its own explicit operator applied to T^n.
-    Y1 = _r_sweep(Y0 - th * dt * alpha * Lr, grid, mat, th * dt,
+    Y1 = _r_sweep(Y0 - th * dt * Lr, grid, mat, th * dt,
                   robin_outer, robin_inner, implementation=implementation)
-    Y2 = phi_solve_spectral(Y1 - th * dt * alpha * Lp, grid, mat, th, dt)
-    Y3 = _z_sweep(Y2 - th * dt * alpha * Lz, grid, mat, th * dt, zbc,
+    Y2 = phi_solve_spectral(Y1 - th * dt * Lp, grid, mat, th, dt)
+    Y3 = _z_sweep(Y2 - th * dt * Lz, grid, mat, th * dt, zbc,
                   implementation=implementation)
     return Y3
 
