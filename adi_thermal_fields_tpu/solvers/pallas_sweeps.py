@@ -39,7 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["sweep_code", "fused_sweep", "fused_sweep_axis0",
-           "fused_sweep_const"]
+           "fused_sweep_const", "fused_cyclic_const"]
 
 _LOW, _HIGH, _PIN = np.int8(1), np.int8(2), np.int8(4)
 
@@ -345,6 +345,110 @@ def fused_sweep_const(rhs, a, b, c, radd=None, *, interpret: bool = False,
         interpret=interpret,
     )(a.astype(dtype), b.astype(dtype), c.astype(dtype), radd.astype(dtype),
       rhs)
+
+    if p1 or p2:
+        out = out[:, :b1, :b2]
+    return out
+
+
+def _cyclic_const_kernel(fac_ref, d_ref, out_ref, cp_ref, dpz_ref, *, n):
+    """Periodic tridiagonal solve along axis 0 with per-SYSTEM constant
+    coefficients ``a = c = -fac``, ``b = 1 + 2 fac`` (the periodic-phi
+    implicit operator; fac varies over the batch only).  Sherman-Morrison:
+    solve ``B y = d`` and ``B z = u`` with one shared cp recurrence, then
+    ``x = y - z (y0 + beta y_{n-1}/gamma) / (1 + z0 + beta z_{n-1}/gamma)``
+    with ``gamma = -b0``, wrap couplings alpha = beta = -fac.
+
+    y is staged in out_ref; z in dpz scratch; cp in cp scratch.  HBM:
+    read rhs (4B) + write x (4B) = 8 B/cell — replaces the XLA FFT path
+    which is ~7x slower at (128, 512, 512).
+    """
+    f32 = d_ref.dtype
+    fac = fac_ref[0]                     # (B1, B2)
+    a = -fac
+    b = 1.0 + 2.0 * fac
+    gamma = -b
+    b0_mod = 2.0 * b                     # b - gamma
+    bn_mod = b - a * a / gamma           # b - alpha*beta/gamma
+
+    def b_at(i):
+        bi = jnp.where(i == 0, b0_mod, b)
+        return jnp.where(i == n - 1, bn_mod, bi)
+
+    def u_at(i):
+        u = jnp.where(i == 0, gamma, jnp.zeros_like(gamma))
+        return jnp.where(i == n - 1, a, u)
+
+    def fwd(i, carry):
+        cp_prev, dy_prev, dz_prev = carry
+        a_i = jnp.where((i == 0), 0.0, a)       # a[0] unused (wrap via u)
+        c_i = jnp.where(i == n - 1, 0.0, a)     # c = a (symmetric)
+        inv = 1.0 / (b_at(i) - a_i * cp_prev)
+        cp = c_i * inv
+        dy = (d_ref[i] - a_i * dy_prev) * inv
+        dz = (u_at(i) - a_i * dz_prev) * inv
+        cp_ref[i] = cp
+        out_ref[i] = dy
+        dpz_ref[i] = dz
+        return cp, dy, dz
+
+    zero = jnp.zeros(d_ref.shape[1:], f32)
+    lax.fori_loop(0, n, fwd, (zero, zero, zero))
+
+    def bwd(j, carry):
+        y_next, z_next = carry
+        i = n - 1 - j
+        cp = cp_ref[i]
+        y = out_ref[i] - cp * y_next
+        z = dpz_ref[i] - cp * z_next
+        out_ref[i] = y
+        dpz_ref[i] = z
+        return y, z
+
+    y0, z0 = lax.fori_loop(0, n, bwd, (zero, zero))
+    # combine: x = y - fact * z  (beta = a, wrap from first to last row)
+    yn = out_ref[n - 1]
+    zn = dpz_ref[n - 1]
+    fact = (y0 + a * yn / gamma) / (1.0 + z0 + a * zn / gamma)
+
+    def fix(i, _):
+        out_ref[i] = out_ref[i] - fact * dpz_ref[i]
+        return 0
+
+    lax.fori_loop(0, n, fix, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_b1", "block_b2"))
+def fused_cyclic_const(rhs, fac, *, interpret: bool = False,
+                       block_b1: int = 8, block_b2: int = 128):
+    """Solve the periodic implicit operator ``(I - fac*L_per) x = rhs`` along
+    axis 0 of (n, B1, B2) arrays, where ``L_per`` is the periodic second
+    difference and ``fac`` is a per-system (B1, B2) field (e.g.
+    ``theta*dt*alpha/(r^2 dphi^2)`` for the phi sweep)."""
+    n, b1, b2 = rhs.shape
+    dtype = rhs.dtype
+    p1 = _round_up(b1, block_b1) - b1
+    p2 = _round_up(b2, block_b2) - b2
+    if p1 or p2:
+        rhs = jnp.pad(rhs, ((0, 0), (0, p1), (0, p2)))
+        fac = jnp.pad(fac, ((0, p1), (0, p2)))
+    P1, P2 = rhs.shape[1], rhs.shape[2]
+
+    grid = (P1 // block_b1, P2 // block_b2)
+    blk = (n, block_b1, block_b2)
+    vspec = pl.BlockSpec(blk, lambda i, j: (0, i, j), memory_space=pltpu.VMEM)
+    fspec = pl.BlockSpec((1, block_b1, block_b2), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_cyclic_const_kernel, n=n),
+        grid=grid,
+        in_specs=[fspec, vspec],
+        out_specs=vspec,
+        out_shape=jax.ShapeDtypeStruct((n, P1, P2), dtype),
+        scratch_shapes=[pltpu.VMEM(blk, dtype), pltpu.VMEM(blk, dtype)],
+        interpret=interpret,
+    )(fac[None].astype(dtype), rhs)
 
     if p1 or p2:
         out = out[:, :b1, :b2]
