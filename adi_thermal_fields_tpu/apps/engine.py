@@ -30,23 +30,30 @@ def make_cartesian_advance(grid: CartesianGrid, mat: Material, *,
                            theta: float = 0.5, t_inf: float = 20.0,
                            robin_h=None, neumann=None,
                            dirichlet_mask=None, dirichlet_value=None,
-                           implementation: str = "auto"):
-    """Jitted ``advance(T, active, dt, n_sub) -> T``: rebuild packs for the
-    current activation mask, then take ``n_sub`` ADI steps of ``dt``.
+                           source_fn=None, implementation: str = "auto"):
+    """Jitted ``advance(T, active, dt, n_sub[, t0]) -> T``: rebuild packs for
+    the current activation mask, then take ``n_sub`` ADI steps of ``dt``.
 
+    source_fn: optional traceable ``t -> volumetric heat field [W/m^3]``
+    (e.g. a moving Goldak torch); evaluated at each sub-step time.
     implementation: "pallas" (fused TPU kernels), "xla" (lax.scan reference),
     or "auto" (pallas on TPU, xla elsewhere)."""
     if implementation == "auto":
         implementation = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
 
     @jax.jit
-    def advance(T, active, dt, n_sub):
+    def advance(T, active, dt, n_sub, t0=0.0):
         active = active.astype(bool)
         packs = build_coeff_packs(active, grid, mat, robin_h=robin_h,
                                   neumann=neumann,
                                   dirichlet_mask=dirichlet_mask,
                                   dirichlet_value=dirichlet_value,
                                   dtype=T.dtype)
+
+        def src_at(i):
+            if source_fn is None:
+                return None
+            return source_fn(jnp.asarray(t0, T.dtype) + i * dt)
 
         if implementation == "pallas":
             from ..step.cartesian_pallas import (adi_step_pallas,
@@ -56,13 +63,14 @@ def make_cartesian_advance(grid: CartesianGrid, mat: Material, *,
                                     has_neumann=neumann is not None,
                                     has_dirichlet=dirichlet_mask is not None)
 
-            def body(_, T):
+            def body(i, T):
                 return adi_step_pallas(T, plan, grid, mat, dt=dt,
-                                       theta=theta, t_inf=t_inf)
+                                       theta=theta, t_inf=t_inf,
+                                       source=src_at(i))
         else:
-            def body(_, T):
+            def body(i, T):
                 return adi_step(T, active, packs, grid, mat, dt=dt,
-                                theta=theta, t_inf=t_inf)
+                                theta=theta, t_inf=t_inf, source=src_at(i))
 
         return lax.fori_loop(0, n_sub, body, T)
 
@@ -119,7 +127,8 @@ class EventLoop:
                 dt = seg / n_sub
                 T = self.advance(T, jnp.broadcast_to(active, T.shape),
                                  jnp.asarray(dt, T.dtype),
-                                 jnp.asarray(n_sub, jnp.int32))
+                                 jnp.asarray(n_sub, jnp.int32),
+                                 jnp.asarray(t, T.dtype))
             t = te
             if self.check_finite and not bool(jnp.isfinite(
                     jnp.where(jnp.broadcast_to(active, T.shape), T, 0.0)).all()):

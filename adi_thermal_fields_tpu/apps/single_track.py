@@ -44,6 +44,15 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--save_vtk", type=int, default=0)
     p.add_argument("--outdir", type=str, default=".")
     p.add_argument("--precision", choices=["float32", "float64"], default="float32")
+    # moving-torch mode: in addition to the bead birth, deposit arc power as
+    # a Goldak double-ellipsoid source following the torch (new capability;
+    # the reference only injects heat via birth temperature)
+    p.add_argument("--goldak_power", type=float, default=0.0,
+                   help="absorbed torch power [W]; 0 disables the source")
+    p.add_argument("--goldak_af_mm", type=float, default=2.0)
+    p.add_argument("--goldak_ar_mm", type=float, default=4.0)
+    p.add_argument("--goldak_b_mm", type=float, default=2.0)
+    p.add_argument("--goldak_c_mm", type=float, default=2.0)
     return p
 
 
@@ -81,8 +90,28 @@ def run(args) -> dict:
     dtype = jnp.float32 if args.precision == "float32" else jnp.float64
     T = jnp.full(grid.shape, args.T_inf, dtype)
 
+    source_fn = None
+    if args.goldak_power > 0.0:
+        from ..birth.heat_source import GoldakSource, goldak_source
+
+        gk = GoldakSource(power=args.goldak_power,
+                          a_f=args.goldak_af_mm * 1e-3,
+                          a_r=args.goldak_ar_mm * 1e-3,
+                          b=args.goldak_b_mm * 1e-3,
+                          c=args.goldak_c_mm * 1e-3, travel_axis=1)
+        x_c = (x0 + args.track_w_vox / 2.0) * dx
+        z_c = (plate_cells + args.track_h_vox) * dx
+        speed = args.speed_mm_s * 1e-3
+
+        def source_fn(t):
+            y_c = (y0 + 0.5) * dx + speed * t
+            active_torch = t < track_cols * dt_col
+            S = goldak_source(grid, gk, (x_c, y_c, z_c))
+            return jnp.where(active_torch, 1.0, 0.0) * S
+
     advance = make_cartesian_advance(grid, mat, theta=args.theta,
-                                     t_inf=args.T_inf, robin_h=args.h)
+                                     t_inf=args.T_inf, robin_h=args.h,
+                                     source_fn=source_fn)
     dt_cap = args.cfl * dx * dx / mat.alpha
     t_track = track_cols * dt_col
     t_end = t_track + args.t_tail

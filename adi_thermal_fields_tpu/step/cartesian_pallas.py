@@ -75,8 +75,10 @@ def build_sweep_plan(mask: jax.Array, packs: CoeffPacks, *,
 
 def adi_step_pallas(T: jax.Array, plan: SweepPlan, grid: CartesianGrid,
                     mat: Material, *, dt, theta: float = 0.5, t_inf=0.0,
+                    source: jax.Array | None = None,
                     interpret: bool = False) -> jax.Array:
-    """One theta-scheme ADI step on the fused-kernel path."""
+    """One theta-scheme ADI step on the fused-kernel path.  ``source``:
+    optional volumetric heat rate [W/m^3], as in step/cartesian.adi_step."""
     mask = plan.mask
     kappa = mat.alpha
     inv_dx2 = 1.0 / (grid.dx * grid.dx)
@@ -88,6 +90,8 @@ def adi_step_pallas(T: jax.Array, plan: SweepPlan, grid: CartesianGrid,
            + masked_laplacian_1d(T, mask, 1, inv_dx2)
            + masked_laplacian_1d(T, mask, 2, inv_dx2))
     R0 = T + dt * kappa * (1.0 - theta) * lap
+    if source is not None:
+        R0 = R0 + jnp.where(mask, dt * source / (mat.rho * mat.cp), 0.0)
 
     q = plan.qfluxes or (None, None, None)
     dv = plan.dir_vals or (None, None, None)

@@ -123,7 +123,7 @@ def test_engine_detects_nonfinite():
 
     grid = CartesianGrid(4, 4, 4, 1e-3)
 
-    def bad_advance(T, active, dt, n_sub):
+    def bad_advance(T, active, dt, n_sub, t0=0.0):
         return T * jnp.nan
 
     act = jnp.full((4, 4, 4), -jnp.inf)  # all substrate
@@ -132,3 +132,20 @@ def test_engine_detects_nonfinite():
     T = jnp.full(grid.shape, 20.0)
     with pytest.raises(FloatingPointError, match="non-finite"):
         loop.run(T, frame_times=[1.0], t_end=1.0)
+
+
+def test_single_track_with_goldak_torch(tmp_path):
+    """Moving Goldak torch adds arc power on top of bead birth (new
+    capability); the torch trail must heat the plate ahead of pure-birth."""
+    from adi_thermal_fields_tpu.apps.single_track import build_argparser, run
+
+    base = ["--plate_x_mm", "10", "--plate_y_mm", "14", "--plate_z_mm", "3",
+            "--dx_mm", "1", "--track_len_mm", "6", "--t_tail", "0.2",
+            "--nframes", "2", "--precision", "float64", "--out", ""]
+    res_cold = run(build_argparser().parse_args(base))
+    res_hot = run(build_argparser().parse_args(
+        base + ["--goldak_power", "1500"]))
+    t, T0, a = res_cold["frames"][-1]
+    _, T1, _ = res_hot["frames"][-1]
+    assert np.nanmean(np.where(a, T1, np.nan)) > np.nanmean(np.where(a, T0, np.nan)) + 5.0
+    assert np.isfinite(T1[a]).all()
