@@ -15,8 +15,6 @@ Example:
 from __future__ import annotations
 
 import argparse
-import math
-
 import numpy as np
 
 

@@ -20,7 +20,6 @@ the swept arc (a0, a1] satisfies a1 > i*dphi.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..core.grid import CylindricalGrid

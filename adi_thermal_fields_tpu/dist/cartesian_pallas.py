@@ -13,8 +13,6 @@ the same shardings as the field; `shard_plan` does that.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -29,8 +29,6 @@ across the batch — no (M, n) materialization as in the NumPy reference.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

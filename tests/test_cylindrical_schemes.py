@@ -67,3 +67,20 @@ def test_cylindrical_pallas_const_interpret_parity():
     for _ in range(3):
         T = step_p(T)
     np.testing.assert_allclose(np.asarray(T), a, rtol=1e-12, atol=1e-12)
+
+
+def test_nphi_equals_one_degenerates_to_rz():
+    """nphi == 1 (axisymmetric r-z problems) must work end to end — the
+    reference supports it via identity phi rows (adi3d_cyl_phi_v3.py:233-235,
+    :308-309)."""
+    grid = CylindricalGrid(8, 1, 12, 5e-4, 1e-3, r_inner=0.02)
+    mat = Material(7800.0, 490.0, 54.0)
+    rob = RobinBC(300.0, 20.0)
+    zbc = ZFaceBC(kind_bot="neumann0", kind_top="robin", h_top=400.0,
+                  T_inf_top=20.0)
+    T = jnp.full(grid.shape, 900.0)
+    for _ in range(5):
+        T = adi_step(T, grid, mat, dt=0.1, robin_outer=rob, zbc=zbc,
+                     robin_inner=rob, scheme="be")
+    assert np.isfinite(np.asarray(T)).all()
+    assert 20.0 < float(T.min()) <= float(T.max()) < 900.0
