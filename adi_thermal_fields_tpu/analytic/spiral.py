@@ -290,126 +290,6 @@ def build_mode_cache(cfg: SpiralAnalyticConfig) -> SpiralModeCache:
     return SpiralModeCache(kappas, amp, events, amplitudes, phi_grid, z_grid)
 
 
-def _z_profile(cfg: SpiralAnalyticConfig, s: np.ndarray, u: float,
-               offset: float, dz_cell: float | None = None) -> np.ndarray:
-    """Layer-thickness integral of the Robin half-space kernel at depths s.
-
-    When ``cfg.cell_averaged_z`` and ``dz_cell`` are set, the profile is
-    additionally averaged over each z cell (the numeric field stores cell
-    averages), with depths clamped to the half-space s >= 0.
-    """
-    xi = np.linspace(0.0, cfg.layer_height, cfg.n_xi_quad)
-    s = np.asarray(s, float)
-    if cfg.cell_averaged_z and dz_cell is not None:
-        off = (np.arange(cfg.n_z_avg) + 0.5) / cfg.n_z_avg - 0.5
-        s_pts = np.maximum(s[:, None] + off[None, :] * dz_cell, 0.0)
-        G = robin_halfspace_G(s_pts[:, :, None], xi[None, None, :] + offset,
-                              u, cfg.alpha, cfg.h_end / cfg.k)
-        return np.trapezoid(G, xi, axis=2).mean(axis=1)
-    G = robin_halfspace_G(s[:, None], xi[None, :] + offset, u,
-                          cfg.alpha, cfg.h_end / cfg.k)
-    return np.trapezoid(G, xi, axis=1)
-
-
-def _angular_profile(cfg: SpiralAnalyticConfig, kappas, amp, u: float,
-                     phi_rel: np.ndarray) -> np.ndarray:
-    """Fourier reconstruction of one arc event at angular offsets ``phi_rel``
-    (phi - phi_0), including the radial mode decay and optional phi-cell
-    averaging."""
-    delta = 2.0 * np.pi / cfg.n_events_per_loop
-    dphi_cell = 2.0 * np.pi / cfg.nphi
-    ang = np.zeros_like(np.asarray(phi_rel, float))
-    for m in range(cfg.m_max + 1):
-        kl = kappas[m]
-        if kl.size == 0:
-            continue
-        decay = np.exp(-cfg.alpha * kl * kl * u)
-        radial = float(np.dot(amp[m], decay))
-        if m == 0:
-            ang += (delta / (2.0 * np.pi)) * radial
-        else:
-            w = (2.0 / (m * np.pi)) * np.sin(0.5 * m * delta)
-            if cfg.cell_averaged_phi:
-                x = 0.5 * m * dphi_cell
-                w *= np.sin(x) / x
-            ang += w * radial * np.cos(m * phi_rel)
-    return ang
-
-
-def _event_amplitudes(cfg: SpiralAnalyticConfig, kappas, amp,
-                      events) -> np.ndarray:
-    """Sequential deposit amplitudes with rebirth correction.
-
-    Pure superposition of ``delta_T`` deposits double-counts heat near fresh
-    cells: the quasi-static modal model lets older events' heat diffuse into
-    not-yet-deposited regions, while physically a deposition *resets* the
-    newborn cells to T_deposit.  Linearizing that reset, event e carries
-    amplitude ``A_e = delta_T - theta_pre`` where ``theta_pre`` is the
-    superposed pre-heat of all earlier events evaluated at e's own cell
-    centre at its deposit time.  (The reference model omits this and can
-    exceed T_deposit near the growth front.)
-    """
-    amps = np.zeros(len(events))
-    for i, (t_e, layer_e, phi0_e) in enumerate(events):
-        z_c = (layer_e + 0.5) * cfg.layer_height
-        L_full_e = layer_e * cfg.layer_height
-        theta_pre = 0.0
-        for j in range(i):
-            t_p, layer_p, phi0_p = events[j]
-            u = t_e - t_p
-            if u <= 0.0:
-                continue
-            front = max((layer_p + 1) * cfg.layer_height, L_full_e)
-            s = np.maximum(front - z_c, 0.0)
-            offset = front - (layer_p + 1) * cfg.layer_height
-            zp = float(_z_profile(cfg, np.asarray([s]), u, offset,
-                                  dz_cell=cfg.layer_height)[0])
-            ang = float(_angular_profile(cfg, kappas, amp, u,
-                                         np.asarray([phi0_e - phi0_p]))[0])
-            theta_pre += amps[j] * zp * ang
-        amps[i] = cfg.delta_T - theta_pre
-    return amps
-
-
-def build_mode_cache(cfg: SpiralAnalyticConfig) -> SpiralModeCache:
-    kappas: Dict[int, np.ndarray] = {}
-    amp: Dict[int, np.ndarray] = {}
-    for m in range(cfg.m_max + 1):
-        kl = _find_kappas(m, cfg)
-        kappas[m] = kl
-        amp[m] = np.asarray([_mode_amplitude(m, k, cfg) for k in kl])
-    if cfg.cell_averaged_phi:
-        # column centres of the numeric phi cells
-        phi_grid = (np.arange(cfg.nphi) + 0.5) * (2.0 * np.pi / cfg.nphi)
-    else:
-        phi_grid = np.linspace(0.0, 2.0 * np.pi, cfg.nphi, endpoint=False)
-    if cfg.cell_centered_z:
-        dz = (cfg.z_back + cfg.z_front) / cfg.nz
-        z_grid = -cfg.z_back + (np.arange(cfg.nz) + 0.5) * dz
-    else:
-        z_grid = np.linspace(-cfg.z_back, cfg.z_front, cfg.nz)
-    events = _build_events(cfg)
-    amplitudes = _event_amplitudes(cfg, kappas, amp, events)
-    return SpiralModeCache(kappas, amp, events, amplitudes, phi_grid, z_grid)
-
-
-def _G_robin_halfspace(s: np.ndarray, xi: np.ndarray, u: float,
-                       alpha: float, beta: float) -> np.ndarray:
-    """1-D heat kernel on the half line s >= 0 with Robin at s = 0
-    (-k dT/ds = h T there; beta = h/k).  Carslaw & Jaeger §14.2."""
-    denom = np.sqrt(4.0 * np.pi * alpha * u)
-    sqau = np.sqrt(alpha * u)
-    smx = s - xi
-    spx = s + xi
-    ga = np.exp(-smx * smx / (4.0 * alpha * u)) / denom
-    gb = np.exp(-spx * spx / (4.0 * alpha * u)) / denom
-    # exp(beta*spx + alpha*beta^2*u) * erfc(spx/(2 sqrt(au)) + beta sqrt(au)),
-    # evaluated stably via erfcx to avoid overflow for large arguments.
-    from scipy.special import erfcx
-
-    arg = spx / (2.0 * sqau) + beta * sqau
-    corr = beta * np.exp(-spx * spx / (4.0 * alpha * u)) * erfcx(arg)
-    return ga + gb - corr
 
 
 def temperature_map_at_probe(cfg: SpiralAnalyticConfig, cache: SpiralModeCache,

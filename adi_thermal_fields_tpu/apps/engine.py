@@ -39,7 +39,8 @@ def make_cartesian_advance(grid: CartesianGrid, mat: Material, *,
     implementation: "pallas" (fused TPU kernels), "xla" (lax.scan reference),
     or "auto" (pallas on TPU, xla elsewhere)."""
     if implementation == "auto":
-        implementation = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+        # the fused kernels are TPU Mosaic; every other backend gets XLA
+        implementation = "pallas" if jax.default_backend() == "tpu" else "xla"
 
     @jax.jit
     def advance(T, active, dt, n_sub, t0=0.0):

@@ -73,6 +73,7 @@ def active_at(activation_time: jax.Array, t) -> jax.Array:
 
 
 def newborn_between(activation_time: jax.Array, t_prev, t_next) -> jax.Array:
-    """Columns that activate in the half-open step interval (t_prev, t_next]:
-    deposited at the start of the step from t_prev to t_next."""
+    """Columns that activate in the half-open step interval [t_prev, t_next):
+    deposited at the start of the step from t_prev to t_next (t=0 births are
+    included at the first step)."""
     return (activation_time >= t_prev) & (activation_time < t_next)

@@ -33,7 +33,7 @@ def sharded_cylindrical_step(grid: CylindricalGrid, mat: Material, mesh: Mesh,
     """Jitted multi-chip cylindrical BE step ``step(T, dt)``; semantics of
     step/cylindrical.adi_step(scheme="be")."""
     a, b = mesh.axis_names
-    on_tpu = jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
+    on_tpu = jax.default_backend() == "tpu"
 
     def constrain(x, spec):
         return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))

@@ -68,11 +68,14 @@ def flood_fill_outside(solid: np.ndarray, max_iters: int | None = None,
     out[:, :, 0] = out[:, :, -1] = True
     out &= pad
     it = 0
-    limit = max_iters or int(np.sum(pad.shape))
-    # expand until fixpoint (bounded by the domain diameter)
+    # expand strictly to the fixpoint: a serpentine channel's 6-connected
+    # path can be O(N) long, far beyond the domain diameter, and stopping
+    # early would wrongly solidify open channels.  The loop always
+    # terminates: `out` grows monotonically within the padded volume.
+    limit = max_iters if max_iters is not None else pad.size
     while True:
         grown = dilate6(out) & pad
-        if (grown == out).all() or it >= limit * 4:
+        if (grown == out).all() or it >= limit:
             break
         out = grown
         it += 1

@@ -277,7 +277,7 @@ def _phi_solve(X, grid: CylindricalGrid, mat: Material, theta, dt,
     solve errs by ~1e-3 K.  The two are algebraically identical inversions
     of (I - fac*L_phi).
     """
-    on_tpu = jax.default_backend() not in ("cpu", "gpu", "cuda", "rocm")
+    on_tpu = jax.default_backend() == "tpu"
     if (implementation == "pallas" or on_tpu) and grid.nphi > 1:
         from ..solvers.pallas_sweeps import fused_cyclic_phi
         from ..solvers.spectral import phi_eigenvalue_factors
