@@ -41,6 +41,7 @@ class SweepPlan(NamedTuple):
     coeffs: tuple                   # 3 f32 arrays, axis-first
     qfluxes: tuple | None           # 3 arrays or None (no Neumann)
     dir_vals: tuple | None          # 3 arrays or None (no Dirichlet)
+    mask_i8: jax.Array | None = None  # int8 mask for the fused stencil pass
 
 
 def build_sweep_plan(mask: jax.Array, packs: CoeffPacks, *,
@@ -70,7 +71,8 @@ def build_sweep_plan(mask: jax.Array, packs: CoeffPacks, *,
                if has_neumann else None)
     dir_vals = (tuple(tr(packs.dir_val, ax) for ax in range(3))
                 if has_dirichlet else None)
-    return SweepPlan(mask, codes, coeffs, qfluxes, dir_vals)
+    return SweepPlan(mask, codes, coeffs, qfluxes, dir_vals,
+                     mask.astype(jnp.int8))
 
 
 def adi_step_pallas(T: jax.Array, plan: SweepPlan, grid: CartesianGrid,
@@ -86,10 +88,17 @@ def adi_step_pallas(T: jax.Array, plan: SweepPlan, grid: CartesianGrid,
     gam = kappa * dt * inv_dx2
     theta_gam = theta * gam
 
-    lap = (masked_laplacian_1d(T, mask, 0, inv_dx2)
-           + masked_laplacian_1d(T, mask, 1, inv_dx2)
-           + masked_laplacian_1d(T, mask, 2, inv_dx2))
-    R0 = T + dt * kappa * (1.0 - theta) * lap
+    if plan.mask_i8 is not None:
+        # fused stencil kernel: one HBM pass instead of XLA's ~3
+        from ..solvers.pallas_stencil import theta_rhs
+
+        R0 = theta_rhs(T, plan.mask_i8, dt * kappa * (1.0 - theta), inv_dx2,
+                       interpret=interpret)
+    else:
+        lap = (masked_laplacian_1d(T, mask, 0, inv_dx2)
+               + masked_laplacian_1d(T, mask, 1, inv_dx2)
+               + masked_laplacian_1d(T, mask, 2, inv_dx2))
+        R0 = T + dt * kappa * (1.0 - theta) * lap
     if source is not None:
         R0 = R0 + jnp.where(mask, dt * source / (mat.rho * mat.cp), 0.0)
 

@@ -38,6 +38,24 @@ def test_fused_sweep_matches_reference(axis):
                                atol=1e-12)
 
 
+@pytest.mark.parametrize("shape", [(16, 16, 16), (9, 11, 40), (1, 5, 7)])
+def test_theta_rhs_stencil_matches_laplacians(shape):
+    from adi_thermal_fields_tpu.solvers.pallas_stencil import theta_rhs
+    from adi_thermal_fields_tpu.step.cartesian import masked_laplacian_1d
+
+    rng = np.random.default_rng(sum(shape))
+    T = jnp.asarray(rng.normal(300.0, 50.0, shape))
+    mask = jnp.asarray(rng.random(shape) > 0.3)
+    dt, kappa, theta, inv_dx2 = 0.05, 54.0 / (7800 * 490), 0.5, 1e6
+
+    lap = sum(masked_laplacian_1d(T, mask, ax, inv_dx2) for ax in range(3))
+    ref = T + dt * kappa * (1.0 - theta) * lap
+    got = theta_rhs(T, mask.astype(jnp.int8), dt * kappa * (1.0 - theta),
+                    inv_dx2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-12,
+                               atol=1e-10)
+
+
 @pytest.mark.parametrize("with_bcs", [False, True])
 def test_pallas_step_matches_xla_step(with_bcs):
     rng = np.random.default_rng(7)
