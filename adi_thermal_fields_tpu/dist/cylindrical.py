@@ -24,7 +24,8 @@ from ..core.material import Material
 from ..step.cylindrical import RobinBC, ZFaceBC, _r_sweep, _z_sweep
 from ..solvers.spectral import phi_solve_spectral
 
-__all__ = ["sharded_cylindrical_step"]
+__all__ = ["sharded_cylindrical_step", "sharded_cylindrical_masked_step",
+           "sharded_cylindrical_masked_clamp_step"]
 
 
 def sharded_cylindrical_step(grid: CylindricalGrid, mat: Material, mesh: Mesh,
@@ -74,5 +75,76 @@ def sharded_cylindrical_step(grid: CylindricalGrid, mat: Material, mesh: Mesh,
         # z-sweep: z local, phi sharded over the full mesh
         X = _z_sweep(constrain(X, P(None, (a, b), None)), grid, mat, dt, zbc)
         return constrain(X, P(None, a, b))
+
+    return step
+
+
+def _stage_specs(mesh: Mesh):
+    """Per-sweep layouts: the solve axis chip-local, batch axes sharded.
+    nr is small (a wall a few dozen cells thick) and always stays local."""
+    a, b = mesh.axis_names
+    return {"r": P(None, a, b),
+            "phi": P(None, None, (a, b)),
+            "z": P(None, (a, b), None)}
+
+
+def sharded_cylindrical_masked_step(grid: CylindricalGrid, mat: Material,
+                                    mesh: Mesh, *, robin_outer: RobinBC,
+                                    zbc: ZFaceBC,
+                                    robin_inner: RobinBC | None = None,
+                                    h_void: float = 0.0,
+                                    T_inf_void: float = 20.0,
+                                    h_front: float | None = None):
+    """Jitted multi-chip masked-Robin step ``step(T, active, dt)`` — element
+    birth across chips; semantics of
+    step/cylindrical_masked.adi_step_masked_robin.
+
+    Each sweep's RHS is pinned to the layout keeping its solve axis local
+    (the masked phi solve is mask-broken *cyclic* Thomas, so phi must be
+    chip-local); XLA lowers the transitions to ICI all-to-alls and the
+    mask-shift halo reads to collective-permutes."""
+    from ..step.cylindrical_masked import adi_step_masked_robin
+
+    specs = _stage_specs(mesh)
+
+    def cz(x, stage):
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, specs[stage]))
+
+    @jax.jit
+    def step(T, active, dt):
+        out = adi_step_masked_robin(
+            T, grid, mat, dt=dt, active=active, robin_outer=robin_outer,
+            zbc=zbc, robin_inner=robin_inner, h_void=h_void,
+            T_inf_void=T_inf_void, h_front=h_front, constrain=cz)
+        return cz(out, "r")
+
+    return step
+
+
+def sharded_cylindrical_masked_clamp_step(grid: CylindricalGrid, mat: Material,
+                                          mesh: Mesh, *, robin_outer: RobinBC,
+                                          zbc: ZFaceBC,
+                                          robin_inner: RobinBC | None = None,
+                                          robin_void: RobinBC | None = None):
+    """Jitted multi-chip clamp-parity masked step ``step(T, active, dt)`` —
+    the reference's element-birth scheme (void cells clamped to ambient
+    around the unmasked core, quick_spiral_deposition_gif_v5.py:31-70) on
+    the sharded unmasked BE step."""
+    a, b = mesh.axis_names
+    rin = robin_inner if robin_inner is not None else robin_outer
+    rvd = robin_void if robin_void is not None else robin_outer
+    inner = sharded_cylindrical_step(grid, mat, mesh, robin_outer=robin_outer,
+                                     zbc=zbc, robin_inner=robin_inner)
+
+    @jax.jit
+    def step(T, active, dt):
+        active_b = active.astype(bool)
+        T_work = jnp.where(active_b, T, rvd.T_inf)
+        T1 = inner(T_work, dt)
+        T1 = jnp.where(active_b, T1, rvd.T_inf)
+        T1 = T1.at[0].set(jnp.where(active_b[0], T1[0], rin.T_inf))
+        return jax.lax.with_sharding_constraint(
+            T1, NamedSharding(mesh, P(None, a, b)))
 
     return step

@@ -59,7 +59,8 @@ def adi_step_masked_robin(T: jax.Array, grid: CylindricalGrid, mat: Material, *,
                           robin_inner: RobinBC | None = None,
                           h_void: float = 0.0, T_inf_void: float = 20.0,
                           h_front: float | None = None,
-                          source: jax.Array | None = None) -> jax.Array:
+                          source: jax.Array | None = None,
+                          constrain=None) -> jax.Array:
     """One BE step of the masked cylindrical problem.
 
     Parameters
@@ -74,7 +75,13 @@ def adi_step_masked_robin(T: jax.Array, grid: CylindricalGrid, mat: Material, *,
     h_front : optional override for z+ interface faces (the growth front);
         defaults to ``h_void``.  Lets the front match an end-face film
         coefficient distinct from lateral interfaces.
+    constrain : optional ``(x, stage) -> x`` hook called on each sweep's RHS
+        with stage in {"r", "phi", "z"} — the multi-chip layer
+        (dist/cylindrical.py) passes sharding constraints here so every
+        sweep's solve axis stays chip-local.
     """
+    if constrain is None:
+        constrain = lambda x, stage: x
     dtype = T.dtype
     active = active.astype(bool)
     nr, nphi, nz = grid.shape
@@ -199,8 +206,8 @@ def adi_step_masked_robin(T: jax.Array, grid: CylindricalGrid, mat: Material, *,
     # --- r sweep ---
     geo_r_lo = col(r_imh / (r * dr * dr))
     geo_r_hi = col(r_iph / (r * dr * dr))
-    X = sweep(R0, 0, coupled(0, -1), coupled(0, +1), geo_r_lo, geo_r_hi,
-              sink_rm + sink_rp, rhs_rm + rhs_rp)
+    X = sweep(constrain(R0, "r"), 0, coupled(0, -1), coupled(0, +1),
+              geo_r_lo, geo_r_hi, sink_rm + sink_rp, rhs_rm + rhs_rp)
 
     # --- phi sweep (periodic, mask-broken cyclic systems) ---
     if nphi > 1:
@@ -208,13 +215,13 @@ def adi_step_masked_robin(T: jax.Array, grid: CylindricalGrid, mat: Material, *,
         if not grid.is_annular:
             # axis-row regularity on full disks (adi3d_cyl_phi_v3.py:314-317)
             geo_phi = geo_phi.at[0].set(0.0)
-        X = sweep(X, 1, jnp.roll(active, 1, 1) & active,
+        X = sweep(constrain(X, "phi"), 1, jnp.roll(active, 1, 1) & active,
                   jnp.roll(active, -1, 1) & active, geo_phi, geo_phi,
                   sink_pm, rhs_pm, periodic=True)
 
     # --- z sweep ---
     geo_z = 1.0 / (dz * dz)
-    X = sweep(X, 2, coupled(2, -1), coupled(2, +1), geo_z, geo_z,
-              sink_zm + sink_zp, rhs_zm + rhs_zp)
+    X = sweep(constrain(X, "z"), 2, coupled(2, -1), coupled(2, +1),
+              geo_z, geo_z, sink_zm + sink_zp, rhs_zm + rhs_zp)
 
     return jnp.where(active, X, ambient)

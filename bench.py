@@ -91,6 +91,68 @@ def run(n, steps=20, dtype=None, implementation="pallas"):
     return grid.ncells / el, el
 
 
+def run_cylindrical(shape=(128, 512, 512), steps=20, dtype=None):
+    """Cylindrical BE step throughput (pallas r/z sweeps + cyclic phi)."""
+    import jax
+    import jax.numpy as jnp
+
+    from adi_thermal_fields_tpu import CylindricalGrid, Material, RobinBC, ZFaceBC
+    from adi_thermal_fields_tpu.step.cylindrical import adi_step
+
+    dtype = dtype or jnp.float32
+    nr, nphi, nz = shape
+    grid = CylindricalGrid(nr, nphi, nz, 5e-4, 5e-4, r_inner=0.02)
+    mat = Material(7800.0, 490.0, 54.0)
+    robin = RobinBC(300.0, 20.0)
+    zbc = ZFaceBC(kind_top="robin", h_top=400.0, T_inf_top=20.0)
+
+    @jax.jit
+    def step(T, dt):
+        return adi_step(T, grid, mat, dt=dt, robin_outer=robin, zbc=zbc,
+                        implementation="pallas")
+
+    probe = jax.jit(lambda x: jnp.sum(x[::32, ::64, ::64]))
+    T = jnp.full(shape, 900.0, dtype)
+    dt = jnp.asarray(0.02, dtype)
+    T = step(T, dt)
+    float(probe(T))
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        T = step(T, dt)
+    float(probe(T))
+    el = (time.perf_counter() - t0) / steps
+    assert bool(jnp.isfinite(T).all())
+    ncells = nr * nphi * nz
+    return ncells / el, el
+
+
+def main_cylindrical():
+    # cylindrical-step traffic model: r/z fused const-coeff sweeps are
+    # 8 B/cell each (read rhs + write x), the cyclic phi solve 8 B/cell +
+    # fac read ~0: ~24 B/cell/step
+    sol = HBM_BYTES_PER_S / 24.0
+    value = None
+    for shape in ((128, 512, 512), (64, 256, 256)):
+        for attempt in range(3):
+            try:
+                value, per_step = run_cylindrical(shape)
+                print(f"[bench] cyl {shape}: {per_step * 1e3:.2f} ms/step -> "
+                      f"{value / 1e9:.3f} Gcell/s", file=sys.stderr)
+                break
+            except Exception as e:
+                print(f"[bench] cyl {shape} attempt {attempt}: "
+                      f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+                value = None
+        if value is not None:
+            break
+    print(json.dumps({
+        "metric": f"cyl_adi_cell_updates_per_s_per_chip_{shape}_f32",
+        "value": value or 0.0,
+        "unit": "cell/s",
+        "vs_baseline": (value or 0.0) / sol,
+    }))
+
+
 def main():
     value = None
     for n in (512, 384, 256, 128):
@@ -120,4 +182,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--case" in sys.argv and "cylindrical" in sys.argv:
+        main_cylindrical()
+    else:
+        main()

@@ -77,6 +77,86 @@ def test_sharded_cylindrical_matches_single_device():
                                rtol=1e-12, atol=1e-12)
 
 
+def test_sharded_masked_cylindrical_matches_single_device():
+    """Element birth across chips: the masked-Robin step (mask-broken cyclic
+    phi solve with phi chip-local) on the spiral test geometry, bitwise vs
+    single device."""
+    from adi_thermal_fields_tpu import CylindricalGrid, RobinBC, ZFaceBC
+    from adi_thermal_fields_tpu.dist.cylindrical import (
+        sharded_cylindrical_masked_step)
+    from adi_thermal_fields_tpu.step.cylindrical_masked import (
+        adi_step_masked_robin)
+
+    # annular wall, two part-deposited layers — the spiral test's geometry
+    grid = CylindricalGrid(6, 32, 16, 4e-4, 1e-3, r_inner=0.03)
+    mat = Material(7800.0, 490.0, 54.0)
+    rob = RobinBC(350.0, 20.0)
+    zbc = ZFaceBC(kind_bot="robin", h_bot=200.0, T_inf_bot=20.0,
+                  kind_top="neumann0")
+    active_np = np.zeros(grid.shape, bool)
+    active_np[:, :, :8] = True               # substrate rings
+    active_np[:, :20, 8:10] = True           # partial spiral layer
+    active = jnp.asarray(active_np)
+    rng = np.random.default_rng(5)
+    T0 = jnp.asarray(np.where(active_np, 20.0 + 1480.0 * rng.random(grid.shape),
+                              20.0))
+    dt = 0.05
+
+    ref = T0
+    for _ in range(2):
+        ref = adi_step_masked_robin(ref, grid, mat, dt=dt, active=active,
+                                    robin_outer=rob, zbc=zbc, robin_inner=rob,
+                                    h_void=80.0, T_inf_void=20.0)
+
+    mesh = make_mesh()
+    step = sharded_cylindrical_masked_step(grid, mat, mesh, robin_outer=rob,
+                                           zbc=zbc, robin_inner=rob,
+                                           h_void=80.0, T_inf_void=20.0)
+    spec = jax.sharding.NamedSharding(mesh,
+                                      jax.sharding.PartitionSpec(None, "a", "b"))
+    T = jax.device_put(T0, spec)
+    act = jax.device_put(active, spec)
+    for _ in range(2):
+        T = step(T, act, dt)
+    assert len(T.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(T), np.asarray(ref), rtol=1e-12,
+                               atol=1e-12)
+
+
+def test_sharded_masked_clamp_cylindrical_matches_single_device():
+    """The reference's clamp-parity element-birth scheme, sharded."""
+    from adi_thermal_fields_tpu import CylindricalGrid, RobinBC, ZFaceBC
+    from adi_thermal_fields_tpu.dist.cylindrical import (
+        sharded_cylindrical_masked_clamp_step)
+    from adi_thermal_fields_tpu.step.cylindrical import adi_step_masked
+
+    grid = CylindricalGrid(6, 16, 16, 4e-4, 1e-3, r_inner=0.03)
+    mat = Material(7800.0, 490.0, 54.0)
+    rob = RobinBC(350.0, 20.0)
+    zbc = ZFaceBC(kind_top="robin", h_top=400.0, T_inf_top=20.0)
+    active_np = np.zeros(grid.shape, bool)
+    active_np[:, :, :8] = True
+    active_np[:, :10, 8:10] = True
+    active = jnp.asarray(active_np)
+    rng = np.random.default_rng(6)
+    T0 = jnp.asarray(np.where(active_np, 1500.0 * rng.random(grid.shape), 20.0))
+    dt = 0.05
+
+    ref = adi_step_masked(T0, grid, mat, dt=dt, robin_outer=rob, zbc=zbc,
+                          robin_inner=rob, active=active)
+
+    mesh = make_mesh()
+    step = sharded_cylindrical_masked_clamp_step(grid, mat, mesh,
+                                                 robin_outer=rob, zbc=zbc,
+                                                 robin_inner=rob)
+    spec = jax.sharding.NamedSharding(mesh,
+                                      jax.sharding.PartitionSpec(None, "a", "b"))
+    out = step(jax.device_put(T0, spec), jax.device_put(active, spec), dt)
+    assert len(out.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-12,
+                               atol=1e-12)
+
+
 def test_sharded_pallas_step_matches_xla(monkeypatch):
     """The shard_map + fused-kernel step (interpret mode on the virtual mesh)
     matches the single-device scan-path step."""
