@@ -30,17 +30,67 @@ def make_cartesian_advance(grid: CartesianGrid, mat: Material, *,
                            theta: float = 0.5, t_inf: float = 20.0,
                            robin_h=None, neumann=None,
                            dirichlet_mask=None, dirichlet_value=None,
-                           source_fn=None, implementation: str = "auto"):
+                           source_fn=None, implementation: str = "auto",
+                           mesh=None):
     """Jitted ``advance(T, active, dt, n_sub[, t0]) -> T``: rebuild packs for
     the current activation mask, then take ``n_sub`` ADI steps of ``dt``.
 
     source_fn: optional traceable ``t -> volumetric heat field [W/m^3]``
     (e.g. a moving Goldak torch); evaluated at each sub-step time.
     implementation: "pallas" (fused TPU kernels), "xla" (lax.scan reference),
-    or "auto" (pallas on TPU, xla elsewhere)."""
+    or "auto" (pallas on TPU, xla elsewhere).
+    mesh: optional ``jax.sharding.Mesh`` — the whole advance (pack rebuild,
+    birth-driven plan rebuild, and every sweep) then runs multi-chip with
+    per-sweep batch-axis layouts (dist/cartesian*.py)."""
     if implementation == "auto":
         # the fused kernels are TPU Mosaic; every other backend gets XLA
         implementation = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if mesh is not None and source_fn is not None:
+        raise NotImplementedError("source_fn with mesh: add the source term "
+                                  "to the sharded steps first")
+
+    if mesh is not None:
+        if implementation == "pallas":
+            from ..dist.cartesian_pallas import (shard_plan,
+                                                 sharded_adi_step_pallas)
+            from ..step.cartesian_pallas import build_sweep_plan
+
+            interpret = jax.default_backend() != "tpu"
+            inner = sharded_adi_step_pallas(grid, mat, mesh, theta=theta,
+                                            t_inf=t_inf, interpret=interpret)
+
+            @jax.jit
+            def advance(T, active, dt, n_sub, t0=0.0):
+                active = active.astype(bool)
+                packs = build_coeff_packs(active, grid, mat, robin_h=robin_h,
+                                          neumann=neumann,
+                                          dirichlet_mask=dirichlet_mask,
+                                          dirichlet_value=dirichlet_value,
+                                          dtype=T.dtype)
+                plan = shard_plan(build_sweep_plan(
+                    active, packs, has_neumann=neumann is not None,
+                    has_dirichlet=dirichlet_mask is not None),
+                    mesh, traced=True)
+                return lax.fori_loop(
+                    0, n_sub, lambda i, T: inner(T, plan, dt), T)
+        else:
+            from ..dist.cartesian import sharded_adi_step
+
+            inner = sharded_adi_step(grid, mat, mesh, theta=theta)
+
+            @jax.jit
+            def advance(T, active, dt, n_sub, t0=0.0):
+                active = active.astype(bool)
+                packs = build_coeff_packs(active, grid, mat, robin_h=robin_h,
+                                          neumann=neumann,
+                                          dirichlet_mask=dirichlet_mask,
+                                          dirichlet_value=dirichlet_value,
+                                          dtype=T.dtype)
+                t_inf_ = jnp.asarray(t_inf, T.dtype)
+                return lax.fori_loop(
+                    0, n_sub,
+                    lambda i, T: inner(T, active, packs, dt, t_inf_), T)
+        return advance
 
     @jax.jit
     def advance(T, active, dt, n_sub, t0=0.0):

@@ -62,6 +62,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--resume", type=str, default="",
                    help="resume from a checkpoint file")
     p.add_argument("--viewer", type=int, default=0)
+    p.add_argument("--mesh", type=str, default="",
+                   help="shard over a PxQ device mesh, e.g. '2x4' "
+                        "(multi-chip; batch axes of every sweep sharded)")
     return p
 
 
@@ -182,13 +185,26 @@ def run(args) -> dict:
         robin_h = {f: jnp.asarray(v, dtype) for f, v in fields.items()}
         log("using STL projected-area corrected Robin fields", tag="bc")
 
+    mesh_dev = None
+    if getattr(args, "mesh", ""):
+        import jax
+
+        from ..dist.cartesian import make_mesh, shard_field
+        p_, q_ = (int(v) for v in args.mesh.lower().split("x"))
+        mesh_dev = make_mesh(jax.devices()[:p_ * q_], shape=(p_, q_))
+        log(f"sharding over {p_}x{q_} device mesh", tag="mesh")
+
     advance = make_cartesian_advance(grid, mat, theta=args.theta,
-                                     t_inf=args.T_inf, robin_h=robin_h)
+                                     t_inf=args.T_inf, robin_h=robin_h,
+                                     mesh=mesh_dev)
     dt_cap = args.cfl * dx * dx / mat.alpha
     log(f"alpha={mat.alpha:.3e} m^2/s, dt_cap={dt_cap:.3e} s (cfl={args.cfl})",
         tag="num")
 
     T = jnp.full(grid.shape, args.T_inf, dtype)
+    if mesh_dev is not None:
+        T = shard_field(T, mesh_dev, 0)
+        act = shard_field(act, mesh_dev, 0)
     start_t = 0.0
     if args.resume:
         from ..io.checkpoint import load_checkpoint

@@ -38,19 +38,26 @@ def _specs(mesh: Mesh):
     }
 
 
-def shard_plan(plan: SweepPlan, mesh: Mesh) -> SweepPlan:
-    """Place the plan's per-axis arrays in their sweep's layout sharding."""
+def shard_plan(plan: SweepPlan, mesh: Mesh, *, traced: bool = False) -> SweepPlan:
+    """Place the plan's per-axis arrays in their sweep's layout sharding.
+
+    ``traced=True`` uses sharding *constraints* instead of device_put so the
+    plan rebuild can live inside a jitted program (the mesh-aware engine
+    rebuilds the plan functionally on every birth event)."""
     s = _specs(mesh)
+    place = (jax.lax.with_sharding_constraint if traced else jax.device_put)
 
     def put(tup):
         if tup is None:
             return None
-        return tuple(jax.device_put(v, NamedSharding(mesh, s[ax]))
+        return tuple(place(v, NamedSharding(mesh, s[ax]))
                      for ax, v in enumerate(tup))
 
-    mask = jax.device_put(plan.mask, NamedSharding(mesh, s[0]))
+    mask = place(plan.mask, NamedSharding(mesh, s[0]))
+    mask_i8 = (None if plan.mask_i8 is None
+               else place(plan.mask_i8, NamedSharding(mesh, s[0])))
     return SweepPlan(mask, put(plan.codes), put(plan.coeffs),
-                     put(plan.qfluxes), put(plan.dir_vals))
+                     put(plan.qfluxes), put(plan.dir_vals), mask_i8)
 
 
 def sharded_adi_step_pallas(grid: CartesianGrid, mat: Material, mesh: Mesh, *,
@@ -85,6 +92,21 @@ def sharded_adi_step_pallas(grid: CartesianGrid, mat: Material, mesh: Mesh, *,
                         in_specs=(s[2], s[2], s[2], P(), P()),
                         out_specs=s[2], check_vma=False)
 
+    def prefold(rhs, plan, ax, dt):
+        """Fold Neumann sources / Dirichlet pins into the sweep RHS in global
+        XLA (sharded elementwise), keeping the per-shard kernels 4-input."""
+        if plan.qfluxes is not None:
+            rhs = rhs + dt * plan.qfluxes[ax]
+        if plan.dir_vals is not None:
+            pin = (plan.codes[ax] & 4) > 0
+            rhs = jnp.where(pin, plan.dir_vals[ax], rhs)
+        return rhs
+
+    def coeff_of(plan, ax):
+        if plan.dir_vals is None:
+            return plan.coeffs[ax]
+        return jnp.where((plan.codes[ax] & 4) > 0, 0.0, plan.coeffs[ax])
+
     @jax.jit
     def step(T, plan: SweepPlan, dt):
         mask = plan.mask
@@ -98,10 +120,13 @@ def sharded_adi_step_pallas(grid: CartesianGrid, mat: Material, mesh: Mesh, *,
                + masked_laplacian_1d(T, mask, 2, inv_dx2))
         R0 = T + dt * kappa * (1.0 - theta) * lap
 
-        U = sweep_x(constrain(R0, s[0]), plan.codes[0], plan.coeffs[0], tg, dt)
-        V = sweep_y(constrain(U, s[1]), plan.codes[1], plan.coeffs[1], tg, dt)
-        Wz = sweep_z(constrain(jnp.transpose(V, (2, 0, 1)), s[2]),
-                     plan.codes[2], plan.coeffs[2], tg, dt)
+        U = sweep_x(constrain(prefold(R0, plan, 0, dt), s[0]),
+                    plan.codes[0], coeff_of(plan, 0), tg, dt)
+        V = sweep_y(constrain(prefold(U, plan, 1, dt), s[1]),
+                    plan.codes[1], coeff_of(plan, 1), tg, dt)
+        Wz = sweep_z(constrain(prefold(jnp.transpose(V, (2, 0, 1)),
+                                       plan, 2, dt), s[2]),
+                     plan.codes[2], coeff_of(plan, 2), tg, dt)
         return constrain(jnp.transpose(Wz, (1, 2, 0)), s[0])
 
     return step

@@ -39,6 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["sweep_code", "fused_sweep", "fused_sweep_axis0",
+           "fused_sweep_axis0_v2", "fused_sweep_axis1_v2",
            "fused_sweep_const", "fused_cyclic_const", "fused_cyclic_phi"]
 
 _LOW, _HIGH, _PIN = np.int8(1), np.int8(2), np.int8(4)
@@ -277,6 +278,340 @@ def fused_sweep_axis0(rhs, code, coeff, theta_gam, dt, t_inf,
 
     if p1 or p2:
         out = out[:, :b1, :b2]
+    return out
+
+
+def _sweep_kernel_v2(scal_ref, d_hbm, code_hbm, coeff_hbm, out_hbm,
+                     xbuf, dpbuf, dbuf, cbuf, fbuf, in_sem, out_sem, *,
+                     n, cn, b1, b2):
+    """Chunked-DMA fused sweep along axis 0 (the bandwidth-tuned variant).
+
+    Inputs stay in HBM; chunks of ``cn`` line positions are double-buffered
+    into VMEM so only the cp/dp line buffers scale with n — the batch tile
+    can widen to (8, 256), doubling both the DMA burst length and the
+    independent lanes hiding the divide latency of the Thomas recurrence.
+    cp is staged in ``xbuf`` and overwritten by x on the backward pass, which
+    streams finished chunks back to HBM chunk-by-chunk (overlapping the
+    remaining back-substitution)."""
+    tg = scal_ref[0]
+    dt = scal_ref[1]
+    t_inf = scal_ref[2]
+    f32 = dbuf.dtype
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    r0 = i * b1
+    c0 = j * b2
+    nchunks = n // cn
+
+    def in_dmas(slot, k):
+        s = k * cn
+        src = lambda ref: ref.at[pl.ds(s, cn), pl.ds(r0, b1), pl.ds(c0, b2)]
+        return (
+            pltpu.make_async_copy(src(d_hbm), dbuf.at[slot], in_sem.at[slot, 0]),
+            pltpu.make_async_copy(src(code_hbm), cbuf.at[slot], in_sem.at[slot, 1]),
+            pltpu.make_async_copy(src(coeff_hbm), fbuf.at[slot], in_sem.at[slot, 2]),
+        )
+
+    def out_dma(k):
+        s = k * cn
+        return pltpu.make_async_copy(
+            xbuf.at[pl.ds(s, cn)],
+            out_hbm.at[pl.ds(s, cn), pl.ds(r0, b1), pl.ds(c0, b2)],
+            out_sem.at[k])
+
+    for dma in in_dmas(0, 0):
+        dma.start()
+    if nchunks > 1:
+        for dma in in_dmas(1, 1):
+            dma.start()
+
+    one = jnp.ones((), f32)
+    zero_s = jnp.zeros((), f32)
+    zero = jnp.zeros((b1, b2), f32)
+    G = 8  # rows per loop iteration: bulk coefficient build + register chain
+    carry = (zero, zero)
+    for k in range(nchunks):
+        slot = k % 2
+        for dma in in_dmas(slot, k):
+            dma.wait()
+
+        def grp(g, carry, *, slot=slot, base=k * cn):
+            cp_prev, dp_prev = carry
+            s = g * G
+            code_g = cbuf[slot, pl.ds(s, G)].astype(jnp.int32)
+            low = jnp.where((code_g & 1) > 0, one, zero_s)
+            high = jnp.where((code_g & 2) > 0, one, zero_s)
+            pin = jnp.where((code_g & 4) > 0, one, zero_s)
+            cf_g = fbuf[slot, pl.ds(s, G)]
+            a_g = -tg * low
+            c_g = -tg * high
+            b_g = (1.0 + tg * (low + high) + dt * cf_g) * (1.0 - pin) + pin
+            dd_g = dbuf[slot, pl.ds(s, G)] + dt * cf_g * t_inf
+            cps, dps = [], []
+            for r in range(G):
+                inv = 1.0 / (b_g[r] - a_g[r] * cp_prev)
+                cp_prev = c_g[r] * inv
+                dp_prev = (dd_g[r] - a_g[r] * dp_prev) * inv
+                cps.append(cp_prev)
+                dps.append(dp_prev)
+            xbuf[pl.ds(base + s, G)] = jnp.stack(cps)
+            dpbuf[pl.ds(base + s, G)] = jnp.stack(dps)
+            return cp_prev, dp_prev
+
+        carry = lax.fori_loop(0, cn // G, grp, carry)
+        if k + 2 < nchunks:
+            for dma in in_dmas(slot, k + 2):
+                dma.start()
+
+    x_next = zero
+    for k in range(nchunks - 1, -1, -1):
+        base = k * cn
+
+        def grp_b(gg, x_next, *, base=base):
+            s = (cn // G - 1 - gg) * G
+            cp_g = xbuf[pl.ds(base + s, G)]
+            dp_g = dpbuf[pl.ds(base + s, G)]
+            xs = [None] * G
+            for r in range(G - 1, -1, -1):
+                x_next = dp_g[r] - cp_g[r] * x_next
+                xs[r] = x_next
+            xbuf[pl.ds(base + s, G)] = jnp.stack(xs)
+            return x_next
+
+        x_next = lax.fori_loop(0, cn // G, grp_b, x_next)
+        out_dma(k).start()
+
+    for k in range(nchunks):
+        out_dma(k).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_b1",
+                                             "block_b2", "chunk"))
+def fused_sweep_axis0_v2(rhs, code, coeff, theta_gam, dt, t_inf,
+                         qflux=None, dir_val=None, *, interpret: bool = False,
+                         block_b1: int = 8, block_b2: int | None = None,
+                         chunk: int = 64):
+    """Bandwidth-tuned fused masked sweep along axis 0 of (n, B1, B2) arrays.
+
+    Same math as fused_sweep_axis0; inputs are streamed from HBM in
+    double-buffered chunks so VMEM holds only the cp/dp line buffers at the
+    (wider) batch tile."""
+    n, b1, b2 = rhs.shape
+    dtype = rhs.dtype
+
+    if qflux is not None:
+        rhs = rhs + jnp.asarray(dt, dtype) * qflux
+    if dir_val is not None:
+        pin = (code & _PIN) > 0
+        rhs = jnp.where(pin, dir_val, rhs)
+        coeff = jnp.where(pin, 0.0, coeff)
+
+    if block_b2 is None:
+        # keep xbuf+dpbuf (2 * n_pad * 8 * B2 * itemsize) within ~10 MB
+        block_b2 = 256 if n <= 640 else 128
+    cn = min(chunk, _round_up(n, 8))
+    pn = _round_up(n, cn) - n
+    p1 = _round_up(b1, block_b1) - b1
+    p2 = _round_up(b2, block_b2) - b2
+    if p1 or p2 or pn:
+        pad = ((0, pn), (0, p1), (0, p2))
+        rhs = jnp.pad(rhs, pad)
+        code = jnp.pad(code, pad)  # padded rows: identity, x = 0
+        coeff = jnp.pad(coeff, pad)
+    n_pad, P1, P2 = rhs.shape
+
+    scal = jnp.stack([jnp.asarray(theta_gam, dtype), jnp.asarray(dt, dtype),
+                      jnp.asarray(t_inf, dtype), jnp.zeros((), dtype)])
+
+    grid = (P1 // block_b1, P2 // block_b2)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+
+    out = pl.pallas_call(
+        functools.partial(_sweep_kernel_v2, n=n_pad, cn=cn, b1=block_b1,
+                          b2=block_b2),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), hbm, hbm, hbm],
+        out_specs=hbm,
+        out_shape=jax.ShapeDtypeStruct((n_pad, P1, P2), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n_pad, block_b1, block_b2), dtype),       # x / cp
+            pltpu.VMEM((n_pad, block_b1, block_b2), dtype),       # dp
+            pltpu.VMEM((2, cn, block_b1, block_b2), dtype),       # rhs chunks
+            pltpu.VMEM((2, cn, block_b1, block_b2), jnp.int8),    # code chunks
+            pltpu.VMEM((2, cn, block_b1, block_b2), dtype),       # coeff chunks
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((n_pad // cn,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(scal, rhs, code, coeff)
+
+    if p1 or p2 or pn:
+        out = out[:n, :b1, :b2]
+    return out
+
+
+def _sweep_kernel_axis1_v2(scal_ref, d_hbm, code_hbm, coeff_hbm, out_hbm,
+                           xbuf, dpbuf, dbuf, cbuf, fbuf, in_sem, out_sem, *,
+                           n, cn, b1, b2):
+    """Chunked-DMA fused sweep along axis 1 of (B1, n, B2) arrays — the
+    y-sweep on the natural (x, y, z) layout, no transposes.  Same streaming
+    scheme as _sweep_kernel_v2; the line dimension is the sublane dim, so
+    rows are processed in groups of 8 (register-level indexing inside each
+    loaded (b1, 8, b2) group, as in _sweep_kernel_axis1)."""
+    tg = scal_ref[0]
+    dt = scal_ref[1]
+    t_inf = scal_ref[2]
+    f32 = dbuf.dtype
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    r0 = i * b1
+    c0 = j * b2
+    nchunks = n // cn
+    G = 8
+
+    def in_dmas(slot, k):
+        s = k * cn
+        src = lambda ref: ref.at[pl.ds(r0, b1), pl.ds(s, cn), pl.ds(c0, b2)]
+        return (
+            pltpu.make_async_copy(src(d_hbm), dbuf.at[slot], in_sem.at[slot, 0]),
+            pltpu.make_async_copy(src(code_hbm), cbuf.at[slot], in_sem.at[slot, 1]),
+            pltpu.make_async_copy(src(coeff_hbm), fbuf.at[slot], in_sem.at[slot, 2]),
+        )
+
+    def out_dma(k):
+        s = k * cn
+        return pltpu.make_async_copy(
+            xbuf.at[:, pl.ds(s, cn), :],
+            out_hbm.at[pl.ds(r0, b1), pl.ds(s, cn), pl.ds(c0, b2)],
+            out_sem.at[k])
+
+    for dma in in_dmas(0, 0):
+        dma.start()
+    if nchunks > 1:
+        for dma in in_dmas(1, 1):
+            dma.start()
+
+    one = jnp.ones((), f32)
+    zero_s = jnp.zeros((), f32)
+    zero = jnp.zeros((b1, b2), f32)
+    carry = (zero, zero)
+    for k in range(nchunks):
+        slot = k % 2
+        for dma in in_dmas(slot, k):
+            dma.wait()
+
+        def grp(g, carry, *, slot=slot, base=k * cn):
+            cp_prev, dp_prev = carry
+            s = pl.multiple_of(g * G, G)
+            code_g = cbuf[slot, :, pl.ds(s, G), :].astype(jnp.int32)
+            low = jnp.where((code_g & 1) > 0, one, zero_s)
+            high = jnp.where((code_g & 2) > 0, one, zero_s)
+            pin = jnp.where((code_g & 4) > 0, one, zero_s)
+            cf_g = fbuf[slot, :, pl.ds(s, G), :]
+            a_g = -tg * low
+            c_g = -tg * high
+            b_g = (1.0 + tg * (low + high) + dt * cf_g) * (1.0 - pin) + pin
+            dd_g = dbuf[slot, :, pl.ds(s, G), :] + dt * cf_g * t_inf
+            cps, dps = [], []
+            for r in range(G):
+                inv = 1.0 / (b_g[:, r, :] - a_g[:, r, :] * cp_prev)
+                cp_prev = c_g[:, r, :] * inv
+                dp_prev = (dd_g[:, r, :] - a_g[:, r, :] * dp_prev) * inv
+                cps.append(cp_prev)
+                dps.append(dp_prev)
+            xbuf[:, pl.ds(base + s, G), :] = jnp.stack(cps, axis=1)
+            dpbuf[:, pl.ds(base + s, G), :] = jnp.stack(dps, axis=1)
+            return cp_prev, dp_prev
+
+        carry = lax.fori_loop(0, cn // G, grp, carry)
+        if k + 2 < nchunks:
+            for dma in in_dmas(slot, k + 2):
+                dma.start()
+
+    x_next = zero
+    for k in range(nchunks - 1, -1, -1):
+        base = k * cn
+
+        def grp_b(gg, x_next, *, base=base):
+            s = pl.multiple_of((cn // G - 1 - gg) * G, G)
+            cp_g = xbuf[:, pl.ds(base + s, G), :]
+            dp_g = dpbuf[:, pl.ds(base + s, G), :]
+            xs = [None] * G
+            for r in range(G - 1, -1, -1):
+                x_next = dp_g[:, r, :] - cp_g[:, r, :] * x_next
+                xs[r] = x_next
+            xbuf[:, pl.ds(base + s, G), :] = jnp.stack(xs, axis=1)
+            return x_next
+
+        x_next = lax.fori_loop(0, cn // G, grp_b, x_next)
+        out_dma(k).start()
+
+    for k in range(nchunks):
+        out_dma(k).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_b1",
+                                             "block_b2", "chunk"))
+def fused_sweep_axis1_v2(rhs, code, coeff, theta_gam, dt, t_inf,
+                         qflux=None, dir_val=None, *, interpret: bool = False,
+                         block_b1: int = 8, block_b2: int | None = None,
+                         chunk: int = 64):
+    """Bandwidth-tuned fused masked sweep along axis 1 of (B1, n, B2) arrays
+    (transpose-free y-sweep; same math as fused_sweep_axis1)."""
+    b1, n, b2 = rhs.shape
+    dtype = rhs.dtype
+
+    if qflux is not None:
+        rhs = rhs + jnp.asarray(dt, dtype) * qflux
+    if dir_val is not None:
+        pin = (code & _PIN) > 0
+        rhs = jnp.where(pin, dir_val, rhs)
+        coeff = jnp.where(pin, 0.0, coeff)
+
+    if block_b2 is None:
+        block_b2 = 256 if n <= 640 else 128
+    cn = min(chunk, _round_up(n, 8))
+    pn = _round_up(n, cn) - n
+    p1 = _round_up(b1, block_b1) - b1
+    p2 = _round_up(b2, block_b2) - b2
+    if p1 or p2 or pn:
+        pad = ((0, p1), (0, pn), (0, p2))
+        rhs = jnp.pad(rhs, pad)
+        code = jnp.pad(code, pad)
+        coeff = jnp.pad(coeff, pad)
+    P1, n_pad, P2 = rhs.shape
+
+    scal = jnp.stack([jnp.asarray(theta_gam, dtype), jnp.asarray(dt, dtype),
+                      jnp.asarray(t_inf, dtype), jnp.zeros((), dtype)])
+
+    grid = (P1 // block_b1, P2 // block_b2)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+
+    out = pl.pallas_call(
+        functools.partial(_sweep_kernel_axis1_v2, n=n_pad, cn=cn,
+                          b1=block_b1, b2=block_b2),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), hbm, hbm, hbm],
+        out_specs=hbm,
+        out_shape=jax.ShapeDtypeStruct((P1, n_pad, P2), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_b1, n_pad, block_b2), dtype),       # x / cp
+            pltpu.VMEM((block_b1, n_pad, block_b2), dtype),       # dp
+            pltpu.VMEM((2, block_b1, cn, block_b2), dtype),       # rhs chunks
+            pltpu.VMEM((2, block_b1, cn, block_b2), jnp.int8),    # code chunks
+            pltpu.VMEM((2, block_b1, cn, block_b2), dtype),      # coeff chunks
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((n_pad // cn,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(scal, rhs, code, coeff)
+
+    if p1 or p2 or pn:
+        out = out[:b1, :n, :b2]
     return out
 
 

@@ -21,8 +21,8 @@ import jax.numpy as jnp
 from ..bc.packs import CoeffPacks
 from ..core.grid import CartesianGrid
 from ..core.material import Material
-from ..solvers.pallas_sweeps import (fused_sweep_axis0, fused_sweep_axis1,
-                                     sweep_code)
+from ..solvers.pallas_sweeps import (fused_sweep_axis0_v2,
+                                     fused_sweep_axis1_v2, sweep_code)
 from .cartesian import masked_laplacian_1d
 
 __all__ = ["SweepPlan", "build_sweep_plan", "adi_step_pallas"]
@@ -105,13 +105,13 @@ def adi_step_pallas(T: jax.Array, plan: SweepPlan, grid: CartesianGrid,
     q = plan.qfluxes or (None, None, None)
     dv = plan.dir_vals or (None, None, None)
 
-    U = fused_sweep_axis0(R0, plan.codes[0], plan.coeffs[0], theta_gam, dt,
-                          t_inf, qflux=q[0], dir_val=dv[0],
-                          interpret=interpret)
-    V = fused_sweep_axis1(U, plan.codes[1], plan.coeffs[1], theta_gam, dt,
-                          t_inf, qflux=q[1], dir_val=dv[1],
-                          interpret=interpret)
-    W = fused_sweep_axis0(jnp.transpose(V, (2, 0, 1)), plan.codes[2],
-                          plan.coeffs[2], theta_gam, dt, t_inf, qflux=q[2],
-                          dir_val=dv[2], interpret=interpret)
+    U = fused_sweep_axis0_v2(R0, plan.codes[0], plan.coeffs[0], theta_gam, dt,
+                             t_inf, qflux=q[0], dir_val=dv[0],
+                             interpret=interpret)
+    V = fused_sweep_axis1_v2(U, plan.codes[1], plan.coeffs[1], theta_gam,
+                             dt, t_inf, qflux=q[1], dir_val=dv[1],
+                             interpret=interpret)
+    W = fused_sweep_axis0_v2(jnp.transpose(V, (2, 0, 1)), plan.codes[2],
+                             plan.coeffs[2], theta_gam, dt, t_inf, qflux=q[2],
+                             dir_val=dv[2], interpret=interpret)
     return jnp.transpose(W, (1, 2, 0))

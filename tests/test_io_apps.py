@@ -81,6 +81,27 @@ def test_waam_app_smoke(tmp_path):
     assert res2["t"] >= res["t"] - 1e-9
 
 
+def test_waam_app_sharded_matches_single_device(tmp_path):
+    """The flagship app end-to-end on the 8-device virtual mesh (sharded
+    pack rebuild + births + sweeps) matches the single-device run."""
+    from adi_thermal_fields_tpu.apps.waam_from_stl import build_argparser, run
+    from adi_thermal_fields_tpu.geometry.primitives import box_mesh
+    from adi_thermal_fields_tpu.geometry.stl import save_stl_binary
+
+    stl = str(tmp_path / "cube_mm.stl")
+    save_stl_binary(stl, box_mesh(size=(6.0, 6.0, 8.0), center=(3, 3, 4)))
+    base = ["--stl", stl, "--dx_mm", "1", "--nframes", "2", "--outdir",
+            str(tmp_path / "o1"), "--precision", "float64",
+            "--bead_height_mm", "2"]
+    res1 = run(build_argparser().parse_args(base))
+    res2 = run(build_argparser().parse_args(base + ["--mesh", "2x4"]))
+    assert res2["t"] == res1["t"]
+    import jax
+    assert len(jax.devices()) == 8
+    np.testing.assert_allclose(np.asarray(res2["T"]), np.asarray(res1["T"]),
+                               rtol=1e-12, atol=1e-12)
+
+
 def test_waam_app_corrected_bc_smoke(tmp_path):
     from adi_thermal_fields_tpu.apps.waam_from_stl import build_argparser, run
     from adi_thermal_fields_tpu.geometry.primitives import cylinder_mesh
