@@ -76,6 +76,13 @@ class SpiralAnalyticConfig:
     # duration: 0.5 = mid-slice (continuous spiral); 0.0 = slice start
     # (instant ring deposition when n_events_per_loop == 1)
     event_time_frac: float = 0.5
+    # moving-front correction: first-order image sources about the growing
+    # layer's two material/void arc edges (trailing phi=0, leading phi=Phi),
+    # enforcing approximate zero azimuthal flux at the fronts for events in
+    # the incomplete layer.  Without it the modal basis (material everywhere)
+    # leaks heat azimuthally into not-yet-deposited cells, an O(0.15*dT)
+    # error at the freshest arc cells.
+    front_images: bool = True
 
     @property
     def a(self) -> float:
@@ -324,6 +331,13 @@ def temperature_map_at_probe(cfg: SpiralAnalyticConfig, cache: SpiralModeCache,
     if rows.size == 0:
         return T_map + cfg.T_inf, L_full, phi_progress
 
+    # rows inside the growing (incomplete) band, where the moving-front
+    # image correction applies
+    band_rows = np.zeros(rows.size, bool)
+    growing = full_layers < cfg.n_layers and 0.0 < frac < 1.0
+    if growing:
+        band_rows = (z[rows] >= L_full) & (z[rows] <= L_full + cfg.layer_height)
+
     theta = np.zeros((rows.size, nphi))
     for (t_evt, layer, phi0), A_e in zip(cache.events, cache.amplitudes):
         u = t - t_evt
@@ -344,7 +358,21 @@ def temperature_map_at_probe(cfg: SpiralAnalyticConfig, cache: SpiralModeCache,
         dz_cell = (cfg.z_back + cfg.z_front) / cfg.nz if cfg.cell_centered_z else None
         z_prof = _z_profile(cfg, s, u, offset, dz_cell=dz_cell)
         ang = _angular_profile(cfg, cache.kappas, cache.amp, u, phi - phi0)
-        theta += A_e * z_prof[:, None] * ang[None, :]
+        if cfg.front_images and growing and layer == full_layers:
+            # within the growing band, material spans the arc [0, Phi] only:
+            # add image sources about both arc edges (zero-flux fronts);
+            # below the band the ring is complete, the plain profile stands.
+            ang_img = (ang
+                       + _angular_profile(cfg, cache.kappas, cache.amp, u,
+                                          phi + phi0)
+                       + _angular_profile(cfg, cache.kappas, cache.amp, u,
+                                          phi + phi0 - 2.0 * phi_progress))
+            theta[band_rows] += (A_e * z_prof[band_rows, None]
+                                 * ang_img[None, :])
+            theta[~band_rows] += (A_e * z_prof[~band_rows, None]
+                                  * ang[None, :])
+        else:
+            theta += A_e * z_prof[:, None] * ang[None, :]
 
     T_map[rows, :] = np.where(exist[rows, :], cfg.T_inf + theta, np.nan)
     return T_map, L_full, phi_progress

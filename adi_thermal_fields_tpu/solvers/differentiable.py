@@ -1,0 +1,171 @@
+"""Custom VJPs making the fused Pallas path differentiable.
+
+The scan-based reference path (solvers/thomas.py, step/cartesian.py) is
+differentiable out of the box; the fused kernels are not (Pallas kernels
+have no automatic transpose).  This module wraps them with hand-derived
+VJPs so ``jax.grad`` flows through ``adi_step_pallas``:
+
+  * sweep: ``x = A^{-1} d`` with A the masked tridiagonal operator and
+    ``d = pin ? dir_val : rhs + dt*qflux + dt*coeff*T_inf``.  The pullback
+    solves the TRANSPOSED system ``A^T y = g`` (sub/super diagonals swapped:
+    ``a_t[i] = c[i-1]``, ``c_t[i] = a[i+1]``) and contracts y against the
+    parameter Jacobians: for any parameter p,
+    ``p_bar = y^T (dd/dp) - y^T (dA/dp) x``.
+    The transposed solve runs as the XLA scan Thomas — the backward pass is
+    not the production hot path; the primal stays on the fused kernels.
+  * theta_rhs stencil: ``R0 = (I + c L) T`` with L the mask-aware Laplacian.
+    L is symmetric (couplings exist only between two in-mask cells), so the
+    pullback is the stencil itself applied to the cotangent.
+
+Verified against ``jax.grad`` of the scan path in
+tests/test_pallas_sweeps.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .thomas import thomas
+
+__all__ = ["sweep_solve", "theta_rhs_diff"]
+
+
+def _f0(x):
+    """float0 cotangent for integer primal inputs."""
+    return np.zeros(x.shape, jax.dtypes.float0)
+
+
+def _shift_dn(x):
+    """x[i-1] with 0 at i=0 (leading axis)."""
+    return jnp.concatenate([jnp.zeros_like(x[:1]), x[:-1]], axis=0)
+
+
+def _shift_up(x):
+    """x[i+1] with 0 at i=n-1 (leading axis)."""
+    return jnp.concatenate([x[1:], jnp.zeros_like(x[:1])], axis=0)
+
+
+@functools.cache
+def _sweep_solve(axis: int, interpret: bool, has_q: bool, has_d: bool):
+    """Differentiable fused sweep for ``axis`` in {0, 1} of the kernel
+    layout ((n, B1, B2) or (B1, n, B2)).  Absent qflux/dir_val are passed
+    as 0-d dummies so the primal kernel path is byte-identical to the
+    non-differentiable call (no folded zero passes)."""
+    from .pallas_sweeps import fused_sweep_axis0_v2, fused_sweep_axis1_v2
+
+    kern = fused_sweep_axis0_v2 if axis == 0 else fused_sweep_axis1_v2
+
+    @jax.custom_vjp
+    def solve(rhs, code, coeff, tg, dt, t_inf, qflux, dir_val):
+        return kern(rhs, code, coeff, tg, dt, t_inf,
+                    qflux=qflux if has_q else None,
+                    dir_val=dir_val if has_d else None, interpret=interpret)
+
+    def fwd(rhs, code, coeff, tg, dt, t_inf, qflux, dir_val):
+        x = solve(rhs, code, coeff, tg, dt, t_inf, qflux, dir_val)
+        return x, (x, code, coeff, tg, dt, t_inf, qflux)
+
+    def bwd(res, g):
+        x, code, coeff, tg, dt, t_inf, qflux = res
+        mv = lambda t: (t if axis == 0 else jnp.moveaxis(t, 1, 0))
+        xf, cf, gf = mv(x), mv(coeff), mv(g)
+        code_f = mv(code).astype(jnp.int32)
+        dtype = x.dtype
+        tg = jnp.asarray(tg, dtype)
+        dt = jnp.asarray(dt, dtype)
+        t_inf = jnp.asarray(t_inf, dtype)
+        qf = mv(qflux) if has_q else jnp.zeros_like(xf)
+
+        low = (code_f & 1) > 0
+        high = (code_f & 2) > 0
+        pin = (code_f & 4) > 0
+        coeffp = jnp.where(pin, 0.0, cf).astype(dtype)
+        a = jnp.where(low, -tg, 0.0).astype(dtype)   # pin rows have no bits
+        c = jnp.where(high, -tg, 0.0).astype(dtype)
+        b = jnp.where(pin, 1.0,
+                      1.0 + tg * (low.astype(dtype) + high.astype(dtype))
+                      + dt * coeffp).astype(dtype)
+
+        # transposed solve: A^T y = g
+        y = thomas(_shift_dn(c), b, _shift_up(a), gf)
+
+        unp = ~pin
+        rhs_bar = jnp.where(pin, 0.0, y)
+        qflux_bar = dt * rhs_bar
+        dval_bar = jnp.where(pin, y, 0.0)
+        coeff_bar = jnp.where(unp, dt * y * (t_inf - xf), 0.0)
+
+        lowf = low.astype(dtype)
+        highf = high.astype(dtype)
+        x_lo = _shift_dn(xf)
+        x_hi = _shift_up(xf)
+        tg_bar = -jnp.sum(jnp.where(
+            unp, y * ((lowf + highf) * xf - lowf * x_lo - highf * x_hi), 0.0))
+        dt_bar = jnp.sum(jnp.where(unp, y * (qf + coeffp * (t_inf - xf)), 0.0))
+        t_inf_bar = jnp.sum(jnp.where(unp, y * dt * coeffp, 0.0))
+
+        mvb = lambda t: (t if axis == 0 else jnp.moveaxis(t, 0, 1))
+        q_bar = (mvb(qflux_bar) if has_q
+                 else jnp.zeros((), dtype))
+        d_bar = (mvb(dval_bar) if has_d
+                 else jnp.zeros((), dtype))
+        return (mvb(rhs_bar), _f0(code), mvb(coeff_bar),
+                tg_bar.astype(dtype), dt_bar.astype(dtype),
+                t_inf_bar.astype(dtype), q_bar, d_bar)
+
+    solve.defvjp(fwd, bwd)
+    return solve
+
+
+def sweep_solve(rhs, code, coeff, tg, dt, t_inf, qflux=None, dir_val=None, *,
+                axis: int = 0, interpret: bool = False):
+    """Differentiable fused masked sweep (axis 0 or 1 of the kernel layout).
+
+    Primal path is identical to fused_sweep_axis{0,1}_v2; the pullback is
+    the transposed tridiagonal solve (module docstring)."""
+    dtype = rhs.dtype
+    has_q, has_d = qflux is not None, dir_val is not None
+    zero = jnp.zeros((), dtype)
+    return _sweep_solve(axis, interpret, has_q, has_d)(
+        rhs, code, coeff, jnp.asarray(tg, dtype), jnp.asarray(dt, dtype),
+        jnp.asarray(t_inf, dtype),
+        qflux if has_q else zero, dir_val if has_d else zero)
+
+
+@functools.cache
+def _theta_rhs_diff(interpret: bool):
+    from .pallas_stencil import theta_rhs
+
+    @jax.custom_vjp
+    def f(T, mask_i8, c, inv_dx2):
+        return theta_rhs(T, mask_i8, c, inv_dx2, interpret=interpret)
+
+    def fwd(T, mask_i8, c, inv_dx2):
+        return f(T, mask_i8, c, inv_dx2), (T, mask_i8, c, inv_dx2)
+
+    def bwd(res, g):
+        T, mask_i8, c, inv_dx2 = res
+        dtype = T.dtype
+        c = jnp.asarray(c, dtype)
+        inv_dx2 = jnp.asarray(inv_dx2, dtype)
+        # (I + cL)^T = I + cL (L symmetric): pull back with the stencil
+        T_bar = theta_rhs(g, mask_i8, c, inv_dx2, interpret=interpret)
+        # c_bar = <g, L T>; recover L T with a unit-c stencil pass
+        lapT = theta_rhs(T, mask_i8, jnp.ones((), dtype), inv_dx2,
+                         interpret=interpret) - T
+        c_bar = jnp.vdot(g, lapT).astype(dtype)
+        inv_bar = (c_bar * c / inv_dx2).astype(dtype)  # L scales with inv_dx2
+        return T_bar, _f0(mask_i8), c_bar, inv_bar
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def theta_rhs_diff(T, mask_i8, c, inv_dx2, *, interpret: bool = False):
+    """Differentiable fused explicit theta-pass."""
+    dtype = T.dtype
+    return _theta_rhs_diff(interpret)(T, mask_i8, jnp.asarray(c, dtype),
+                                      jnp.asarray(inv_dx2, dtype))

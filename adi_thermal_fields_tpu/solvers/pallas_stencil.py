@@ -56,7 +56,7 @@ def _theta_rhs_kernel(scal_ref, T_ref, M_ref, out_ref, Tbuf, Mbuf, *, nx):
     c = scal_ref[0]        # dt*kappa*(1-theta)
     inv_dx2 = scal_ref[1]
     i = pl.program_id(0)
-    f32 = T_ref.dtype
+    f32 = scal_ref.dtype   # compute dtype (f32 for bf16 state)
     # one int8 -> f32 conversion per plane (int8 ops barely legalize)
     Mh_f = M_ref[0].astype(jnp.int32).astype(f32)
 
@@ -69,24 +69,25 @@ def _theta_rhs_kernel(scal_ref, T_ref, M_ref, out_ref, Tbuf, Mbuf, *, nx):
     def _compute():
         s_c = (i - 1) % 2
         s_l = i % 2
-        Tc = Tbuf[s_c]
+        Tc = Tbuf[s_c].astype(f32)
         Mc_f = Mbuf[s_c]
         hi_f = jnp.where(i <= nx - 1, 1.0, 0.0).astype(f32)  # plane p+1 exists
         Ml_f = Mbuf[s_l]               # zero at i=1 (init) => no lo neighbor
         Mhv = Mh_f * hi_f
 
-        # x-direction: neighbors live in the adjacent planes.  Accumulate
-        # through out_ref between axes to bound the live-temporary VMEM.
-        sx = Ml_f * Tbuf[s_l] + Mhv * T_ref[0]
-        out_ref[0] = (sx - (Ml_f + Mhv) * Tc) * inv_dx2
+        # x-direction: neighbors live in the adjacent planes.  Accumulate in
+        # a staging scratch plane between axes to bound the live-temporary
+        # VMEM (acc is f32 even when the state is bf16).
+        sx = Ml_f * Tbuf[s_l].astype(f32) + Mhv * T_ref[0].astype(f32)
+        acc = (sx - (Ml_f + Mhv) * Tc) * inv_dx2
         # y (sublane) and z (lane) directions: in-plane shifts
         for ax in (0, 1):
             ml = _shift_lo(Mc_f, ax)
             mh = _shift_hi(Mc_f, ax)
             s = ml * _shift_lo(Tc, ax) + mh * _shift_hi(Tc, ax)
-            out_ref[0] = out_ref[0] + (s - (ml + mh) * Tc) * inv_dx2
+            acc = acc + (s - (ml + mh) * Tc) * inv_dx2
 
-        out_ref[0] = Tc + (c * Mc_f) * out_ref[0]  # void (Mc_f = 0): Tc
+        out_ref[0] = (Tc + (c * Mc_f) * acc).astype(out_ref.dtype)
 
     @pl.when(i <= nx - 1)
     def _rotate():
@@ -117,7 +118,8 @@ def theta_rhs(T, mask_i8, c, inv_dx2, *, interpret: bool = False):
         mask_i8 = jnp.pad(mask_i8, pad)  # padded cells void -> passthrough
     Py, Pz = T.shape[1], T.shape[2]
 
-    scal = jnp.stack([jnp.asarray(c, dtype), jnp.asarray(inv_dx2, dtype)])
+    cdt = jnp.promote_types(dtype, jnp.float32)  # solve precision
+    scal = jnp.stack([jnp.asarray(c, cdt), jnp.asarray(inv_dx2, cdt)])
     blk = (1, Py, Pz)
     in_idx = lambda i: (jnp.minimum(i, nx - 1), 0, 0)
     out_idx = lambda i: (jnp.maximum(i - 1, 0), 0, 0)
@@ -133,8 +135,8 @@ def theta_rhs(T, mask_i8, c, inv_dx2, *, interpret: bool = False):
         out_specs=pl.BlockSpec(blk, out_idx, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nx, Py, Pz), dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, Py, Pz), dtype),
-            pltpu.VMEM((2, Py, Pz), dtype),   # masks carried as f32 0/1
+            pltpu.VMEM((2, Py, Pz), dtype),  # T planes (state dtype)
+            pltpu.VMEM((2, Py, Pz), cdt),    # masks carried as 0/1 at cdt
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

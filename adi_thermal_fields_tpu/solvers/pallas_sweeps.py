@@ -282,7 +282,7 @@ def fused_sweep_axis0(rhs, code, coeff, theta_gam, dt, t_inf,
 
 
 def _sweep_kernel_v2(scal_ref, d_hbm, code_hbm, coeff_hbm, out_hbm,
-                     xbuf, dpbuf, dbuf, cbuf, fbuf, in_sem, out_sem, *,
+                     xbuf, dpbuf, dbuf, cbuf, fbuf, obuf, in_sem, out_sem, *,
                      n, cn, b1, b2):
     """Chunked-DMA fused sweep along axis 0 (the bandwidth-tuned variant).
 
@@ -292,11 +292,17 @@ def _sweep_kernel_v2(scal_ref, d_hbm, code_hbm, coeff_hbm, out_hbm,
     independent lanes hiding the divide latency of the Thomas recurrence.
     cp is staged in ``xbuf`` and overwritten by x on the backward pass, which
     streams finished chunks back to HBM chunk-by-chunk (overlapping the
-    remaining back-substitution)."""
+    remaining back-substitution).
+
+    bf16 mode: when the HBM dtype is narrower than the compute dtype
+    (xbuf.dtype), inputs are upcast per chunk and finished output chunks are
+    downcast into the small ``obuf`` staging ring before their DMA — state
+    traffic halves while the whole solve runs at f32."""
     tg = scal_ref[0]
     dt = scal_ref[1]
     t_inf = scal_ref[2]
-    f32 = dbuf.dtype
+    f32 = xbuf.dtype                 # compute dtype
+    mixed = obuf is not None         # HBM dtype narrower than compute dtype
     i = pl.program_id(0)
     j = pl.program_id(1)
     r0 = i * b1
@@ -314,8 +320,9 @@ def _sweep_kernel_v2(scal_ref, d_hbm, code_hbm, coeff_hbm, out_hbm,
 
     def out_dma(k):
         s = k * cn
+        src = obuf.at[k % 2] if mixed else xbuf.at[pl.ds(s, cn)]
         return pltpu.make_async_copy(
-            xbuf.at[pl.ds(s, cn)],
+            src,
             out_hbm.at[pl.ds(s, cn), pl.ds(r0, b1), pl.ds(c0, b2)],
             out_sem.at[k])
 
@@ -342,11 +349,11 @@ def _sweep_kernel_v2(scal_ref, d_hbm, code_hbm, coeff_hbm, out_hbm,
             low = jnp.where((code_g & 1) > 0, one, zero_s)
             high = jnp.where((code_g & 2) > 0, one, zero_s)
             pin = jnp.where((code_g & 4) > 0, one, zero_s)
-            cf_g = fbuf[slot, pl.ds(s, G)]
+            cf_g = fbuf[slot, pl.ds(s, G)].astype(f32)
             a_g = -tg * low
             c_g = -tg * high
             b_g = (1.0 + tg * (low + high) + dt * cf_g) * (1.0 - pin) + pin
-            dd_g = dbuf[slot, pl.ds(s, G)] + dt * cf_g * t_inf
+            dd_g = dbuf[slot, pl.ds(s, G)].astype(f32) + dt * cf_g * t_inf
             cps, dps = [], []
             for r in range(G):
                 inv = 1.0 / (b_g[r] - a_g[r] * cp_prev)
@@ -379,9 +386,13 @@ def _sweep_kernel_v2(scal_ref, d_hbm, code_hbm, coeff_hbm, out_hbm,
             return x_next
 
         x_next = lax.fori_loop(0, cn // G, grp_b, x_next)
+        if mixed:
+            if k + 2 < nchunks:
+                out_dma(k + 2).wait()   # staging slot free?
+            obuf[k % 2] = xbuf[pl.ds(base, cn)].astype(obuf.dtype)
         out_dma(k).start()
 
-    for k in range(nchunks):
+    for k in range(min(nchunks, 2) if mixed else nchunks):
         out_dma(k).wait()
 
 
@@ -395,7 +406,8 @@ def fused_sweep_axis0_v2(rhs, code, coeff, theta_gam, dt, t_inf,
 
     Same math as fused_sweep_axis0; inputs are streamed from HBM in
     double-buffered chunks so VMEM holds only the cp/dp line buffers at the
-    (wider) batch tile."""
+    (wider) batch tile.  bfloat16 inputs solve at float32 internally and
+    store bfloat16 (half the HBM traffic)."""
     n, b1, b2 = rhs.shape
     dtype = rhs.dtype
 
@@ -420,28 +432,39 @@ def fused_sweep_axis0_v2(rhs, code, coeff, theta_gam, dt, t_inf,
         coeff = jnp.pad(coeff, pad)
     n_pad, P1, P2 = rhs.shape
 
-    scal = jnp.stack([jnp.asarray(theta_gam, dtype), jnp.asarray(dt, dtype),
-                      jnp.asarray(t_inf, dtype), jnp.zeros((), dtype)])
+    cdt = jnp.promote_types(dtype, jnp.float32)   # solve precision
+    mixed = cdt != dtype
+    scal = jnp.stack([jnp.asarray(theta_gam, cdt), jnp.asarray(dt, cdt),
+                      jnp.asarray(t_inf, cdt), jnp.zeros((), cdt)])
 
     grid = (P1 // block_b1, P2 // block_b2)
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
 
+    kern = functools.partial(_sweep_kernel_v2, n=n_pad, cn=cn, b1=block_b1,
+                             b2=block_b2)
+    scratch = [
+        pltpu.VMEM((n_pad, block_b1, block_b2), cdt),          # x / cp
+        pltpu.VMEM((n_pad, block_b1, block_b2), cdt),          # dp
+        pltpu.VMEM((2, cn, block_b1, block_b2), dtype),        # rhs chunks
+        pltpu.VMEM((2, cn, block_b1, block_b2), jnp.int8),     # code chunks
+        pltpu.VMEM((2, cn, block_b1, block_b2), dtype),        # coeff chunks
+    ]
+    if mixed:
+        scratch.append(pltpu.VMEM((2, cn, block_b1, block_b2), dtype))  # obuf
+        body = kern
+    else:
+        body = (lambda scal, d, c, f, o, xb, dp, db, cb, fb, isem, osem:
+                kern(scal, d, c, f, o, xb, dp, db, cb, fb, None, isem, osem))
+    scratch += [pltpu.SemaphoreType.DMA((2, 3)),
+                pltpu.SemaphoreType.DMA((n_pad // cn,))]
+
     out = pl.pallas_call(
-        functools.partial(_sweep_kernel_v2, n=n_pad, cn=cn, b1=block_b1,
-                          b2=block_b2),
+        body,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), hbm, hbm, hbm],
         out_specs=hbm,
         out_shape=jax.ShapeDtypeStruct((n_pad, P1, P2), dtype),
-        scratch_shapes=[
-            pltpu.VMEM((n_pad, block_b1, block_b2), dtype),       # x / cp
-            pltpu.VMEM((n_pad, block_b1, block_b2), dtype),       # dp
-            pltpu.VMEM((2, cn, block_b1, block_b2), dtype),       # rhs chunks
-            pltpu.VMEM((2, cn, block_b1, block_b2), jnp.int8),    # code chunks
-            pltpu.VMEM((2, cn, block_b1, block_b2), dtype),       # coeff chunks
-            pltpu.SemaphoreType.DMA((2, 3)),
-            pltpu.SemaphoreType.DMA((n_pad // cn,)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -453,8 +476,8 @@ def fused_sweep_axis0_v2(rhs, code, coeff, theta_gam, dt, t_inf,
 
 
 def _sweep_kernel_axis1_v2(scal_ref, d_hbm, code_hbm, coeff_hbm, out_hbm,
-                           xbuf, dpbuf, dbuf, cbuf, fbuf, in_sem, out_sem, *,
-                           n, cn, b1, b2):
+                           xbuf, dpbuf, dbuf, cbuf, fbuf, obuf, in_sem,
+                           out_sem, *, n, cn, b1, b2):
     """Chunked-DMA fused sweep along axis 1 of (B1, n, B2) arrays — the
     y-sweep on the natural (x, y, z) layout, no transposes.  Same streaming
     scheme as _sweep_kernel_v2; the line dimension is the sublane dim, so
@@ -463,7 +486,8 @@ def _sweep_kernel_axis1_v2(scal_ref, d_hbm, code_hbm, coeff_hbm, out_hbm,
     tg = scal_ref[0]
     dt = scal_ref[1]
     t_inf = scal_ref[2]
-    f32 = dbuf.dtype
+    f32 = xbuf.dtype
+    mixed = obuf is not None
     i = pl.program_id(0)
     j = pl.program_id(1)
     r0 = i * b1
@@ -482,8 +506,9 @@ def _sweep_kernel_axis1_v2(scal_ref, d_hbm, code_hbm, coeff_hbm, out_hbm,
 
     def out_dma(k):
         s = k * cn
+        src = obuf.at[k % 2] if mixed else xbuf.at[:, pl.ds(s, cn), :]
         return pltpu.make_async_copy(
-            xbuf.at[:, pl.ds(s, cn), :],
+            src,
             out_hbm.at[pl.ds(r0, b1), pl.ds(s, cn), pl.ds(c0, b2)],
             out_sem.at[k])
 
@@ -509,11 +534,11 @@ def _sweep_kernel_axis1_v2(scal_ref, d_hbm, code_hbm, coeff_hbm, out_hbm,
             low = jnp.where((code_g & 1) > 0, one, zero_s)
             high = jnp.where((code_g & 2) > 0, one, zero_s)
             pin = jnp.where((code_g & 4) > 0, one, zero_s)
-            cf_g = fbuf[slot, :, pl.ds(s, G), :]
+            cf_g = fbuf[slot, :, pl.ds(s, G), :].astype(f32)
             a_g = -tg * low
             c_g = -tg * high
             b_g = (1.0 + tg * (low + high) + dt * cf_g) * (1.0 - pin) + pin
-            dd_g = dbuf[slot, :, pl.ds(s, G), :] + dt * cf_g * t_inf
+            dd_g = dbuf[slot, :, pl.ds(s, G), :].astype(f32) + dt * cf_g * t_inf
             cps, dps = [], []
             for r in range(G):
                 inv = 1.0 / (b_g[:, r, :] - a_g[:, r, :] * cp_prev)
@@ -546,9 +571,13 @@ def _sweep_kernel_axis1_v2(scal_ref, d_hbm, code_hbm, coeff_hbm, out_hbm,
             return x_next
 
         x_next = lax.fori_loop(0, cn // G, grp_b, x_next)
+        if mixed:
+            if k + 2 < nchunks:
+                out_dma(k + 2).wait()   # staging slot free?
+            obuf[k % 2] = xbuf[:, pl.ds(base, cn), :].astype(obuf.dtype)
         out_dma(k).start()
 
-    for k in range(nchunks):
+    for k in range(min(nchunks, 2) if mixed else nchunks):
         out_dma(k).wait()
 
 
@@ -583,28 +612,39 @@ def fused_sweep_axis1_v2(rhs, code, coeff, theta_gam, dt, t_inf,
         coeff = jnp.pad(coeff, pad)
     P1, n_pad, P2 = rhs.shape
 
-    scal = jnp.stack([jnp.asarray(theta_gam, dtype), jnp.asarray(dt, dtype),
-                      jnp.asarray(t_inf, dtype), jnp.zeros((), dtype)])
+    cdt = jnp.promote_types(dtype, jnp.float32)
+    mixed = cdt != dtype
+    scal = jnp.stack([jnp.asarray(theta_gam, cdt), jnp.asarray(dt, cdt),
+                      jnp.asarray(t_inf, cdt), jnp.zeros((), cdt)])
 
     grid = (P1 // block_b1, P2 // block_b2)
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
 
+    kern = functools.partial(_sweep_kernel_axis1_v2, n=n_pad, cn=cn,
+                             b1=block_b1, b2=block_b2)
+    scratch = [
+        pltpu.VMEM((block_b1, n_pad, block_b2), cdt),          # x / cp
+        pltpu.VMEM((block_b1, n_pad, block_b2), cdt),          # dp
+        pltpu.VMEM((2, block_b1, cn, block_b2), dtype),        # rhs chunks
+        pltpu.VMEM((2, block_b1, cn, block_b2), jnp.int8),     # code chunks
+        pltpu.VMEM((2, block_b1, cn, block_b2), dtype),        # coeff chunks
+    ]
+    if mixed:
+        scratch.append(pltpu.VMEM((2, block_b1, cn, block_b2), dtype))  # obuf
+        body = kern
+    else:
+        body = (lambda scal, d, c, f, o, xb, dp, db, cb, fb, isem, osem:
+                kern(scal, d, c, f, o, xb, dp, db, cb, fb, None, isem, osem))
+    scratch += [pltpu.SemaphoreType.DMA((2, 3)),
+                pltpu.SemaphoreType.DMA((n_pad // cn,))]
+
     out = pl.pallas_call(
-        functools.partial(_sweep_kernel_axis1_v2, n=n_pad, cn=cn,
-                          b1=block_b1, b2=block_b2),
+        body,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), hbm, hbm, hbm],
         out_specs=hbm,
         out_shape=jax.ShapeDtypeStruct((P1, n_pad, P2), dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_b1, n_pad, block_b2), dtype),       # x / cp
-            pltpu.VMEM((block_b1, n_pad, block_b2), dtype),       # dp
-            pltpu.VMEM((2, block_b1, cn, block_b2), dtype),       # rhs chunks
-            pltpu.VMEM((2, block_b1, cn, block_b2), jnp.int8),    # code chunks
-            pltpu.VMEM((2, block_b1, cn, block_b2), dtype),      # coeff chunks
-            pltpu.SemaphoreType.DMA((2, 3)),
-            pltpu.SemaphoreType.DMA((n_pad // cn,)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

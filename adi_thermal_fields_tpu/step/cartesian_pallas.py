@@ -21,8 +21,8 @@ import jax.numpy as jnp
 from ..bc.packs import CoeffPacks
 from ..core.grid import CartesianGrid
 from ..core.material import Material
-from ..solvers.pallas_sweeps import (fused_sweep_axis0_v2,
-                                     fused_sweep_axis1_v2, sweep_code)
+from ..solvers.differentiable import sweep_solve, theta_rhs_diff
+from ..solvers.pallas_sweeps import sweep_code
 from .cartesian import masked_laplacian_1d
 
 __all__ = ["SweepPlan", "build_sweep_plan", "adi_step_pallas"]
@@ -84,16 +84,16 @@ def adi_step_pallas(T: jax.Array, plan: SweepPlan, grid: CartesianGrid,
     mask = plan.mask
     kappa = mat.alpha
     inv_dx2 = 1.0 / (grid.dx * grid.dx)
-    dt = jnp.asarray(dt, T.dtype)
+    # scalars at solve precision (f32 when the state is bf16)
+    dt = jnp.asarray(dt, jnp.promote_types(T.dtype, jnp.float32))
     gam = kappa * dt * inv_dx2
     theta_gam = theta * gam
 
     if plan.mask_i8 is not None:
         # fused stencil kernel: one HBM pass instead of XLA's ~3
-        from ..solvers.pallas_stencil import theta_rhs
-
-        R0 = theta_rhs(T, plan.mask_i8, dt * kappa * (1.0 - theta), inv_dx2,
-                       interpret=interpret)
+        # (differentiable: L is symmetric, pullback is the stencil itself)
+        R0 = theta_rhs_diff(T, plan.mask_i8, dt * kappa * (1.0 - theta),
+                            inv_dx2, interpret=interpret)
     else:
         lap = (masked_laplacian_1d(T, mask, 0, inv_dx2)
                + masked_laplacian_1d(T, mask, 1, inv_dx2)
@@ -105,13 +105,13 @@ def adi_step_pallas(T: jax.Array, plan: SweepPlan, grid: CartesianGrid,
     q = plan.qfluxes or (None, None, None)
     dv = plan.dir_vals or (None, None, None)
 
-    U = fused_sweep_axis0_v2(R0, plan.codes[0], plan.coeffs[0], theta_gam, dt,
-                             t_inf, qflux=q[0], dir_val=dv[0],
-                             interpret=interpret)
-    V = fused_sweep_axis1_v2(U, plan.codes[1], plan.coeffs[1], theta_gam,
-                             dt, t_inf, qflux=q[1], dir_val=dv[1],
-                             interpret=interpret)
-    W = fused_sweep_axis0_v2(jnp.transpose(V, (2, 0, 1)), plan.codes[2],
-                             plan.coeffs[2], theta_gam, dt, t_inf, qflux=q[2],
-                             dir_val=dv[2], interpret=interpret)
+    U = sweep_solve(R0, plan.codes[0], plan.coeffs[0], theta_gam, dt,
+                    t_inf, qflux=q[0], dir_val=dv[0], axis=0,
+                    interpret=interpret)
+    V = sweep_solve(U, plan.codes[1], plan.coeffs[1], theta_gam,
+                    dt, t_inf, qflux=q[1], dir_val=dv[1], axis=1,
+                    interpret=interpret)
+    W = sweep_solve(jnp.transpose(V, (2, 0, 1)), plan.codes[2],
+                    plan.coeffs[2], theta_gam, dt, t_inf, qflux=q[2],
+                    dir_val=dv[2], axis=0, interpret=interpret)
     return jnp.transpose(W, (1, 2, 0))

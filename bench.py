@@ -153,6 +153,33 @@ def main_cylindrical():
     }))
 
 
+def main_bf16():
+    """bf16-state / f32-solve bandwidth mode (opt-in; ~24 B/cell/step)."""
+    import jax.numpy as jnp
+
+    sol = HBM_BYTES_PER_S / 24.0
+    value = None
+    for n in (512, 384, 256):
+        for attempt in range(3):
+            try:
+                value, per_step = run(n, dtype=jnp.bfloat16)
+                print(f"[bench] bf16 {n}^3: {per_step * 1e3:.2f} ms/step -> "
+                      f"{value / 1e9:.3f} Gcell/s", file=sys.stderr)
+                break
+            except Exception as e:
+                print(f"[bench] bf16 {n}^3 attempt {attempt}: "
+                      f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+                value = None
+        if value is not None:
+            break
+    print(json.dumps({
+        "metric": f"adi_cell_updates_per_s_per_chip_{n}^3_bf16",
+        "value": value or 0.0,
+        "unit": "cell/s",
+        "vs_baseline": (value or 0.0) / sol,
+    }))
+
+
 def main():
     value = None
     for n in (512, 384, 256, 128):
@@ -184,5 +211,7 @@ def main():
 if __name__ == "__main__":
     if "--case" in sys.argv and "cylindrical" in sys.argv:
         main_cylindrical()
+    elif "--case" in sys.argv and "bf16" in sys.argv:
+        main_bf16()
     else:
         main()

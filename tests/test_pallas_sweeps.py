@@ -38,6 +38,81 @@ def test_fused_sweep_matches_reference(axis):
                                atol=1e-12)
 
 
+@pytest.mark.parametrize("with_bcs", [False, True])
+def test_pallas_step_grad_matches_scan_path(with_bcs):
+    """Custom VJPs (transposed tridiagonal solve + self-adjoint stencil):
+    jax.grad through the fused-kernel step matches the scan path, w.r.t.
+    both the field and dt."""
+    grid = CartesianGrid(8, 7, 10, 1e-3)
+    mat = Material(7800.0, 490.0, 54.0)
+    rng = np.random.default_rng(11)
+    mask = jnp.asarray(rng.random(grid.shape) > 0.3)
+    T0 = jnp.asarray(np.where(np.asarray(mask),
+                              20 + 880 * rng.random(grid.shape), 20.0))
+    w = jnp.asarray(rng.random(grid.shape))  # loss weights
+    if with_bcs:
+        dirm = np.zeros(grid.shape, bool)
+        dirm[:, :, 0] = np.asarray(mask)[:, :, 0]
+        kw = dict(robin_h=250.0, neumann={"z+": 2e5},
+                  dirichlet_mask=jnp.asarray(dirm), dirichlet_value=77.0)
+    else:
+        kw = dict(robin_h=250.0)
+    packs = build_coeff_packs(mask, grid, mat, **kw)
+    plan = build_sweep_plan(mask, packs, has_neumann=with_bcs,
+                            has_dirichlet=with_bcs)
+
+    def loss_scan(T, dt):
+        for _ in range(2):
+            T = adi_step_cartesian(T, mask, packs, grid, mat, dt=dt,
+                                   theta=0.5, t_inf=20.0)
+        return jnp.sum(w * T)
+
+    def loss_pallas(T, dt):
+        for _ in range(2):
+            T = adi_step_pallas(T, plan, grid, mat, dt=dt, theta=0.5,
+                                t_inf=20.0, interpret=True)
+        return jnp.sum(w * T)
+
+    gT_ref, gdt_ref = jax.grad(loss_scan, argnums=(0, 1))(T0, 0.02)
+    gT, gdt = jax.grad(loss_pallas, argnums=(0, 1))(T0, 0.02)
+    np.testing.assert_allclose(np.asarray(gT), np.asarray(gT_ref),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(float(gdt), float(gdt_ref), rtol=1e-8)
+
+
+def test_bfloat16_state_adequacy():
+    """bf16-state / f32-solve mode (halved HBM traffic): over a 30-step
+    masked Robin cooling run from a 900 C random field the bf16 trajectory
+    stays within the analytic-oracle tolerances (60 C mean / 120 C max).
+    Measured ~29 C max drift: bf16 quantization is ~0.4% of the field scale
+    per store and round-to-nearest drops sub-quantum explicit updates —
+    stochastic rounding is the documented next lever (NOTES.md).  f32 is the
+    default mode; bf16 is the opt-in bandwidth mode."""
+    grid = CartesianGrid(16, 14, 12, 1e-3)
+    mat = Material(7800.0, 490.0, 54.0)
+    rng = np.random.default_rng(5)
+    mask = jnp.asarray(rng.random(grid.shape) > 0.3)
+    T64 = jnp.asarray(np.where(np.asarray(mask),
+                               20 + 880 * rng.random(grid.shape), 20.0))
+    T16 = T64.astype(jnp.bfloat16)
+    packs64 = build_coeff_packs(mask, grid, mat, robin_h=300.0)
+    packs16 = build_coeff_packs(mask, grid, mat, robin_h=300.0,
+                                dtype=jnp.bfloat16)
+    plan = build_sweep_plan(mask, packs16, has_neumann=False,
+                            has_dirichlet=False)
+    for _ in range(30):
+        T64 = adi_step_cartesian(T64, mask, packs64, grid, mat, dt=0.05,
+                                 theta=0.5, t_inf=20.0)
+        T16 = adi_step_pallas(T16, plan, grid, mat, dt=0.05, theta=0.5,
+                              t_inf=20.0, interpret=True)
+    assert T16.dtype == jnp.bfloat16
+    diff = jnp.abs(T16.astype(jnp.float64) - T64)
+    err_max = float(diff.max())
+    err_mean = float(jnp.where(mask, diff, 0.0).sum() / mask.sum())
+    assert err_max < 40.0, err_max   # < the 60/120 C oracle tolerances
+    assert err_mean < 10.0, err_mean
+
+
 @pytest.mark.parametrize("shape", [(16, 16, 16), (9, 11, 40), (1, 5, 7)])
 def test_theta_rhs_stencil_matches_laplacians(shape):
     from adi_thermal_fields_tpu.solvers.pallas_stencil import theta_rhs
