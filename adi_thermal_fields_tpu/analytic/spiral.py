@@ -256,17 +256,16 @@ def _event_amplitudes(cfg: SpiralAnalyticConfig, kappas, amp,
     amps = np.zeros(len(events))
     for i, (t_e, layer_e, phi0_e) in enumerate(events):
         z_c = (layer_e + 0.5) * cfg.layer_height
-        L_full_e = layer_e * cfg.layer_height
         theta_pre = 0.0
         for j in range(i):
             t_p, layer_p, phi0_p = events[j]
             u = t_e - t_p
             if u <= 0.0:
                 continue
-            front = max((layer_p + 1) * cfg.layer_height, L_full_e)
+            # per-event front = its own layer top (see the map evaluation)
+            front = (layer_p + 1) * cfg.layer_height
             s = np.maximum(front - z_c, 0.0)
-            offset = front - (layer_p + 1) * cfg.layer_height
-            zp = float(_z_profile(cfg, np.asarray([s]), u, offset,
+            zp = float(_z_profile(cfg, np.asarray([s]), u, 0.0,
                                   dz_cell=cfg.layer_height)[0])
             ang = float(_angular_profile(cfg, kappas, amp, u,
                                          np.asarray([phi0_e - phi0_p]))[0])
@@ -347,26 +346,34 @@ def temperature_map_at_probe(cfg: SpiralAnalyticConfig, cache: SpiralModeCache,
             continue
         if layer > full_layers:
             continue
-        # Quasi-static front for this event: the current completed front, but
-        # at least the event's own layer top (the front that cooled it while
-        # it was the top layer).  Rows above it (deposited later) clamp to
-        # the front value s = 0.
-        front = max((layer + 1) * cfg.layer_height, L_full)
+        # Quasi-static front for this event: its OWN layer top — the surface
+        # whose (nearly reflecting) Robin pile-up shaped its z-profile while
+        # it was the top layer; diffusion is too slow (sqrt(alpha*tau) ~
+        # layer height) to redistribute that pile-up after coverage.  Rows
+        # above (deposited later) clamp to the front value s = 0.
+        front = (layer + 1) * cfg.layer_height
         s = np.maximum(front - z[rows], 0.0)
-        offset = front - (layer + 1) * cfg.layer_height  # deposit depth shift
 
         dz_cell = (cfg.z_back + cfg.z_front) / cfg.nz if cfg.cell_centered_z else None
-        z_prof = _z_profile(cfg, s, u, offset, dz_cell=dz_cell)
+        z_prof = _z_profile(cfg, s, u, 0.0, dz_cell=dz_cell)
         ang = _angular_profile(cfg, cache.kappas, cache.amp, u, phi - phi0)
-        if cfg.front_images and growing and layer == full_layers:
-            # within the growing band, material spans the arc [0, Phi] only:
+        if (cfg.front_images and cfg.n_events_per_loop > 1 and growing
+                and layer == full_layers):
+            # Within the growing band, material spans the arc [0, Phi] only:
             # add image sources about both arc edges (zero-flux fronts);
             # below the band the ring is complete, the plain profile stands.
+            # The images fade as the void gap 2pi - Phi closes: the periodic
+            # basis aliases 2*Phi-reflections back onto the trailing image
+            # once the ring is (nearly) closed, and physically the fronts
+            # cease to exist.
+            gap = 2.0 * np.pi - phi_progress
+            delta = 2.0 * np.pi / cfg.n_events_per_loop
+            w = min(1.0, max(0.0, gap / (2.0 * delta)))
             ang_img = (ang
-                       + _angular_profile(cfg, cache.kappas, cache.amp, u,
-                                          phi + phi0)
-                       + _angular_profile(cfg, cache.kappas, cache.amp, u,
-                                          phi + phi0 - 2.0 * phi_progress))
+                       + w * _angular_profile(cfg, cache.kappas, cache.amp, u,
+                                              phi + phi0)
+                       + w * _angular_profile(cfg, cache.kappas, cache.amp, u,
+                                              phi + phi0 - 2.0 * phi_progress))
             theta[band_rows] += (A_e * z_prof[band_rows, None]
                                  * ang_img[None, :])
             theta[~band_rows] += (A_e * z_prof[~band_rows, None]

@@ -23,7 +23,124 @@ from ..core.grid import CartesianGrid
 from ..core.material import Material
 from ..step.cartesian import adi_step
 
-__all__ = ["make_cartesian_advance", "EventLoop"]
+__all__ = ["make_cartesian_engine", "make_cartesian_advance", "EventLoop"]
+
+
+def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
+                          theta: float = 0.5, t_inf: float = 20.0,
+                          robin_h=None, neumann=None,
+                          dirichlet_mask=None, dirichlet_value=None,
+                          source_fn=None, implementation: str = "auto",
+                          mesh=None, dtype=None):
+    """Split engine: ``prepare(active) -> prep`` (jitted pack/plan rebuild,
+    needed only when the mask changes — i.e. on birth events) and
+    ``advance(T, prep, dt, n_sub[, t0]) -> T`` (jitted sub-step loop).
+
+    The reference rebuilds BC packs inside every time segment (per *column*
+    in single_track_on_plate.py:163); splitting keeps the rebuild off the
+    steady-state critical path for large grids.
+
+    source_fn: optional traceable ``t -> volumetric heat field [W/m^3]``.
+    implementation: "pallas" (fused TPU kernels), "xla" (lax.scan reference),
+    or "auto" (pallas on TPU, xla elsewhere).
+    mesh: optional ``jax.sharding.Mesh`` — prepare and advance then run
+    multi-chip with per-sweep batch-axis layouts (dist/cartesian*.py).
+    dtype: pack dtype (defaults to the field dtype at first advance; pass
+    explicitly when preparing before the first advance with non-default
+    precision)."""
+    import jax.numpy as jnp
+
+    if implementation == "auto":
+        # the fused kernels are TPU Mosaic; every other backend gets XLA
+        implementation = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if mesh is not None and source_fn is not None:
+        raise NotImplementedError("source_fn with mesh: add the source term "
+                                  "to the sharded steps first")
+    pack_dtype = dtype or jnp.result_type(float)
+
+    def _packs(active):
+        return build_coeff_packs(active, grid, mat, robin_h=robin_h,
+                                 neumann=neumann,
+                                 dirichlet_mask=dirichlet_mask,
+                                 dirichlet_value=dirichlet_value,
+                                 dtype=pack_dtype)
+
+    if mesh is not None and implementation == "pallas":
+        from ..dist.cartesian_pallas import (shard_plan,
+                                             sharded_adi_step_pallas)
+        from ..step.cartesian_pallas import build_sweep_plan
+
+        interpret = jax.default_backend() != "tpu"
+        inner = sharded_adi_step_pallas(grid, mat, mesh, theta=theta,
+                                        t_inf=t_inf, interpret=interpret)
+
+        @jax.jit
+        def prepare(active):
+            active = active.astype(bool)
+            return shard_plan(build_sweep_plan(
+                active, _packs(active), has_neumann=neumann is not None,
+                has_dirichlet=dirichlet_mask is not None), mesh, traced=True)
+
+        @jax.jit
+        def advance(T, prep, dt, n_sub, t0=0.0):
+            return lax.fori_loop(0, n_sub, lambda i, T: inner(T, prep, dt), T)
+
+    elif mesh is not None:
+        from ..dist.cartesian import sharded_adi_step
+
+        inner = sharded_adi_step(grid, mat, mesh, theta=theta)
+
+        @jax.jit
+        def prepare(active):
+            active = active.astype(bool)
+            return (active, _packs(active))
+
+        @jax.jit
+        def advance(T, prep, dt, n_sub, t0=0.0):
+            active, packs = prep
+            t_inf_ = jnp.asarray(t_inf, T.dtype)
+            return lax.fori_loop(
+                0, n_sub, lambda i, T: inner(T, active, packs, dt, t_inf_), T)
+
+    elif implementation == "pallas":
+        from ..step.cartesian_pallas import adi_step_pallas, build_sweep_plan
+
+        @jax.jit
+        def prepare(active):
+            active = active.astype(bool)
+            return build_sweep_plan(active, _packs(active),
+                                    has_neumann=neumann is not None,
+                                    has_dirichlet=dirichlet_mask is not None)
+
+        @jax.jit
+        def advance(T, prep, dt, n_sub, t0=0.0):
+            def body(i, T):
+                src = (None if source_fn is None
+                       else source_fn(jnp.asarray(t0, T.dtype) + i * dt))
+                return adi_step_pallas(T, prep, grid, mat, dt=dt, theta=theta,
+                                       t_inf=t_inf, source=src)
+
+            return lax.fori_loop(0, n_sub, body, T)
+
+    else:
+        @jax.jit
+        def prepare(active):
+            active = active.astype(bool)
+            return (active, _packs(active))
+
+        @jax.jit
+        def advance(T, prep, dt, n_sub, t0=0.0):
+            active, packs = prep
+
+            def body(i, T):
+                src = (None if source_fn is None
+                       else source_fn(jnp.asarray(t0, T.dtype) + i * dt))
+                return adi_step(T, active, packs, grid, mat, dt=dt,
+                                theta=theta, t_inf=t_inf, source=src)
+
+            return lax.fori_loop(0, n_sub, body, T)
+
+    return prepare, advance
 
 
 def make_cartesian_advance(grid: CartesianGrid, mat: Material, *,
@@ -32,98 +149,24 @@ def make_cartesian_advance(grid: CartesianGrid, mat: Material, *,
                            dirichlet_mask=None, dirichlet_value=None,
                            source_fn=None, implementation: str = "auto",
                            mesh=None):
-    """Jitted ``advance(T, active, dt, n_sub[, t0]) -> T``: rebuild packs for
-    the current activation mask, then take ``n_sub`` ADI steps of ``dt``.
+    """Fused convenience form: ``advance(T, active, dt, n_sub[, t0]) -> T``
+    rebuilds packs for the current activation mask on every call, then takes
+    ``n_sub`` ADI steps.  Prefer make_cartesian_engine + EventLoop(prepare=…)
+    for large grids — the rebuild then happens on birth events only."""
+    cache = {}
 
-    source_fn: optional traceable ``t -> volumetric heat field [W/m^3]``
-    (e.g. a moving Goldak torch); evaluated at each sub-step time.
-    implementation: "pallas" (fused TPU kernels), "xla" (lax.scan reference),
-    or "auto" (pallas on TPU, xla elsewhere).
-    mesh: optional ``jax.sharding.Mesh`` — the whole advance (pack rebuild,
-    birth-driven plan rebuild, and every sweep) then runs multi-chip with
-    per-sweep batch-axis layouts (dist/cartesian*.py)."""
-    if implementation == "auto":
-        # the fused kernels are TPU Mosaic; every other backend gets XLA
-        implementation = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if mesh is not None and source_fn is not None:
-        raise NotImplementedError("source_fn with mesh: add the source term "
-                                  "to the sharded steps first")
-
-    if mesh is not None:
-        if implementation == "pallas":
-            from ..dist.cartesian_pallas import (shard_plan,
-                                                 sharded_adi_step_pallas)
-            from ..step.cartesian_pallas import build_sweep_plan
-
-            interpret = jax.default_backend() != "tpu"
-            inner = sharded_adi_step_pallas(grid, mat, mesh, theta=theta,
-                                            t_inf=t_inf, interpret=interpret)
-
-            @jax.jit
-            def advance(T, active, dt, n_sub, t0=0.0):
-                active = active.astype(bool)
-                packs = build_coeff_packs(active, grid, mat, robin_h=robin_h,
-                                          neumann=neumann,
-                                          dirichlet_mask=dirichlet_mask,
-                                          dirichlet_value=dirichlet_value,
-                                          dtype=T.dtype)
-                plan = shard_plan(build_sweep_plan(
-                    active, packs, has_neumann=neumann is not None,
-                    has_dirichlet=dirichlet_mask is not None),
-                    mesh, traced=True)
-                return lax.fori_loop(
-                    0, n_sub, lambda i, T: inner(T, plan, dt), T)
-        else:
-            from ..dist.cartesian import sharded_adi_step
-
-            inner = sharded_adi_step(grid, mat, mesh, theta=theta)
-
-            @jax.jit
-            def advance(T, active, dt, n_sub, t0=0.0):
-                active = active.astype(bool)
-                packs = build_coeff_packs(active, grid, mat, robin_h=robin_h,
-                                          neumann=neumann,
-                                          dirichlet_mask=dirichlet_mask,
-                                          dirichlet_value=dirichlet_value,
-                                          dtype=T.dtype)
-                t_inf_ = jnp.asarray(t_inf, T.dtype)
-                return lax.fori_loop(
-                    0, n_sub,
-                    lambda i, T: inner(T, active, packs, dt, t_inf_), T)
-        return advance
-
-    @jax.jit
     def advance(T, active, dt, n_sub, t0=0.0):
-        active = active.astype(bool)
-        packs = build_coeff_packs(active, grid, mat, robin_h=robin_h,
-                                  neumann=neumann,
-                                  dirichlet_mask=dirichlet_mask,
-                                  dirichlet_value=dirichlet_value,
-                                  dtype=T.dtype)
-
-        def src_at(i):
-            if source_fn is None:
-                return None
-            return source_fn(jnp.asarray(t0, T.dtype) + i * dt)
-
-        if implementation == "pallas":
-            from ..step.cartesian_pallas import (adi_step_pallas,
-                                                 build_sweep_plan)
-
-            plan = build_sweep_plan(active, packs,
-                                    has_neumann=neumann is not None,
-                                    has_dirichlet=dirichlet_mask is not None)
-
-            def body(i, T):
-                return adi_step_pallas(T, plan, grid, mat, dt=dt,
-                                       theta=theta, t_inf=t_inf,
-                                       source=src_at(i))
-        else:
-            def body(i, T):
-                return adi_step(T, active, packs, grid, mat, dt=dt,
-                                theta=theta, t_inf=t_inf, source=src_at(i))
-
-        return lax.fori_loop(0, n_sub, body, T)
+        key = T.dtype                      # packs follow the field dtype
+        if key not in cache:
+            prepare, advance2 = make_cartesian_engine(
+                grid, mat, theta=theta, t_inf=t_inf, robin_h=robin_h,
+                neumann=neumann, dirichlet_mask=dirichlet_mask,
+                dirichlet_value=dirichlet_value, source_fn=source_fn,
+                implementation=implementation, mesh=mesh, dtype=key)
+            cache[key] = jax.jit(
+                lambda T, active, dt, n_sub, t0=0.0:
+                advance2(T, prepare(active), dt, n_sub, t0))
+        return cache[key](T, active, dt, n_sub, t0)
 
     return advance
 
@@ -132,19 +175,26 @@ def make_cartesian_advance(grid: CartesianGrid, mat: Material, *,
 class EventLoop:
     """Run an element-birth simulation through its event schedule.
 
-    advance : jitted (T, active, dt, n_sub) -> T
+    advance : jitted (T, active, dt, n_sub) -> T; with ``prepare`` set, the
+        signature is (T, prep, dt, n_sub, t0) and ``prepare(active) -> prep``
+        is called only when the mask changes (birth events) — the pack/plan
+        rebuild then leaves the steady-state critical path entirely.
     activation_times : device array broadcastable to the field shape;
         cell born when ``activation_times < t`` (substrate = -inf).
     deposit_T : temperature assigned to newborn cells.
     dt_cap : max sub-step (event segments are split evenly to respect it,
         waam_from_stl_v7_mm.py:526-528).
+    check_finite : raise on NaN/Inf with simulation context.  The check
+        syncs device->host, so it runs at frame boundaries and the final
+        event (not per event) — birth bookkeeping itself is sync-free.
     """
 
     advance: Callable
     activation_times: Any
     deposit_T: float
     dt_cap: float
-    check_finite: bool = True   # raise on NaN/Inf with simulation context
+    check_finite: bool = True
+    prepare: Callable | None = None
 
     def run(self, T, *, frame_times, t_end: float | None = None,
             on_frame: Callable | None = None, extra_events=(),
@@ -156,40 +206,57 @@ class EventLoop:
         births = [float(b) for b in births if math.isfinite(float(b))]
         frame_times = [float(t) for t in frame_times]
         t_end = t_end if t_end is not None else (max(frame_times) if frame_times else 0.0)
-        events = sorted(set(b for b in births if b <= t_end)
-                        | set(frame_times) | set(extra_events) | {t_end})
+        birth_set = set(b for b in births if b <= t_end)
+        events = sorted(birth_set | set(frame_times) | set(extra_events)
+                        | {t_end})
         frames = set(frame_times)
+        final_event = events[-1] if events else None
 
         t = start_t
         active = act < t + eps
         # layers whose birth time coincides with the start are deposited now
         born_now = active & jnp.isfinite(act) & (act > start_t - eps)
         T = jnp.where(born_now, self.deposit_T, T)
+        active_any = bool(jnp.any(active))     # one sync at start only
+        prep = (self.prepare(jnp.broadcast_to(active, T.shape))
+                if self.prepare is not None else None)
         if t in frames and on_frame is not None:
             on_frame(t, T, jnp.broadcast_to(active, T.shape))
+
+        def check(t):
+            if not bool(jnp.isfinite(
+                    jnp.where(jnp.broadcast_to(active, T.shape), T, 0.0)).all()):
+                raise FloatingPointError(
+                    f"non-finite temperature detected at t={t:.6g} s "
+                    f"(dt_cap={self.dt_cap:.3g}; check material/BC magnitudes)")
 
         for te in events:
             if te <= t + eps:
                 continue
             seg = te - t
-            has_active = bool(jnp.any(active))
-            if has_active:
+            if active_any:
                 n_sub = max(1, int(math.ceil(seg / self.dt_cap)))
                 dt = seg / n_sub
-                T = self.advance(T, jnp.broadcast_to(active, T.shape),
-                                 jnp.asarray(dt, T.dtype),
-                                 jnp.asarray(n_sub, jnp.int32),
-                                 jnp.asarray(t, T.dtype))
+                if prep is not None:
+                    T = self.advance(T, prep, jnp.asarray(dt, T.dtype),
+                                     jnp.asarray(n_sub, jnp.int32),
+                                     jnp.asarray(t, T.dtype))
+                else:
+                    T = self.advance(T, jnp.broadcast_to(active, T.shape),
+                                     jnp.asarray(dt, T.dtype),
+                                     jnp.asarray(n_sub, jnp.int32),
+                                     jnp.asarray(t, T.dtype))
             t = te
-            if self.check_finite and not bool(jnp.isfinite(
-                    jnp.where(jnp.broadcast_to(active, T.shape), T, 0.0)).all()):
-                raise FloatingPointError(
-                    f"non-finite temperature detected at t={t:.6g} s "
-                    f"(dt_cap={self.dt_cap:.3g}; check material/BC magnitudes)")
-            new_active = act < t + eps
-            newborn = new_active & ~active
-            T = jnp.where(newborn, self.deposit_T, T)
-            active = new_active
+            if te in birth_set:
+                new_active = act < t + eps
+                newborn = new_active & ~active
+                T = jnp.where(newborn, self.deposit_T, T)
+                active = new_active
+                active_any = True          # a birth event implies new cells
+                if self.prepare is not None:
+                    prep = self.prepare(jnp.broadcast_to(active, T.shape))
+            if self.check_finite and (te in frames or te == final_event):
+                check(t)
             if te in frames and on_frame is not None:
                 on_frame(t, T, jnp.broadcast_to(active, T.shape))
         return T, active, t

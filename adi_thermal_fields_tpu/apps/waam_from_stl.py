@@ -144,7 +144,7 @@ def run(args) -> dict:
     from ..core.grid import CartesianGrid
     from ..core.material import Material
     from ..io.logging import fmt_bytes, log
-    from .engine import EventLoop, make_cartesian_advance
+    from .engine import EventLoop, make_cartesian_engine
 
     os.makedirs(args.outdir, exist_ok=True)
     mesh, mask_full, origin, dx = load_voxels(args)
@@ -194,9 +194,10 @@ def run(args) -> dict:
         mesh_dev = make_mesh(jax.devices()[:p_ * q_], shape=(p_, q_))
         log(f"sharding over {p_}x{q_} device mesh", tag="mesh")
 
-    advance = make_cartesian_advance(grid, mat, theta=args.theta,
-                                     t_inf=args.T_inf, robin_h=robin_h,
-                                     mesh=mesh_dev)
+    # split engine: the pack/plan rebuild runs on birth events only
+    prepare, advance = make_cartesian_engine(grid, mat, theta=args.theta,
+                                             t_inf=args.T_inf, robin_h=robin_h,
+                                             mesh=mesh_dev, dtype=dtype)
     dt_cap = args.cfl * dx * dx / mat.alpha
     log(f"alpha={mat.alpha:.3e} m^2/s, dt_cap={dt_cap:.3e} s (cfl={args.cfl})",
         tag="num")
@@ -239,7 +240,7 @@ def run(args) -> dict:
                             RunState(T=T_np, active=a_np, t=t))
 
     loop = EventLoop(advance=advance, activation_times=act,
-                     deposit_T=args.Ts, dt_cap=dt_cap)
+                     deposit_T=args.Ts, dt_cap=dt_cap, prepare=prepare)
     T, active, t = loop.run(T, frame_times=frame_times, t_end=total_time,
                             on_frame=on_frame, start_t=start_t)
     log(f"done: {len(frames_meta)} frames, outdir={args.outdir}", tag="done")

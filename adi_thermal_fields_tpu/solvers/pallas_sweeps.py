@@ -309,7 +309,7 @@ def _sweep_kernel_v2(scal_ref, d_hbm, code_hbm, coeff_hbm, out_hbm,
     c0 = j * b2
     nchunks = n // cn
 
-    def in_dmas(slot, k):
+    def in_dmas(slot, k, r0=r0, c0=c0):
         s = k * cn
         src = lambda ref: ref.at[pl.ds(s, cn), pl.ds(r0, b1), pl.ds(c0, b2)]
         return (

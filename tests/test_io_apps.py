@@ -132,6 +132,20 @@ def test_spiral_tube_app_smoke(tmp_path):
     assert np.nanmax(np.where(a, T, np.nan)) > 20.0
 
 
+def test_compare_implementations_app_smoke():
+    """The A/B driver (XLA scan vs fused Pallas, interpret mode on CPU)
+    agrees to round-off on a tiny grid — closes the one previously
+    hardware-only app path."""
+    from adi_thermal_fields_tpu.apps.compare_implementations import (
+        build_argparser, run)
+
+    args = build_argparser().parse_args(
+        ["--n", "12", "--steps", "2", "--precision", "float64"])
+    res = run(args)
+    assert res["max"] < 1e-9
+    assert set(res["timings"]) == {"xla", "pallas"}
+
+
 def test_engine_detects_nonfinite():
     """Failure detection: the event loop raises with simulation context when
     the field goes non-finite (the reference only logs suspicious values,

@@ -12,13 +12,15 @@ Reference-parity notes (documented deviations):
   (step/cylindrical_masked.py) instead of the reference's ambient clamping,
   which is the only treatment consistent with the analytic oracle's Robin
   growth front.
-* Max-error tolerance: the reference asserts max < 120 C, but its own
-  analytic model (and any modal model on the full annulus) loses heat
-  azimuthally into not-yet-deposited regions near the arc front — an
-  intrinsic model error of ~0.15 * delta_T at the freshest cells that does
-  not shrink under grid refinement.  The spiral test therefore uses
-  max < 190 C (measured: <= 156 C), and the azimuthally-clean ring test
-  below enforces the tight tolerances instead (measured: max <= 54 C).
+* The oracle carries a moving-front correction the reference model lacks
+  (analytic/spiral.py): image sources about the growing layer's arc edges
+  (fading as the ring closes) stop the modal basis leaking heat azimuthally
+  into not-yet-deposited cells, and each event's z-front is its own layer
+  top (the reflecting surface whose pile-up shaped its profile).  This
+  restores the reference's max < 120 C tolerance on the spiral test proper
+  (measured: <= 94 C; without the correction the fresh-arc-cell error is
+  ~0.15 * delta_T ~ 156 C).  The azimuthally-clean ring test keeps its
+  tighter bounds (measured: max <= 54 C).
 """
 import numpy as np
 import pytest
@@ -114,7 +116,7 @@ def test_spiral_numeric_matches_analytic():
                                n_layers=N_LAYERS, tau_dep=TAU,
                                n_events_per_loop=nphi, z_back=Z_BACK,
                                nz=nz, nphi=nphi, m_max=48, n_radial_modes=6)
-    _compare(grid, cfg, snaps, acts, times, mean_tol=60.0, max_tol=190.0)
+    _compare(grid, cfg, snaps, acts, times, mean_tol=60.0, max_tol=120.0)
 
 
 def test_ring_deposition_matches_analytic_axisymmetric():
