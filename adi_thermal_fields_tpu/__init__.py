@@ -20,6 +20,8 @@ from .step.cylindrical import RobinBC, ZFaceBC
 from .step.cylindrical import adi_step as adi_step_cylindrical
 from .step.cylindrical import adi_step_masked as adi_step_cylindrical_masked
 from .step.cylindrical_masked import adi_step_masked_robin
+from .step.cartesian_varprop import (PropertyTable, adi_step_varprop,
+                                     apparent_cp)
 
 __version__ = "0.1.0"
 
@@ -30,4 +32,5 @@ __all__ = [
     "adi_step_cartesian", "apply_surface_impulse",
     "RobinBC", "ZFaceBC", "adi_step_cylindrical", "adi_step_cylindrical_masked",
     "adi_step_masked_robin",
+    "PropertyTable", "adi_step_varprop", "apparent_cp",
 ]

@@ -1,0 +1,120 @@
+"""Temperature-dependent material properties (beyond-reference capability):
+constant-table degeneracy, Kirchhoff steady state for k(T), and latent-heat
+energy accounting via apparent heat capacity."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from adi_thermal_fields_tpu import (CartesianGrid, Material,
+                                    adi_step_cartesian, build_coeff_packs)
+from adi_thermal_fields_tpu.step.cartesian_varprop import (PropertyTable,
+                                                           adi_step_varprop,
+                                                           apparent_cp)
+
+
+def test_constant_tables_match_constant_core():
+    grid = CartesianGrid(10, 9, 8, 1e-3)
+    mat = Material(7800.0, 490.0, 54.0)
+    rng = np.random.default_rng(0)
+    mask = jnp.asarray(rng.random(grid.shape) > 0.3)
+    T0 = jnp.asarray(np.where(np.asarray(mask),
+                              20 + 880 * rng.random(grid.shape), 20.0))
+    packs = build_coeff_packs(mask, grid, mat, robin_h=250.0,
+                              neumann={"z+": 1e5})
+    kt = PropertyTable((0.0, 2000.0), (54.0, 54.0))
+    ct = PropertyTable((0.0, 2000.0), (490.0, 490.0))
+
+    ref = T0
+    got = T0
+    for _ in range(3):
+        ref = adi_step_cartesian(ref, mask, packs, grid, mat, dt=0.05,
+                                 theta=0.5, t_inf=20.0)
+        got = adi_step_varprop(got, mask, packs, grid, mat, k_table=kt,
+                               cp_table=ct, dt=0.05, theta=0.5, t_inf=20.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-10,
+                               atol=1e-9)
+
+
+def test_kirchhoff_steady_state_linear_k():
+    """1-D rod, Dirichlet ends, k(T) = k0 + k1*T: the steady profile obeys
+    the Kirchhoff transform  K(T(x)) = K(T0) + (K(T1) - K(T0)) x / L  with
+    K(T) = k0*T + k1*T^2/2 (exact; the harmonic-mean face conductivity is
+    2nd-order accurate for smooth k)."""
+    n = 48
+    grid = CartesianGrid(n, 1, 1, 1e-3)
+    mat = Material(7800.0, 490.0, 10.0)
+    mask = jnp.ones(grid.shape, bool)
+    T0v, T1v = 100.0, 900.0
+    dirm = np.zeros(grid.shape, bool)
+    dirm[0] = dirm[-1] = True
+    dval = np.zeros(grid.shape)
+    dval[0], dval[-1] = T0v, T1v
+    packs = build_coeff_packs(mask, grid, mat,
+                              dirichlet_mask=jnp.asarray(dirm),
+                              dirichlet_value=jnp.asarray(dval))
+    k0, k1 = 10.0, 0.04  # k: 14 -> 46 W/m/K over the range
+    Tpts = np.linspace(0.0, 1200.0, 25)
+    kt = PropertyTable(tuple(Tpts), tuple(k0 + k1 * Tpts))
+
+    step = jax.jit(lambda T: adi_step_varprop(T, mask, packs, grid, mat,
+                                              k_table=kt, dt=2.0, theta=1.0))
+    T = jnp.full(grid.shape, 500.0)
+    for _ in range(600):
+        T = step(T)
+    prof = np.asarray(T)[:, 0, 0]
+
+    # Dirichlet is imposed on the first/last CELL CENTERS -> rod length is
+    # (n-1) cells between the pinned centers
+    x = np.arange(n) / (n - 1)
+    K = lambda T: k0 * T + 0.5 * k1 * T * T
+    K_exact = K(T0v) + (K(T1v) - K(T0v)) * x
+    # invert K (monotone quadratic)
+    T_exact = (-k0 + np.sqrt(k0 * k0 + 2.0 * k1 * K_exact)) / k1
+    err = np.abs(prof - T_exact).max()
+    assert err < 1.5, err   # 2nd-order face conductivity on a 48-cell rod
+
+    # sanity: profile must be visibly non-linear (low-k cold side steeper)
+    lin = T0v + (T1v - T0v) * x
+    assert np.abs(prof - lin).max() > 20.0
+
+
+def test_latent_heat_energy_accounting():
+    """Adiabatic block heated by a volumetric source across the mushy zone:
+    the temperature rise must follow the enthalpy curve including L."""
+    grid = CartesianGrid(6, 6, 6, 1e-3)
+    rho, cp_s, cp_l, L = 7800.0, 500.0, 600.0, 2.5e5
+    T_sol, T_liq = 1400.0, 1500.0
+    mat = Material(rho, cp_s, 30.0)
+    mask = jnp.ones(grid.shape, bool)
+    packs = build_coeff_packs(mask, grid, mat)  # adiabatic: no BCs
+    ct = apparent_cp(cp_s, cp_l, L, T_sol, T_liq)
+
+    S = 5e8  # W/m^3
+    dt = 0.05
+    T = jnp.full(grid.shape, 1300.0)
+    Sfield = jnp.full(grid.shape, S)
+    nsteps = 160
+    step = jax.jit(lambda T: adi_step_varprop(T, mask, packs, grid, mat,
+                                              cp_table=ct, dt=dt, theta=1.0,
+                                              source=Sfield))
+    for _ in range(nsteps):
+        T = step(T)
+    T_end = float(jnp.mean(T))
+    assert T_end > T_liq, "must have crossed the mushy zone"
+
+    # enthalpy per kg from 1300 C to T_end
+    dH = (cp_s * (T_sol - 1300.0) + (0.5 * (cp_s + cp_l)) * (T_liq - T_sol)
+          + L + cp_l * (T_end - T_liq))
+    dH_in = S * dt * nsteps / rho
+    np.testing.assert_allclose(dH, dH_in, rtol=0.03)
+
+    # without latent heat the same energy overshoots far beyond T_end
+    T2 = jnp.full(grid.shape, 1300.0)
+    ct2 = PropertyTable((0.0, 2000.0), (cp_s, cp_s))
+    step2 = jax.jit(lambda T: adi_step_varprop(T, mask, packs, grid, mat,
+                                               cp_table=ct2, dt=dt, theta=1.0,
+                                               source=Sfield))
+    for _ in range(nsteps):
+        T2 = step2(T2)
+    assert float(jnp.mean(T2)) > T_end + 0.5 * L / cp_s
