@@ -22,15 +22,18 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..bc.packs import CoeffPacks
 from ..core.grid import CartesianGrid
 from ..core.material import Material
-from ..step.cartesian import implicit_sweep, masked_laplacian_1d
+from ..step.cartesian import (build_sweep_system, implicit_sweep,
+                              masked_laplacian_1d)
 
-__all__ = ["make_mesh", "sharded_adi_step", "shard_field"]
+__all__ = ["make_mesh", "sharded_adi_step", "sharded_adi_step_longz",
+           "shard_field"]
 
 
 def make_mesh(devices=None, shape: tuple[int, int] | None = None,
@@ -105,5 +108,58 @@ def sharded_adi_step(grid: CartesianGrid, mat: Material, mesh: Mesh, *,
                            packs.dir_mask, packs.dir_val, packs.qflux[2],
                            theta_gam, dt, t_inf, axis=2)
         return x
+
+    return step
+
+
+def sharded_adi_step_longz(grid: CartesianGrid, mat: Material, mesh: Mesh, *,
+                           theta: float = 0.5):
+    """Long-axis decomposition: the z axis ITSELF is sharded across chips
+    (the field never reshards).  x/y sweeps are chip-local (z is one of
+    their batch axes); the z sweep runs the substructured distributed
+    tridiagonal solve (dist/substructured.py) — one tiny interface
+    all-gather instead of two full-field all-to-alls.
+
+    ``mesh`` must be 1-D; T/mask/packs sharded ``P(None, None, axis)``.
+    Returns a jitted ``step(T, mask, packs, dt, t_inf)`` with the semantics
+    of step/cartesian.adi_step (substructuring rounds differ by ~ulps from
+    the sequential Thomas)."""
+    from .substructured import substructured_thomas
+
+    if len(mesh.axis_names) != 1:
+        raise ValueError("longz decomposition expects a 1-D mesh")
+    ax = mesh.axis_names[0]
+    kappa = mat.alpha
+    inv_dx2 = 1.0 / (grid.dx * grid.dx)
+    spec = P(None, None, ax)
+
+    def constrain(x):
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    @jax.jit
+    def step(T, mask, packs: CoeffPacks, dt, t_inf):
+        mask = constrain(mask.astype(bool))
+        gam = kappa * dt * inv_dx2
+        theta_gam = theta * gam
+
+        T = constrain(T)
+        lap = (masked_laplacian_1d(T, mask, 0, inv_dx2)
+               + masked_laplacian_1d(T, mask, 1, inv_dx2)
+               + masked_laplacian_1d(T, mask, 2, inv_dx2))
+        R0 = constrain(T + dt * kappa * (1.0 - theta) * lap)
+
+        x = implicit_sweep(R0, mask, packs.coeff[0], packs.dir_mask,
+                           packs.dir_val, packs.qflux[0], theta_gam, dt,
+                           t_inf, axis=0)
+        x = implicit_sweep(constrain(x), mask, packs.coeff[1], packs.dir_mask,
+                           packs.dir_val, packs.qflux[1], theta_gam, dt,
+                           t_inf, axis=1)
+        a, b, c, d = build_sweep_system(constrain(x), mask, packs.coeff[2],
+                                        packs.dir_mask, packs.dir_val,
+                                        packs.qflux[2], theta_gam, dt, t_inf,
+                                        axis=2)
+        mv = lambda t: jnp.moveaxis(t, 2, 0)
+        xz = substructured_thomas(mv(a), mv(b), mv(c), mv(d), mesh, ax)
+        return constrain(jnp.moveaxis(xz, 0, 2))
 
     return step

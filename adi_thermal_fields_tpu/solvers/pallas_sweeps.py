@@ -283,7 +283,7 @@ def fused_sweep_axis0(rhs, code, coeff, theta_gam, dt, t_inf,
 
 def _sweep_kernel_v2(scal_ref, d_hbm, code_hbm, coeff_hbm, out_hbm,
                      xbuf, dpbuf, dbuf, cbuf, fbuf, obuf, in_sem, out_sem, *,
-                     n, cn, b1, b2):
+                     n, cn, b1, b2, grp_rows=8):
     """Chunked-DMA fused sweep along axis 0 (the bandwidth-tuned variant).
 
     Inputs stay in HBM; chunks of ``cn`` line positions are double-buffered
@@ -335,7 +335,7 @@ def _sweep_kernel_v2(scal_ref, d_hbm, code_hbm, coeff_hbm, out_hbm,
     one = jnp.ones((), f32)
     zero_s = jnp.zeros((), f32)
     zero = jnp.zeros((b1, b2), f32)
-    G = 8  # rows per loop iteration: bulk coefficient build + register chain
+    G = grp_rows  # rows per iteration: bulk coefficient build + reg. chain
     carry = (zero, zero)
     for k in range(nchunks):
         slot = k % 2
@@ -397,11 +397,12 @@ def _sweep_kernel_v2(scal_ref, d_hbm, code_hbm, coeff_hbm, out_hbm,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "block_b1",
-                                             "block_b2", "chunk"))
+                                             "block_b2", "chunk",
+                                             "grp_rows"))
 def fused_sweep_axis0_v2(rhs, code, coeff, theta_gam, dt, t_inf,
                          qflux=None, dir_val=None, *, interpret: bool = False,
                          block_b1: int = 8, block_b2: int | None = None,
-                         chunk: int = 64):
+                         chunk: int = 64, grp_rows: int = 8):
     """Bandwidth-tuned fused masked sweep along axis 0 of (n, B1, B2) arrays.
 
     Same math as fused_sweep_axis0; inputs are streamed from HBM in
@@ -439,9 +440,10 @@ def fused_sweep_axis0_v2(rhs, code, coeff, theta_gam, dt, t_inf,
 
     grid = (P1 // block_b1, P2 // block_b2)
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    nchunks = n_pad // cn
 
     kern = functools.partial(_sweep_kernel_v2, n=n_pad, cn=cn, b1=block_b1,
-                             b2=block_b2)
+                             b2=block_b2, grp_rows=grp_rows)
     scratch = [
         pltpu.VMEM((n_pad, block_b1, block_b2), cdt),          # x / cp
         pltpu.VMEM((n_pad, block_b1, block_b2), cdt),          # dp

@@ -37,7 +37,8 @@ from ..core.grid import CartesianGrid
 from ..core.material import Material
 from ..solvers.thomas import thomas
 
-__all__ = ["adi_step", "masked_laplacian_1d", "implicit_sweep", "apply_surface_impulse"]
+__all__ = ["adi_step", "masked_laplacian_1d", "build_sweep_system",
+           "implicit_sweep", "apply_surface_impulse"]
 
 
 def masked_laplacian_1d(T: jax.Array, mask: jax.Array, axis: int, inv_dx2) -> jax.Array:
@@ -53,10 +54,11 @@ def masked_laplacian_1d(T: jax.Array, mask: jax.Array, axis: int, inv_dx2) -> ja
     return jnp.where(mask, (s - cnt * T) * inv_dx2, 0.0)
 
 
-def implicit_sweep(rhs, mask, coeff_ax, dir_mask, dir_val, qflux_ax,
-                   theta_gam, dt, t_inf, axis: int) -> jax.Array:
-    """One per-axis implicit sweep (reference sweep_axis0/1/2,
-    adi3d_numba_coeff.py:132-237) in full-shape batched form."""
+def build_sweep_system(rhs, mask, coeff_ax, dir_mask, dir_val, qflux_ax,
+                       theta_gam, dt, t_inf, axis: int):
+    """The per-axis tridiagonal system (a, b, c, d) of one implicit sweep,
+    in the natural field layout (reference sweep_axis0/1/2 row structure,
+    adi3d_numba_coeff.py:132-237)."""
     # Neighbor couplings exist only between two in-mask cells.
     low = mask & shift_in(mask, axis, -1, fill=False)
     high = mask & shift_in(mask, axis, +1, fill=False)
@@ -79,7 +81,15 @@ def implicit_sweep(rhs, mask, coeff_ax, dir_mask, dir_val, qflux_ax,
     c = jnp.where(pin, 0.0, c)
     b = jnp.where(pin, 1.0, b)
     d = jnp.where(pin, dir_val, d)
+    return a, b, c, d
 
+
+def implicit_sweep(rhs, mask, coeff_ax, dir_mask, dir_val, qflux_ax,
+                   theta_gam, dt, t_inf, axis: int) -> jax.Array:
+    """One per-axis implicit sweep (reference sweep_axis0/1/2,
+    adi3d_numba_coeff.py:132-237) in full-shape batched form."""
+    a, b, c, d = build_sweep_system(rhs, mask, coeff_ax, dir_mask, dir_val,
+                                    qflux_ax, theta_gam, dt, t_inf, axis)
     if axis == 0:
         return thomas(a, b, c, d)
     mv = partial(jnp.moveaxis, source=axis, destination=0)
