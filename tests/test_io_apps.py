@@ -14,13 +14,15 @@ def test_vtk_roundtrip(tmp_path):
     rng = np.random.default_rng(0)
     T = rng.random((4, 5, 6)) * 100
     M = rng.random((4, 5, 6)) > 0.5
-    path = str(tmp_path / "t.vtk")
-    write_vtk_structured_points(path, {"Temperature": T,
-                                       "Mask": M.astype(np.float32)},
-                                spacing=1.0, origin=(1, 2, 3))
-    back = read_vtk_structured_points(path)
-    np.testing.assert_allclose(back["Temperature"], T, rtol=1e-4)
-    np.testing.assert_array_equal(back["Mask"] > 0.5, M)
+    for binary in (False, True):
+        path = str(tmp_path / f"t_{binary}.vtk")
+        write_vtk_structured_points(path, {"Temperature": T,
+                                           "Mask": M.astype(np.float32)},
+                                    spacing=1.0, origin=(1, 2, 3),
+                                    binary=binary)
+        back = read_vtk_structured_points(path)
+        np.testing.assert_allclose(back["Temperature"], T, rtol=1e-4)
+        np.testing.assert_array_equal(back["Mask"] > 0.5, M)
 
 
 def test_checkpoint_roundtrip(tmp_path):
