@@ -77,6 +77,40 @@ def test_sharded_cylindrical_matches_single_device():
                                rtol=1e-12, atol=1e-12)
 
 
+def test_orbax_checkpoint_preserves_sharding(tmp_path):
+    """Sharded run state round-trips through the orbax checkpoint with its
+    mesh sharding restored (multi-host resume path; the reference has no
+    restart capability at all)."""
+    import pytest
+
+    ocp = pytest.importorskip("orbax.checkpoint")  # noqa: F841
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from adi_thermal_fields_tpu.io.checkpoint import (RunState,
+                                                      load_checkpoint_orbax,
+                                                      save_checkpoint_orbax)
+
+    mesh = make_mesh()
+    sh = NamedSharding(mesh, P(None, "a", "b"))
+    rng = np.random.default_rng(2)
+    T = jax.device_put(jnp.asarray(rng.random((8, 8, 8))), sh)
+    active = jax.device_put(jnp.asarray(rng.random((8, 8, 8)) > 0.5), sh)
+    path = str(tmp_path / "ck_orbax")
+    save_checkpoint_orbax(path, RunState(T=T, active=active, t=3.5,
+                                         event_index=4))
+
+    template = {"T": jax.ShapeDtypeStruct(T.shape, T.dtype, sharding=sh),
+                "active": jax.ShapeDtypeStruct(active.shape, active.dtype,
+                                               sharding=sh),
+                "t": np.zeros((), np.float64),
+                "event_index": np.zeros((), np.int64)}
+    st = load_checkpoint_orbax(path, template)
+    assert st.t == 3.5 and st.event_index == 4
+    assert len(st.T.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(st.T), np.asarray(T))
+    np.testing.assert_array_equal(np.asarray(st.active), np.asarray(active))
+
+
 def test_substructured_thomas_matches_sequential():
     """Distributed tridiagonal by substructuring (interface reduction) vs
     the sequential scan Thomas, solve axis split 8 ways — including the
