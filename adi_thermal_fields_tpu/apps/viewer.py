@@ -13,7 +13,6 @@ import glob
 import os
 import re
 
-import numpy as np
 
 __all__ = ["read_vtk_structured_points", "main"]
 
