@@ -1,0 +1,369 @@
+"""Fused Pallas solvers for tridiagonal systems with FIELD coefficients.
+
+The mask-code kernels (pallas_sweeps.py) rebuild a/b/c in registers from an
+int8 code + one Robin field — enough for the constant-property Cartesian
+core.  Two solvers need fully general per-cell coefficients:
+
+  * the masked cylindrical step (step/cylindrical_masked.py): metric factors
+    vary per radius and Robin sinks per exposed face, including mask-broken
+    CYCLIC phi systems (Sherman-Morrison);
+  * temperature-dependent properties (step/cartesian_varprop.py): harmonic
+    face conductivities make every coupling a field.
+
+These kernels stream a, b, c, d from HBM in double-buffered chunks
+(16 B/cell in + 4 B out) with the same cp/dp line-buffer scheme as the v2
+sweeps; the XLA scan path (solvers/thomas.py) materializes the recurrences
+through HBM and runs ~8x slower at production sizes (NOTES.md).
+
+Layout: (n, B1, B2), solve axis leading; batch tiles (8, 256) open /
+(8, 128) cyclic (three n-length line buffers).  Math mirrors
+solvers/thomas.thomas and cyclic_thomas row for row.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_tridiag_fields", "fused_cyclic_fields"]
+
+
+def _round_up(v, m):
+    return -(-v // m) * m
+
+
+def _field_kernel(a_hbm, b_hbm, c_hbm, d_hbm, out_hbm,
+                  xbuf, dpbuf, abuf, bbuf, cbuf, dbuf, in_sem, out_sem, *,
+                  n, cn, b1, b2):
+    """Open (non-cyclic) tridiagonal solve with field coefficients."""
+    f32 = xbuf.dtype
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    r0 = i * b1
+    c0 = j * b2
+    nchunks = n // cn
+    G = 8
+
+    def in_dmas(slot, k):
+        s = k * cn
+        src = lambda ref: ref.at[pl.ds(s, cn), pl.ds(r0, b1), pl.ds(c0, b2)]
+        return (
+            pltpu.make_async_copy(src(a_hbm), abuf.at[slot], in_sem.at[slot, 0]),
+            pltpu.make_async_copy(src(b_hbm), bbuf.at[slot], in_sem.at[slot, 1]),
+            pltpu.make_async_copy(src(c_hbm), cbuf.at[slot], in_sem.at[slot, 2]),
+            pltpu.make_async_copy(src(d_hbm), dbuf.at[slot], in_sem.at[slot, 3]),
+        )
+
+    def out_dma(k):
+        s = k * cn
+        return pltpu.make_async_copy(
+            xbuf.at[pl.ds(s, cn)],
+            out_hbm.at[pl.ds(s, cn), pl.ds(r0, b1), pl.ds(c0, b2)],
+            out_sem.at[k])
+
+    for dma in in_dmas(0, 0):
+        dma.start()
+    if nchunks > 1:
+        for dma in in_dmas(1, 1):
+            dma.start()
+
+    zero = jnp.zeros((b1, b2), f32)
+    carry = (zero, zero)
+    for k in range(nchunks):
+        slot = k % 2
+        for dma in in_dmas(slot, k):
+            dma.wait()
+
+        def grp(g, carry, *, slot=slot, base=k * cn):
+            cp_prev, dp_prev = carry
+            s = g * G
+            a_g = abuf[slot, pl.ds(s, G)].astype(f32)
+            b_g = bbuf[slot, pl.ds(s, G)].astype(f32)
+            c_g = cbuf[slot, pl.ds(s, G)].astype(f32)
+            d_g = dbuf[slot, pl.ds(s, G)].astype(f32)
+            cps, dps = [], []
+            for r in range(G):
+                inv = 1.0 / (b_g[r] - a_g[r] * cp_prev)
+                cp_prev = c_g[r] * inv
+                dp_prev = (d_g[r] - a_g[r] * dp_prev) * inv
+                cps.append(cp_prev)
+                dps.append(dp_prev)
+            xbuf[pl.ds(base + s, G)] = jnp.stack(cps)
+            dpbuf[pl.ds(base + s, G)] = jnp.stack(dps)
+            return cp_prev, dp_prev
+
+        carry = lax.fori_loop(0, cn // G, grp, carry)
+        if k + 2 < nchunks:
+            for dma in in_dmas(slot, k + 2):
+                dma.start()
+
+    x_next = zero
+    for k in range(nchunks - 1, -1, -1):
+        base = k * cn
+
+        def grp_b(gg, x_next, *, base=base):
+            s = (cn // G - 1 - gg) * G
+            cp_g = xbuf[pl.ds(base + s, G)]
+            dp_g = dpbuf[pl.ds(base + s, G)]
+            xs = [None] * G
+            for r in range(G - 1, -1, -1):
+                x_next = dp_g[r] - cp_g[r] * x_next
+                xs[r] = x_next
+            xbuf[pl.ds(base + s, G)] = jnp.stack(xs)
+            return x_next
+
+        x_next = lax.fori_loop(0, cn // G, grp_b, x_next)
+        out_dma(k).start()
+
+    for k in range(nchunks):
+        out_dma(k).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_b1",
+                                             "block_b2", "chunk"))
+def fused_tridiag_fields(a, b, c, d, *, interpret: bool = False,
+                         block_b1: int = 8, block_b2: int = 256,
+                         chunk: int = 64):
+    """Solve tridiagonal systems along axis 0 of (n, B1, B2) field arrays
+    (solvers/thomas.thomas semantics: a[0], c[n-1] ignored)."""
+    n, b1, b2 = d.shape
+    dtype = d.dtype
+    cn = min(chunk, _round_up(n, 8))
+    pn = _round_up(n, cn) - n
+    p1 = _round_up(b1, block_b1) - b1
+    p2 = _round_up(b2, block_b2) - b2
+    if p1 or p2 or pn:
+        pad = ((0, pn), (0, p1), (0, p2))
+        # padded rows: identity (b = 1), zero couplings -> x = 0, sliced off
+        a = jnp.pad(a, pad)
+        b = jnp.pad(b, pad, constant_values=1.0)
+        c = jnp.pad(c, pad)
+        d = jnp.pad(d, pad)
+    n_pad, P1, P2 = d.shape
+    cdt = jnp.promote_types(dtype, jnp.float32)
+
+    grid = (P1 // block_b1, P2 // block_b2)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    out = pl.pallas_call(
+        functools.partial(_field_kernel, n=n_pad, cn=cn, b1=block_b1,
+                          b2=block_b2),
+        grid=grid,
+        in_specs=[hbm, hbm, hbm, hbm],
+        out_specs=hbm,
+        out_shape=jax.ShapeDtypeStruct((n_pad, P1, P2), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n_pad, block_b1, block_b2), cdt),       # x / cp
+            pltpu.VMEM((n_pad, block_b1, block_b2), cdt),       # dp
+            pltpu.VMEM((2, cn, block_b1, block_b2), dtype),     # a chunks
+            pltpu.VMEM((2, cn, block_b1, block_b2), dtype),     # b chunks
+            pltpu.VMEM((2, cn, block_b1, block_b2), dtype),     # c chunks
+            pltpu.VMEM((2, cn, block_b1, block_b2), dtype),     # d chunks
+            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.SemaphoreType.DMA((n_pad // cn,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(a, b, c, d)
+
+    if p1 or p2 or pn:
+        out = out[:n, :b1, :b2]
+    return out
+
+
+def _cyclic_field_kernel(wrap_ref, a_hbm, b_hbm, c_hbm, d_hbm, out_hbm,
+                         ybuf, zbuf, cpbuf, abuf, bbuf, cbuf, dbuf,
+                         in_sem, out_sem, *, n, n_pad, cn, b1, b2):
+    """Cyclic tridiagonal solve with field coefficients (Sherman-Morrison,
+    mirroring solvers/thomas.cyclic_thomas: gauge g = -b[0], u = (g,..,alpha),
+    v = (1,..,beta/g) with alpha = c[n-1], beta = a[0]).
+
+    wrap_ref: (3, B1, B2) = [alpha, beta, gamma] per system (prepared by the
+    wrapper from the wrap rows).  Two solves share one factorization: y in
+    ybuf, z in zbuf, cp in cpbuf; the final rank-1 combination streams out."""
+    f32 = ybuf.dtype
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    r0 = i * b1
+    c0 = j * b2
+    nchunks = n_pad // cn   # loops cover padded rows; wrap logic uses real n
+    G = 8
+
+    alpha = wrap_ref[0].astype(f32)
+    beta = wrap_ref[1].astype(f32)
+    gamma = wrap_ref[2].astype(f32)
+
+    def in_dmas(slot, k):
+        s = k * cn
+        src = lambda ref: ref.at[pl.ds(s, cn), pl.ds(r0, b1), pl.ds(c0, b2)]
+        return (
+            pltpu.make_async_copy(src(a_hbm), abuf.at[slot], in_sem.at[slot, 0]),
+            pltpu.make_async_copy(src(b_hbm), bbuf.at[slot], in_sem.at[slot, 1]),
+            pltpu.make_async_copy(src(c_hbm), cbuf.at[slot], in_sem.at[slot, 2]),
+            pltpu.make_async_copy(src(d_hbm), dbuf.at[slot], in_sem.at[slot, 3]),
+        )
+
+    def out_dma(k):
+        s = k * cn
+        return pltpu.make_async_copy(
+            ybuf.at[pl.ds(s, cn)],
+            out_hbm.at[pl.ds(s, cn), pl.ds(r0, b1), pl.ds(c0, b2)],
+            out_sem.at[k])
+
+    for dma in in_dmas(0, 0):
+        dma.start()
+    if nchunks > 1:
+        for dma in in_dmas(1, 1):
+            dma.start()
+
+    zero = jnp.zeros((b1, b2), f32)
+    carry = (zero, zero, zero)
+    for k in range(nchunks):
+        slot = k % 2
+        for dma in in_dmas(slot, k):
+            dma.wait()
+
+        def grp(g, carry, *, slot=slot, base=k * cn):
+            cp_prev, dy_prev, dz_prev = carry
+            s = g * G
+            a_g = abuf[slot, pl.ds(s, G)].astype(f32)
+            b_g = bbuf[slot, pl.ds(s, G)].astype(f32)
+            c_g = cbuf[slot, pl.ds(s, G)].astype(f32)
+            d_g = dbuf[slot, pl.ds(s, G)].astype(f32)
+            cps, dys, dzs = [], [], []
+            for r in range(G):
+                row = base + s + r
+                first = row == 0
+                last = row == n - 1
+                a_r = jnp.where(first, 0.0, a_g[r])
+                c_r = jnp.where(last, 0.0, c_g[r])
+                b_r = b_g[r] + jnp.where(first, -gamma, 0.0) \
+                    + jnp.where(last, -alpha * beta / gamma, 0.0)
+                u_r = jnp.where(first, gamma, jnp.where(last, alpha, zero))
+                inv = 1.0 / (b_r - a_r * cp_prev)
+                cp_prev = c_r * inv
+                dy_prev = (d_g[r] - a_r * dy_prev) * inv
+                dz_prev = (u_r - a_r * dz_prev) * inv
+                cps.append(cp_prev)
+                dys.append(dy_prev)
+                dzs.append(dz_prev)
+            cpbuf[pl.ds(base + s, G)] = jnp.stack(cps)
+            ybuf[pl.ds(base + s, G)] = jnp.stack(dys)
+            zbuf[pl.ds(base + s, G)] = jnp.stack(dzs)
+            return cp_prev, dy_prev, dz_prev
+
+        carry = lax.fori_loop(0, cn // G, grp, carry)
+        if k + 2 < nchunks:
+            for dma in in_dmas(slot, k + 2):
+                dma.start()
+
+    y_next = zero
+    z_next = zero
+    for k in range(nchunks - 1, -1, -1):
+        base = k * cn
+
+        def grp_b(gg, carry, *, base=base):
+            y_next, z_next = carry
+            s = (cn // G - 1 - gg) * G
+            cp_g = cpbuf[pl.ds(base + s, G)]
+            dy_g = ybuf[pl.ds(base + s, G)]
+            dz_g = zbuf[pl.ds(base + s, G)]
+            ys, zs = [None] * G, [None] * G
+            for r in range(G - 1, -1, -1):
+                y_next = dy_g[r] - cp_g[r] * y_next
+                z_next = dz_g[r] - cp_g[r] * z_next
+                ys[r] = y_next
+                zs[r] = z_next
+            ybuf[pl.ds(base + s, G)] = jnp.stack(ys)
+            zbuf[pl.ds(base + s, G)] = jnp.stack(zs)
+            return y_next, z_next
+
+        y_next, z_next = lax.fori_loop(0, cn // G, grp_b, (y_next, z_next))
+
+    # rank-1 combination; yn/zn = last REAL row (padded rows are identity)
+    yn = ybuf[n - 1]
+    zn = zbuf[n - 1]
+    fact = (y_next + beta * yn / gamma) / (1.0 + z_next + beta * zn / gamma)
+
+    for k in range(nchunks):
+        base = k * cn
+
+        def fix(g, _, *, base=base):
+            s = g * G
+            ybuf[pl.ds(base + s, G)] = (ybuf[pl.ds(base + s, G)]
+                                        - fact[None] * zbuf[pl.ds(base + s, G)])
+            return 0
+
+        lax.fori_loop(0, cn // G, fix, 0)
+        out_dma(k).start()
+
+    for k in range(nchunks):
+        out_dma(k).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_b1",
+                                             "block_b2", "chunk"))
+def fused_cyclic_fields(a, b, c, d, *, interpret: bool = False,
+                        block_b1: int = 8, block_b2: int = 128,
+                        chunk: int = 64):
+    """Solve CYCLIC tridiagonal systems along axis 0 of (n, B1, B2) field
+    arrays (solvers/thomas.cyclic_thomas default convention: the wrap
+    couplings are ``beta = a[0]`` and ``alpha = c[n-1]``)."""
+    n, b1, b2 = d.shape
+    dtype = d.dtype
+    alpha = c[n - 1]
+    beta = a[0]
+    gamma = -b[0]
+    wrap = jnp.stack([alpha, beta, gamma]).astype(dtype)
+
+    cn = min(chunk, _round_up(n, 8))
+    pn = _round_up(n, cn) - n
+    p1 = _round_up(b1, block_b1) - b1
+    p2 = _round_up(b2, block_b2) - b2
+    if p1 or p2 or pn:
+        pad = ((0, pn), (0, p1), (0, p2))
+        a = jnp.pad(a, pad)
+        b = jnp.pad(b, pad, constant_values=1.0)
+        c = jnp.pad(c, pad)
+        d = jnp.pad(d, pad)
+        wrap = jnp.pad(wrap, ((0, 0), (0, p1), (0, p2)))
+        # padded systems: keep gamma nonzero so alpha*beta/gamma and the
+        # rank-1 denominators stay finite (alpha = beta = 0 there)
+        wrap = wrap.at[2].set(jnp.where(wrap[2] == 0, -1.0, wrap[2]))
+    n_pad, P1, P2 = d.shape
+    cdt = jnp.promote_types(dtype, jnp.float32)
+
+    grid = (P1 // block_b1, P2 // block_b2)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    wspec = pl.BlockSpec((3, block_b1, block_b2), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_cyclic_field_kernel, n=n, n_pad=n_pad, cn=cn,
+                          b1=block_b1, b2=block_b2),
+        grid=grid,
+        in_specs=[wspec, hbm, hbm, hbm, hbm],
+        out_specs=hbm,
+        out_shape=jax.ShapeDtypeStruct((n_pad, P1, P2), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n_pad, block_b1, block_b2), cdt),       # y / dy
+            pltpu.VMEM((n_pad, block_b1, block_b2), cdt),       # z / dz
+            pltpu.VMEM((n_pad, block_b1, block_b2), cdt),       # cp
+            pltpu.VMEM((2, cn, block_b1, block_b2), dtype),     # a chunks
+            pltpu.VMEM((2, cn, block_b1, block_b2), dtype),     # b chunks
+            pltpu.VMEM((2, cn, block_b1, block_b2), dtype),     # c chunks
+            pltpu.VMEM((2, cn, block_b1, block_b2), dtype),     # d chunks
+            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.SemaphoreType.DMA((n_pad // cn,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(wrap, a, b, c, d)
+
+    if p1 or p2 or pn:
+        out = out[:n, :b1, :b2]
+    return out

@@ -93,12 +93,19 @@ def adi_step_varprop(T: jax.Array, mask: jax.Array, packs: CoeffPacks,
                      k_table: PropertyTable | None = None,
                      cp_table: PropertyTable | None = None,
                      dt, theta: float = 0.5, t_inf=0.0,
-                     source: jax.Array | None = None) -> jax.Array:
+                     source: jax.Array | None = None,
+                     implementation: str = "auto") -> jax.Array:
     """One theta-scheme ADI step with T-dependent k and/or cp.
 
     mat_ref: the reference material whose rho (constant) and cp were used to
     build ``packs``; constant tables reproduce adi_step_cartesian.
+    implementation: "pallas" (fused field-coefficient sweeps), "xla"
+    (scan solver), or "auto" (pallas on TPU).
     """
+    if implementation == "auto":
+        implementation = "pallas" if jax.default_backend() == "tpu" else "xla"
+    use_pallas = implementation == "pallas"
+    interp = jax.default_backend() != "tpu"
     mask = mask.astype(bool)
     dtype = T.dtype
     dt = jnp.asarray(dt, jnp.promote_types(dtype, jnp.float32))
@@ -145,7 +152,13 @@ def adi_step_varprop(T: jax.Array, mask: jax.Array, packs: CoeffPacks,
         b = jnp.where(pin, 1.0, b)
         d = jnp.where(pin, packs.dir_val, d)
         mv = lambda t: jnp.moveaxis(t, axis, 0)
-        x = thomas(mv(a), mv(b), mv(c), mv(d))
+        if use_pallas:
+            from ..solvers.pallas_fields import fused_tridiag_fields
+
+            x = fused_tridiag_fields(mv(a), mv(b), mv(c), mv(d),
+                                     interpret=interp)
+        else:
+            x = thomas(mv(a), mv(b), mv(c), mv(d))
         return jnp.moveaxis(x, 0, axis)
 
     U = sweep(R0, 0)

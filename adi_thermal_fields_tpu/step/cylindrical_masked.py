@@ -60,7 +60,8 @@ def adi_step_masked_robin(T: jax.Array, grid: CylindricalGrid, mat: Material, *,
                           h_void: float = 0.0, T_inf_void: float = 20.0,
                           h_front: float | None = None,
                           source: jax.Array | None = None,
-                          constrain=None) -> jax.Array:
+                          constrain=None,
+                          implementation: str = "auto") -> jax.Array:
     """One BE step of the masked cylindrical problem.
 
     Parameters
@@ -79,7 +80,15 @@ def adi_step_masked_robin(T: jax.Array, grid: CylindricalGrid, mat: Material, *,
         with stage in {"r", "phi", "z"} — the multi-chip layer
         (dist/cylindrical.py) passes sharding constraints here so every
         sweep's solve axis stays chip-local.
+    implementation : "pallas" (fused field-coefficient kernels,
+        solvers/pallas_fields.py), "xla" (scan solvers), or "auto"
+        (pallas on a single TPU; xla elsewhere and under ``constrain``).
     """
+    if implementation == "auto":
+        implementation = ("pallas" if (jax.default_backend() == "tpu"
+                                       and constrain is None) else "xla")
+    use_pallas = implementation == "pallas"
+    interp = jax.default_backend() != "tpu"
     if constrain is None:
         constrain = lambda x, stage: x
     dtype = T.dtype
@@ -194,7 +203,13 @@ def adi_step_masked_robin(T: jax.Array, grid: CylindricalGrid, mat: Material, *,
         d = jnp.where(pin, pin_val, d)
 
         mv = lambda t: jnp.moveaxis(t, axis, 0)
-        if periodic:
+        if use_pallas:
+            from ..solvers.pallas_fields import (fused_cyclic_fields,
+                                                 fused_tridiag_fields)
+
+            solve = fused_cyclic_fields if periodic else fused_tridiag_fields
+            x = solve(mv(a), mv(b), mv(c), mv(d), interpret=interp)
+        elif periodic:
             x = cyclic_thomas(mv(a), mv(b), mv(c), mv(d))
         else:
             x = thomas(mv(a), mv(b), mv(c), mv(d))

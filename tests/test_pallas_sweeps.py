@@ -163,3 +163,74 @@ def test_pallas_step_matches_xla_step(with_bcs):
                               t_inf=t_inf, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-12,
                                atol=1e-10)
+
+
+def test_field_kernels_match_scan_solvers():
+    """Fused field-coefficient kernels (solvers/pallas_fields.py): open and
+    cyclic solves vs the scan solvers."""
+    from adi_thermal_fields_tpu.solvers.pallas_fields import (
+        fused_cyclic_fields, fused_tridiag_fields)
+    from adi_thermal_fields_tpu.solvers.thomas import cyclic_thomas, thomas
+
+    rng = np.random.default_rng(3)
+    for shape in [(16, 5, 7), (40, 8, 130), (33, 3, 20)]:
+        a = jnp.asarray(rng.normal(0, 0.3, shape))
+        c = jnp.asarray(rng.normal(0, 0.3, shape))
+        b = jnp.asarray(2.5 + rng.random(shape))
+        d = jnp.asarray(rng.normal(0, 100, shape))
+        np.testing.assert_allclose(
+            np.asarray(fused_tridiag_fields(a, b, c, d, interpret=True,
+                                            chunk=8)),
+            np.asarray(thomas(a, b, c, d)), rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(fused_cyclic_fields(a, b, c, d, interpret=True,
+                                           chunk=8)),
+            np.asarray(cyclic_thomas(a, b, c, d)), rtol=1e-11, atol=1e-11)
+
+
+def test_masked_cylindrical_pallas_matches_xla():
+    """The masked-Robin cylindrical step on the fused field kernels
+    (mask-broken cyclic phi included) vs the scan path."""
+    from adi_thermal_fields_tpu import CylindricalGrid, RobinBC, ZFaceBC
+    from adi_thermal_fields_tpu.step.cylindrical_masked import (
+        adi_step_masked_robin)
+
+    grid = CylindricalGrid(5, 24, 10, 4e-4, 1e-3, r_inner=0.03)
+    mat = Material(7800.0, 490.0, 54.0)
+    rob = RobinBC(350.0, 20.0)
+    zbc = ZFaceBC(kind_top="robin", h_top=400.0, T_inf_top=20.0)
+    rng = np.random.default_rng(8)
+    act = np.zeros(grid.shape, bool)
+    act[:, :, :6] = True
+    act[:, :15, 6:8] = True
+    active = jnp.asarray(act)
+    T0 = jnp.asarray(np.where(act, 20 + 1480 * rng.random(grid.shape), 20.0))
+    kw = dict(dt=0.05, active=active, robin_outer=rob, zbc=zbc,
+              robin_inner=rob, h_void=80.0, T_inf_void=20.0)
+    ref = adi_step_masked_robin(T0, grid, mat, implementation="xla", **kw)
+    got = adi_step_masked_robin(T0, grid, mat, implementation="pallas", **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-11,
+                               atol=1e-9)
+
+
+def test_varprop_pallas_matches_xla():
+    """The T-dependent-property step on the fused field kernels."""
+    from adi_thermal_fields_tpu.step.cartesian_varprop import (PropertyTable,
+                                                               adi_step_varprop)
+
+    grid = CartesianGrid(10, 9, 8, 1e-3)
+    mat = Material(7800.0, 490.0, 54.0)
+    rng = np.random.default_rng(0)
+    mask = jnp.asarray(rng.random(grid.shape) > 0.3)
+    T0 = jnp.asarray(np.where(np.asarray(mask),
+                              20 + 880 * rng.random(grid.shape), 20.0))
+    packs = build_coeff_packs(mask, grid, mat, robin_h=250.0)
+    Tp = np.linspace(0.0, 1200.0, 13)
+    kt = PropertyTable(tuple(Tp), tuple(30.0 + 0.02 * Tp))
+    kw = dict(k_table=kt, dt=0.05, theta=0.5, t_inf=20.0)
+    ref = adi_step_varprop(T0, mask, packs, grid, mat,
+                           implementation="xla", **kw)
+    got = adi_step_varprop(T0, mask, packs, grid, mat,
+                           implementation="pallas", **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-11,
+                               atol=1e-9)
