@@ -53,9 +53,6 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
     if implementation == "auto":
         # the fused kernels are TPU Mosaic; every other backend gets XLA
         implementation = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if mesh is not None and source_fn is not None:
-        raise NotImplementedError("source_fn with mesh: add the source term "
-                                  "to the sharded steps first")
     pack_dtype = dtype or jnp.result_type(float)
 
     def _packs(active):
@@ -83,7 +80,12 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
 
         @jax.jit
         def advance(T, prep, dt, n_sub, t0=0.0):
-            return lax.fori_loop(0, n_sub, lambda i, T: inner(T, prep, dt), T)
+            def body(i, T):
+                src = (None if source_fn is None
+                       else source_fn(jnp.asarray(t0, T.dtype) + i * dt))
+                return inner(T, prep, dt, src)
+
+            return lax.fori_loop(0, n_sub, body, T)
 
     elif mesh is not None:
         from ..dist.cartesian import sharded_adi_step
@@ -99,8 +101,13 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
         def advance(T, prep, dt, n_sub, t0=0.0):
             active, packs = prep
             t_inf_ = jnp.asarray(t_inf, T.dtype)
-            return lax.fori_loop(
-                0, n_sub, lambda i, T: inner(T, active, packs, dt, t_inf_), T)
+
+            def body(i, T):
+                src = (None if source_fn is None
+                       else source_fn(jnp.asarray(t0, T.dtype) + i * dt))
+                return inner(T, active, packs, dt, t_inf_, src)
+
+            return lax.fori_loop(0, n_sub, body, T)
 
     elif implementation == "pallas":
         from ..step.cartesian_pallas import adi_step_pallas, build_sweep_plan

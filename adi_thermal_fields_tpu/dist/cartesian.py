@@ -86,7 +86,7 @@ def sharded_adi_step(grid: CartesianGrid, mat: Material, mesh: Mesh, *,
             x, NamedSharding(mesh, _spec_for_sweep(axis, a, b)))
 
     @partial(jax.jit, static_argnames=())
-    def step(T, mask, packs: CoeffPacks, dt, t_inf):
+    def step(T, mask, packs: CoeffPacks, dt, t_inf, source=None):
         mask = mask.astype(bool)
         gam = kappa * dt * inv_dx2
         theta_gam = theta * gam
@@ -97,6 +97,8 @@ def sharded_adi_step(grid: CartesianGrid, mat: Material, mesh: Mesh, *,
                + masked_laplacian_1d(T, mask0, 1, inv_dx2)
                + masked_laplacian_1d(T, mask0, 2, inv_dx2))
         R0 = T + dt * kappa * (1.0 - theta) * lap
+        if source is not None:
+            R0 = R0 + jnp.where(mask0, dt * source / (mat.rho * mat.cp), 0.0)
 
         x = implicit_sweep(constrain(R0, 0), mask0, packs.coeff[0],
                            packs.dir_mask, packs.dir_val, packs.qflux[0],

@@ -108,7 +108,7 @@ def sharded_adi_step_pallas(grid: CartesianGrid, mat: Material, mesh: Mesh, *,
         return jnp.where((plan.codes[ax] & 4) > 0, 0.0, plan.coeffs[ax])
 
     @jax.jit
-    def step(T, plan: SweepPlan, dt):
+    def step(T, plan: SweepPlan, dt, source=None):
         mask = plan.mask
         dt = jnp.asarray(dt, T.dtype)
         gam = kappa * dt * inv_dx2
@@ -119,6 +119,8 @@ def sharded_adi_step_pallas(grid: CartesianGrid, mat: Material, mesh: Mesh, *,
                + masked_laplacian_1d(T, mask, 1, inv_dx2)
                + masked_laplacian_1d(T, mask, 2, inv_dx2))
         R0 = T + dt * kappa * (1.0 - theta) * lap
+        if source is not None:
+            R0 = R0 + jnp.where(mask, dt * source / (mat.rho * mat.cp), 0.0)
 
         U = sweep_x(constrain(prefold(R0, plan, 0, dt), s[0]),
                     plan.codes[0], coeff_of(plan, 0), tg, dt)

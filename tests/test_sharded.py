@@ -77,6 +77,38 @@ def test_sharded_cylindrical_matches_single_device():
                                rtol=1e-12, atol=1e-12)
 
 
+def test_sharded_engine_with_moving_source_matches_single_device():
+    """Mesh-aware engine with a traced volumetric source (moving Goldak
+    torch) matches the single-device advance."""
+    from adi_thermal_fields_tpu.apps.engine import make_cartesian_engine
+    from adi_thermal_fields_tpu.birth.heat_source import (GoldakSource,
+                                                          goldak_source)
+
+    grid = CartesianGrid(16, 16, 8, 1e-3)
+    mat = Material(7800.0, 490.0, 54.0)
+    mask = jnp.ones(grid.shape, bool)
+    g = GoldakSource(power=1500.0, a_f=2e-3, a_r=4e-3, b=2e-3, c=2e-3,
+                     travel_axis=0)
+
+    def src(t):
+        return goldak_source(grid, g, (4e-3 + 8e-3 * t, 8e-3, 7.5e-3),
+                             dtype=jnp.result_type(float))
+
+    T0 = jnp.full(grid.shape, 20.0)
+    kw = dict(theta=0.5, t_inf=20.0, robin_h=100.0, source_fn=src)
+    prep1, adv1 = make_cartesian_engine(grid, mat, **kw)
+    ref = adv1(T0, prep1(mask), 0.05, 4, 0.0)
+
+    mesh = make_mesh()
+    prep2, adv2 = make_cartesian_engine(grid, mat, mesh=mesh, **kw)
+    T = shard_field(T0, mesh, 0)
+    out = adv2(T, prep2(shard_field(mask, mesh, 0)), 0.05, 4, 0.0)
+    assert len(out.sharding.device_set) == 8
+    assert float(out.max()) > 25.0   # the torch heated the plate
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-12,
+                               atol=1e-12)
+
+
 def test_orbax_checkpoint_preserves_sharding(tmp_path):
     """Sharded run state round-trips through the orbax checkpoint with its
     mesh sharding restored (multi-host resume path; the reference has no
