@@ -29,6 +29,8 @@ core).  Void rows are identity rows pinned to the void ambient.
 """
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -38,7 +40,26 @@ from ..core.material import Material
 from ..solvers.thomas import cyclic_thomas, thomas
 from .cylindrical import RobinBC, ZFaceBC
 
-__all__ = ["adi_step_masked_robin"]
+__all__ = ["MaskedRobinPlan", "build_masked_robin_plan",
+           "masked_robin_solve", "adi_step_masked_robin"]
+
+
+class MaskedRobinPlan(NamedTuple):
+    """Per-sweep inputs of the masked-Robin step, precomputed from the
+    activation mask (rebuild on birth events only).  Each sweep tuple is
+    ``(cup_lo, cup_hi, geo_lo, geo_hi, sink, sink_rhs)`` — bool coupling
+    masks (void/pin folded in), BROADCAST geometry factors (columns/scalars,
+    not materialized fields: storing folded f32 coupling fields measured
+    slower than recomputing from 1-byte masks — NOTES.md), and the Robin
+    sink fields, all per unit ``fac = dt*alpha``."""
+
+    active: jax.Array
+    pin: jax.Array
+    pin_val: jax.Array
+    ambient: jax.Array
+    r: tuple
+    phi: tuple | None
+    z: tuple
 
 
 def _shift(m: jax.Array, axis: int, direction: int, fill=False) -> jax.Array:
@@ -84,14 +105,24 @@ def adi_step_masked_robin(T: jax.Array, grid: CylindricalGrid, mat: Material, *,
         solvers/pallas_fields.py), "xla" (scan solvers), or "auto"
         (pallas on a single TPU; xla elsewhere and under ``constrain``).
     """
-    if implementation == "auto":
-        implementation = ("pallas" if (jax.default_backend() == "tpu"
-                                       and constrain is None) else "xla")
-    use_pallas = implementation == "pallas"
-    interp = jax.default_backend() != "tpu"
-    if constrain is None:
-        constrain = lambda x, stage: x
-    dtype = T.dtype
+    plan = build_masked_robin_plan(grid, mat, active, robin_outer=robin_outer,
+                                   zbc=zbc, robin_inner=robin_inner,
+                                   h_void=h_void, T_inf_void=T_inf_void,
+                                   h_front=h_front, dtype=T.dtype)
+    return masked_robin_solve(T, plan, grid, mat, dt=dt, source=source,
+                              constrain=constrain,
+                              implementation=implementation)
+
+
+def build_masked_robin_plan(grid: CylindricalGrid, mat: Material,
+                            active: jax.Array, *, robin_outer: RobinBC,
+                            zbc: ZFaceBC, robin_inner: RobinBC | None = None,
+                            h_void: float = 0.0, T_inf_void: float = 20.0,
+                            h_front: float | None = None,
+                            dtype=None) -> MaskedRobinPlan:
+    """Precompute the per-sweep coefficient fields (jitted; depends only on
+    the activation mask — rebuild on birth events, not per sub-step)."""
+    dtype = dtype or jnp.result_type(float)
     active = active.astype(bool)
     nr, nphi, nz = grid.shape
     dr, dz, dphi = grid.dr, grid.dz, grid.dphi
@@ -101,8 +132,6 @@ def adi_step_masked_robin(T: jax.Array, grid: CylindricalGrid, mat: Material, *,
     r = np.maximum(np.asarray(grid.r, np.float64), 1e-15)
     r_imh = np.maximum(np.asarray(grid.r_imh, np.float64), 0.0)
     r_iph = np.asarray(grid.r_iph, np.float64)
-
-    fac = jnp.asarray(dt * mat.alpha, dtype)  # BE: theta = 1
     inv_k = 1.0 / mat.k
 
     # Coupling presence per face (both cells active; domain edges absent).
@@ -176,31 +205,65 @@ def adi_step_masked_robin(T: jax.Array, grid: CylindricalGrid, mat: Material, *,
         pin = pin | pt
         pin_val = jnp.where(pt, zbc.T_top, pin_val)
 
-    ambient = jnp.asarray(T_inf_void, dtype)
+    live = active & ~pin   # rows with couplings/sinks
 
-    def sweep(rhs, axis, cup_lo, cup_hi, geom_lo, geom_hi, sink, sink_rhs,
-              periodic=False, row_zero_phi=False):
-        """Generic masked implicit sweep along ``axis``.
+    def pack(cup_lo, cup_hi, geom_lo, geom_hi, sink, sink_rhs):
+        """Fold void/pin into the bool coupling masks and sink fields; keep
+        the geometry as broadcasts (cheap to re-expand per step)."""
+        return (cup_lo & live, cup_hi & live,
+                jnp.asarray(geom_lo, dtype), jnp.asarray(geom_hi, dtype),
+                jnp.where(live, sink, 0.0), jnp.where(live, sink_rhs, 0.0))
 
-        cup_lo/cup_hi: bool coupling masks to the -/+ neighbors.
-        geom_lo/geom_hi: geometric coupling factors (per unit fac).
-        sink/sink_rhs: Robin diagonal additions and their RHS terms
-        (per unit fac).
-        """
-        a = jnp.where(cup_lo, -fac * geom_lo, 0.0).astype(dtype)
-        c = jnp.where(cup_hi, -fac * geom_hi, 0.0).astype(dtype)
-        b = 1.0 - (a + c) + fac * sink
+    geo_r_lo = col(r_imh / (r * dr * dr))
+    geo_r_hi = col(r_iph / (r * dr * dr))
+    r_sw = pack(coupled(0, -1), coupled(0, +1), geo_r_lo, geo_r_hi,
+                sink_rm + sink_rp, rhs_rm + rhs_rp)
+
+    phi_sw = None
+    if nphi > 1:
+        geo_phi = col(1.0 / (r * r * dphi * dphi))
+        if not grid.is_annular:
+            # axis-row regularity on full disks (adi3d_cyl_phi_v3.py:314-317)
+            geo_phi = geo_phi.at[0].set(0.0)
+        phi_sw = pack(jnp.roll(active, 1, 1) & active,
+                      jnp.roll(active, -1, 1) & active, geo_phi, geo_phi,
+                      sink_pm, rhs_pm)
+
+    geo_z = jnp.full((), 1.0 / (dz * dz), dtype)
+    z_sw = pack(coupled(2, -1), coupled(2, +1), geo_z, geo_z,
+                sink_zm + sink_zp, rhs_zm + rhs_zp)
+
+    return MaskedRobinPlan(active, pin, pin_val,
+                           jnp.asarray(T_inf_void, dtype), r_sw, phi_sw, z_sw)
+
+
+def masked_robin_solve(T: jax.Array, plan: MaskedRobinPlan,
+                       grid: CylindricalGrid, mat: Material, *, dt,
+                       source: jax.Array | None = None, constrain=None,
+                       implementation: str = "auto") -> jax.Array:
+    """One BE step from a prebuilt plan (per-step work: scale the plan's
+    per-unit-fac fields by ``fac = dt*alpha`` and solve the three sweeps)."""
+    if implementation == "auto":
+        implementation = ("pallas" if (jax.default_backend() == "tpu"
+                                       and constrain is None) else "xla")
+    use_pallas = implementation == "pallas"
+    interp = jax.default_backend() != "tpu"
+    if constrain is None:
+        constrain = lambda x, stage: x
+    dtype = T.dtype
+    active = plan.active
+    pin = plan.pin
+    ambient = plan.ambient
+    fac = jnp.asarray(dt * mat.alpha, dtype)  # BE: theta = 1
+
+    def sweep(rhs, axis, sw, periodic=False):
+        cup_lo, cup_hi, geo_lo, geo_hi, sink, sink_rhs = sw
+        a = jnp.where(cup_lo, -fac * geo_lo, 0.0).astype(dtype)
+        c = jnp.where(cup_hi, -fac * geo_hi, 0.0).astype(dtype)
+        b = 1.0 - (a + c) + fac * sink     # void/pinned rows: exactly 1
         d = rhs + fac * sink_rhs
-        # void rows: identity pinned to ambient
-        b = jnp.where(active, b, 1.0)
-        a = jnp.where(active, a, 0.0)
-        c = jnp.where(active, c, 0.0)
         d = jnp.where(active, d, ambient)
-        # Dirichlet-pinned rows
-        a = jnp.where(pin, 0.0, a)
-        c = jnp.where(pin, 0.0, c)
-        b = jnp.where(pin, 1.0, b)
-        d = jnp.where(pin, pin_val, d)
+        d = jnp.where(pin, plan.pin_val, d)
 
         mv = lambda t: jnp.moveaxis(t, axis, 0)
         if use_pallas:
@@ -218,25 +281,8 @@ def adi_step_masked_robin(T: jax.Array, grid: CylindricalGrid, mat: Material, *,
     R0 = T if source is None else T + dt * source / (mat.rho * mat.cp)
     R0 = jnp.where(active, R0, ambient)
 
-    # --- r sweep ---
-    geo_r_lo = col(r_imh / (r * dr * dr))
-    geo_r_hi = col(r_iph / (r * dr * dr))
-    X = sweep(constrain(R0, "r"), 0, coupled(0, -1), coupled(0, +1),
-              geo_r_lo, geo_r_hi, sink_rm + sink_rp, rhs_rm + rhs_rp)
-
-    # --- phi sweep (periodic, mask-broken cyclic systems) ---
-    if nphi > 1:
-        geo_phi = col(1.0 / (r * r * dphi * dphi))
-        if not grid.is_annular:
-            # axis-row regularity on full disks (adi3d_cyl_phi_v3.py:314-317)
-            geo_phi = geo_phi.at[0].set(0.0)
-        X = sweep(constrain(X, "phi"), 1, jnp.roll(active, 1, 1) & active,
-                  jnp.roll(active, -1, 1) & active, geo_phi, geo_phi,
-                  sink_pm, rhs_pm, periodic=True)
-
-    # --- z sweep ---
-    geo_z = 1.0 / (dz * dz)
-    X = sweep(constrain(X, "z"), 2, coupled(2, -1), coupled(2, +1),
-              geo_z, geo_z, sink_zm + sink_zp, rhs_zm + rhs_zp)
-
+    X = sweep(constrain(R0, "r"), 0, plan.r)
+    if plan.phi is not None:
+        X = sweep(constrain(X, "phi"), 1, plan.phi, periodic=True)
+    X = sweep(constrain(X, "z"), 2, plan.z)
     return jnp.where(active, X, ambient)
