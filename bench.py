@@ -180,6 +180,73 @@ def main_bf16():
     }))
 
 
+def run_masked_cylindrical(shape=(64, 512, 256), steps=10, dtype=None):
+    """Masked-Robin cylindrical step (element birth; field-coefficient
+    fused kernels) on a part-deposited geometry."""
+    import jax
+    import jax.numpy as jnp
+
+    from adi_thermal_fields_tpu import (CylindricalGrid, Material, RobinBC,
+                                        ZFaceBC)
+    from adi_thermal_fields_tpu.step.cylindrical_masked import (
+        adi_step_masked_robin)
+
+    dtype = dtype or jnp.float32
+    nr, nphi, nz = shape
+    grid = CylindricalGrid(nr, nphi, nz, 5e-4, 5e-4, r_inner=0.02)
+    mat = Material(7800.0, 490.0, 54.0)
+    rob = RobinBC(300.0, 20.0)
+    zbc = ZFaceBC(kind_top="robin", h_top=400.0, T_inf_top=20.0)
+    act = np.zeros(shape, bool)
+    act[:, :, :nz // 2] = True
+    act[:, :(3 * nphi) // 5, nz // 2:nz // 2 + nz // 8] = True
+    active = jnp.asarray(act)
+
+    @jax.jit
+    def step(T, a, dt):
+        return adi_step_masked_robin(T, grid, mat, dt=dt, active=a,
+                                     robin_outer=rob, zbc=zbc, robin_inner=rob,
+                                     h_void=80.0, implementation="pallas")
+
+    probe = jax.jit(lambda x: jnp.sum(x[::16, ::64, ::64]))
+    T = jnp.where(active, 900.0, 20.0).astype(dtype)
+    dt = jnp.asarray(0.02, dtype)
+    T = step(T, active, dt)
+    float(probe(T))
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        T = step(T, active, dt)
+    float(probe(T))
+    el = (time.perf_counter() - t0) / steps
+    assert bool(jnp.isfinite(T).all())
+    return nr * nphi * nz / el, el
+
+
+def main_masked():
+    # traffic model: 3 solves x (read a,b,c,d 16B + write 4B) = 60 B/cell
+    sol = HBM_BYTES_PER_S / 60.0
+    value = None
+    for shape in ((64, 512, 256), (32, 256, 128)):
+        for attempt in range(3):
+            try:
+                value, per_step = run_masked_cylindrical(shape)
+                print(f"[bench] masked-cyl {shape}: {per_step * 1e3:.2f} "
+                      f"ms/step -> {value / 1e9:.3f} Gcell/s", file=sys.stderr)
+                break
+            except Exception as e:
+                print(f"[bench] masked-cyl {shape} attempt {attempt}: "
+                      f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+                value = None
+        if value is not None:
+            break
+    print(json.dumps({
+        "metric": f"masked_cyl_cell_updates_per_s_per_chip_{shape}_f32",
+        "value": value or 0.0,
+        "unit": "cell/s",
+        "vs_baseline": (value or 0.0) / sol,
+    }))
+
+
 def main():
     value = None
     for n in (512, 384, 256, 128):
@@ -213,5 +280,7 @@ if __name__ == "__main__":
         main_cylindrical()
     elif "--case" in sys.argv and "bf16" in sys.argv:
         main_bf16()
+    elif "--case" in sys.argv and "masked" in sys.argv:
+        main_masked()
     else:
         main()
