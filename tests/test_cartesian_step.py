@@ -194,3 +194,27 @@ def test_float32_adequacy_vs_float64():
         T32 = step32(T32)
     err = float(jnp.abs(T32.astype(jnp.float64) - T64).max())
     assert err < 0.05, err  # well under the 60 C oracle tolerances
+
+
+def test_apply_surface_impulse_semantics():
+    """Reference apply_surface_impulse_Q (adi3d_numba_coeff.py:304-320, dead
+    code there): dT = Q/(rho*cp*dx) added only on EXPOSED cells of the
+    outermost slab of the chosen face."""
+    from adi_thermal_fields_tpu import apply_surface_impulse
+
+    grid, mat = _setup(nx=6, ny=5, nz=4)
+    mask_np = np.ones(grid.shape, bool)
+    mask_np[0, 2, :] = False            # a notch on the x- face slab
+    mask = jnp.asarray(mask_np)
+    T0 = jnp.full(grid.shape, 100.0)
+    Q = 5e5
+    T1 = apply_surface_impulse(T0, mask, grid, mat, Q, face="x-")
+    dT = Q / (mat.rho * mat.cp * grid.dx)
+    diff = np.asarray(T1 - T0)
+    # heated: the x=0 slab's in-mask cells (all exposed on x-)
+    expect = np.zeros(grid.shape)
+    expect[0][mask_np[0]] = dT
+    np.testing.assert_allclose(diff, expect, rtol=1e-12, atol=1e-12)
+    # the notch cell (void) and interior cells are untouched
+    assert diff[0, 2, 0] == 0.0
+    assert np.all(diff[1:] == 0.0)
