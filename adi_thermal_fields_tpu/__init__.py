@@ -22,6 +22,7 @@ from .step.cylindrical import adi_step_masked as adi_step_cylindrical_masked
 from .step.cylindrical_masked import adi_step_masked_robin
 from .step.cartesian_varprop import (PropertyTable, adi_step_varprop,
                                      apparent_cp)
+from .bc.radiation import STEFAN_BOLTZMANN, radiative_h
 
 __version__ = "0.1.0"
 
@@ -33,4 +34,5 @@ __all__ = [
     "RobinBC", "ZFaceBC", "adi_step_cylindrical", "adi_step_cylindrical_masked",
     "adi_step_masked_robin",
     "PropertyTable", "adi_step_varprop", "apparent_cp",
+    "STEFAN_BOLTZMANN", "radiative_h",
 ]

@@ -155,24 +155,49 @@ def make_cartesian_advance(grid: CartesianGrid, mat: Material, *,
                            robin_h=None, neumann=None,
                            dirichlet_mask=None, dirichlet_value=None,
                            source_fn=None, implementation: str = "auto",
-                           mesh=None):
+                           mesh=None, robin_h_fn=None):
     """Fused convenience form: ``advance(T, active, dt, n_sub[, t0]) -> T``
     rebuilds packs for the current activation mask on every call, then takes
     ``n_sub`` ADI steps.  Prefer make_cartesian_engine + EventLoop(prepare=…)
-    for large grids — the rebuild then happens on birth events only."""
+    for large grids — the rebuild then happens on birth events only.
+
+    robin_h_fn: optional traceable ``T -> h`` (scalar | face dict | field)
+    giving a temperature-dependent film — e.g. radiation via
+    ``bc.radiation.radiative_h`` — evaluated at the field entering each
+    advance call (Picard refresh per event segment).  Replaces ``robin_h``;
+    fold any constant convective film in via its ``h_conv`` argument."""
     cache = {}
 
     def advance(T, active, dt, n_sub, t0=0.0):
         key = T.dtype                      # packs follow the field dtype
         if key not in cache:
-            prepare, advance2 = make_cartesian_engine(
-                grid, mat, theta=theta, t_inf=t_inf, robin_h=robin_h,
-                neumann=neumann, dirichlet_mask=dirichlet_mask,
-                dirichlet_value=dirichlet_value, source_fn=source_fn,
-                implementation=implementation, mesh=mesh, dtype=key)
-            cache[key] = jax.jit(
-                lambda T, active, dt, n_sub, t0=0.0:
-                advance2(T, prepare(active), dt, n_sub, t0))
+            if robin_h_fn is None:
+                prepare, advance2 = make_cartesian_engine(
+                    grid, mat, theta=theta, t_inf=t_inf, robin_h=robin_h,
+                    neumann=neumann, dirichlet_mask=dirichlet_mask,
+                    dirichlet_value=dirichlet_value, source_fn=source_fn,
+                    implementation=implementation, mesh=mesh, dtype=key)
+                cache[key] = jax.jit(
+                    lambda T, active, dt, n_sub, t0=0.0:
+                    advance2(T, prepare(active), dt, n_sub, t0))
+            else:
+                # T-dependent film: rebuild the engine's prep WITH the field
+                impl = implementation
+                if impl == "auto":
+                    impl = ("pallas" if jax.default_backend() == "tpu"
+                            else "xla")
+
+                @jax.jit
+                def fused(T, active, dt, n_sub, t0=0.0, *, _key=key):
+                    prepare, advance2 = make_cartesian_engine(
+                        grid, mat, theta=theta, t_inf=t_inf,
+                        robin_h=robin_h_fn(T), neumann=neumann,
+                        dirichlet_mask=dirichlet_mask,
+                        dirichlet_value=dirichlet_value, source_fn=source_fn,
+                        implementation=impl, mesh=mesh, dtype=_key)
+                    return advance2(T, prepare(active), dt, n_sub, t0)
+
+                cache[key] = fused
         return cache[key](T, active, dt, n_sub, t0)
 
     return advance

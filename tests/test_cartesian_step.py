@@ -218,3 +218,44 @@ def test_apply_surface_impulse_semantics():
     # the notch cell (void) and interior cells are untouched
     assert diff[0, 2, 0] == 0.0
     assert np.all(diff[1:] == 0.0)
+
+
+def test_radiative_cooling_matches_lumped_ode():
+    """Radiation BC (bc/radiation.py): a small hot block cooling purely by
+    radiation follows the lumped-capacitance Stefan-Boltzmann ODE (Biot
+    ~0.007 here).  Exercises the T-dependent film hook (robin_h_fn), whose
+    Picard linearization is exact given the segment-entry field."""
+    from adi_thermal_fields_tpu.apps.engine import make_cartesian_advance
+    from adi_thermal_fields_tpu.bc.radiation import (STEFAN_BOLTZMANN,
+                                                     radiative_h)
+
+    grid = CartesianGrid(4, 4, 4, 1e-3)
+    mat = Material(7800.0, 490.0, 54.0)
+    mask = jnp.ones(grid.shape, bool)
+    eps, t_inf = 0.8, 20.0
+    adv = make_cartesian_advance(
+        grid, mat, t_inf=t_inf,
+        robin_h_fn=lambda T: radiative_h(T, eps, t_inf))
+
+    T = jnp.full(grid.shape, 1200.0)
+    dt, n_sub, n_seg = 0.05, 5, 24
+    for _ in range(n_seg):  # h refreshed per segment (event-loop granularity)
+        T = adv(T, mask, dt, n_sub)
+    T_num = float(jnp.mean(T))
+
+    # lumped ODE oracle, RK4 at fine steps
+    A = 6 * 16 * grid.dx**2          # 96 surface faces
+    V = grid.ncells * grid.cell_volume
+    coef = eps * STEFAN_BOLTZMANN * A / (mat.rho * mat.cp * V)
+
+    def f(T):
+        return -coef * ((T + 273.15) ** 4 - (t_inf + 273.15) ** 4)
+
+    Tl, h = 1200.0, 1e-3
+    for _ in range(int(round(dt * n_sub * n_seg / h))):
+        k1 = f(Tl); k2 = f(Tl + 0.5 * h * k1)
+        k3 = f(Tl + 0.5 * h * k2); k4 = f(Tl + h * k3)
+        Tl += h / 6 * (k1 + 2 * k2 + 2 * k3 + k4)
+
+    assert Tl < 1100.0                      # cooled substantially
+    np.testing.assert_allclose(T_num, Tl, rtol=0.01)
