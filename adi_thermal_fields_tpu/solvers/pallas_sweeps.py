@@ -868,21 +868,23 @@ def _cyclic_const_kernel_axis1(fac_ref, d_ref, out_ref, cp_ref, dpz_ref, *, n):
     def fwd(g, carry):
         cp_prev, dy_prev, dz_prev = carry
         s = pl.multiple_of(g * G, G)
-        d_g = d_ref[:, pl.ds(s, G), :]
+        # one group swapaxes -> free leading-dim row views (see
+        # _sweep_kernel_axis1; measured far cheaper than sublane extracts)
+        d_g = jnp.swapaxes(d_ref[:, pl.ds(s, G), :], 0, 1)
         cps, dys, dzs = [], [], []
         for r in range(G):
             i = s + r
             a_i, b_i, c_i, u_i = coeffs(i)
             inv = 1.0 / (b_i - a_i * cp_prev)
             cp_prev = c_i * inv
-            dy_prev = (d_g[:, r, :] - a_i * dy_prev) * inv
+            dy_prev = (d_g[r] - a_i * dy_prev) * inv
             dz_prev = (u_i - a_i * dz_prev) * inv
             cps.append(cp_prev)
             dys.append(dy_prev)
             dzs.append(dz_prev)
-        cp_ref[:, pl.ds(s, G), :] = jnp.stack(cps, axis=1)
-        out_ref[:, pl.ds(s, G), :] = jnp.stack(dys, axis=1)
-        dpz_ref[:, pl.ds(s, G), :] = jnp.stack(dzs, axis=1)
+        cp_ref[:, pl.ds(s, G), :] = jnp.swapaxes(jnp.stack(cps), 0, 1)
+        out_ref[:, pl.ds(s, G), :] = jnp.swapaxes(jnp.stack(dys), 0, 1)
+        dpz_ref[:, pl.ds(s, G), :] = jnp.swapaxes(jnp.stack(dzs), 0, 1)
         return cp_prev, dy_prev, dz_prev
 
     lax.fori_loop(0, n_grp, fwd, (zero, zero, zero))
@@ -891,18 +893,18 @@ def _cyclic_const_kernel_axis1(fac_ref, d_ref, out_ref, cp_ref, dpz_ref, *, n):
         y_next, z_next = carry
         g = n_grp - 1 - j
         s = pl.multiple_of(g * G, G)
-        cp_g = cp_ref[:, pl.ds(s, G), :]
-        dy_g = out_ref[:, pl.ds(s, G), :]
-        dz_g = dpz_ref[:, pl.ds(s, G), :]
+        cp_g = jnp.swapaxes(cp_ref[:, pl.ds(s, G), :], 0, 1)
+        dy_g = jnp.swapaxes(out_ref[:, pl.ds(s, G), :], 0, 1)
+        dz_g = jnp.swapaxes(dpz_ref[:, pl.ds(s, G), :], 0, 1)
         ys = [None] * G
         zs = [None] * G
         for r in range(G - 1, -1, -1):
-            y_next = dy_g[:, r, :] - cp_g[:, r, :] * y_next
-            z_next = dz_g[:, r, :] - cp_g[:, r, :] * z_next
+            y_next = dy_g[r] - cp_g[r] * y_next
+            z_next = dz_g[r] - cp_g[r] * z_next
             ys[r] = y_next
             zs[r] = z_next
-        out_ref[:, pl.ds(s, G), :] = jnp.stack(ys, axis=1)
-        dpz_ref[:, pl.ds(s, G), :] = jnp.stack(zs, axis=1)
+        out_ref[:, pl.ds(s, G), :] = jnp.swapaxes(jnp.stack(ys), 0, 1)
+        dpz_ref[:, pl.ds(s, G), :] = jnp.swapaxes(jnp.stack(zs), 0, 1)
         return y_next, z_next
 
     y0, z0 = lax.fori_loop(0, n_grp, bwd, (zero, zero))
@@ -962,10 +964,12 @@ def fused_cyclic_phi(X, fac, *, interpret: bool = False):
     """Periodic phi solve on the natural (r, phi, z) layout.
 
     Measured on TPU v5e at (128, 512, 512): the axis-0 kernel plus an XLA
-    transpose pair (7.1 ms/step in the full BE step) beats the transpose-free
-    grouped-sublane axis-1 kernel (8.2 ms) — same pattern as the Cartesian
-    sweeps — so the axis-0 path is the default; fused_cyclic_const_axis1
-    remains available for layouts where the transpose dominates."""
+    transpose pair (3.8 ms standalone) still beats the transpose-free axis-1
+    kernel even after the group-swapaxes optimization (4.6 ms) — the cyclic
+    solve carries THREE line buffers, so the per-group swap overhead triples
+    where the open sweep's halves.  The axis-0 path stays the default;
+    fused_cyclic_const_axis1 remains available for layouts where the
+    transpose dominates."""
     out = fused_cyclic_const(jnp.transpose(X, (1, 0, 2)), fac,
                              interpret=interpret)
     return jnp.transpose(out, (1, 0, 2))
