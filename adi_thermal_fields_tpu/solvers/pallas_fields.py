@@ -29,7 +29,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_tridiag_fields", "fused_cyclic_fields"]
+__all__ = ["fused_tridiag_fields", "fused_cyclic_fields",
+           "fused_masked_sweep", "fused_masked_cyclic"]
 
 
 def _round_up(v, m):
@@ -363,6 +364,356 @@ def fused_cyclic_fields(a, b, c, d, *, interpret: bool = False,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(wrap, a, b, c, d)
+
+    if p1 or p2 or pn:
+        out = out[:n, :b1, :b2]
+    return out
+
+
+def _masked_sweep_kernel(scal_ref, glo_ref, ghi_ref, d_hbm, code_hbm,
+                         sink_hbm, out_hbm, xbuf, dpbuf, dbuf, cbuf, sbuf,
+                         in_sem, out_sem, *, n, cn, b1, b2):
+    """Compressed masked sweep: a/b/c rebuilt in registers from an int8
+    coupling code, per-row geometry vectors (SMEM) and a Robin sink field —
+    13 B/cell of HBM traffic instead of 20 for materialized a/b/c/d.
+
+    Row i:  a = -fac*glo[i]*low,  c = -fac*ghi[i]*high,
+            b = 1 + fac*(glo[i]*low + ghi[i]*high + sink),  d as prefolded
+    (void/pinned rows carry code = 0, sink = 0 -> identity)."""
+    fac = scal_ref[0]
+    f32 = xbuf.dtype
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    r0 = i * b1
+    c0 = j * b2
+    nchunks = n // cn
+    G = 8
+
+    def in_dmas(slot, k):
+        s = k * cn
+        src = lambda ref: ref.at[pl.ds(s, cn), pl.ds(r0, b1), pl.ds(c0, b2)]
+        return (
+            pltpu.make_async_copy(src(d_hbm), dbuf.at[slot], in_sem.at[slot, 0]),
+            pltpu.make_async_copy(src(code_hbm), cbuf.at[slot], in_sem.at[slot, 1]),
+            pltpu.make_async_copy(src(sink_hbm), sbuf.at[slot], in_sem.at[slot, 2]),
+        )
+
+    def out_dma(k):
+        s = k * cn
+        return pltpu.make_async_copy(
+            xbuf.at[pl.ds(s, cn)],
+            out_hbm.at[pl.ds(s, cn), pl.ds(r0, b1), pl.ds(c0, b2)],
+            out_sem.at[k])
+
+    for dma in in_dmas(0, 0):
+        dma.start()
+    if nchunks > 1:
+        for dma in in_dmas(1, 1):
+            dma.start()
+
+    one = jnp.ones((), f32)
+    zero_s = jnp.zeros((), f32)
+    zero = jnp.zeros((b1, b2), f32)
+    carry = (zero, zero)
+    for k in range(nchunks):
+        slot = k % 2
+        for dma in in_dmas(slot, k):
+            dma.wait()
+
+        def grp(g, carry, *, slot=slot, base=k * cn):
+            cp_prev, dp_prev = carry
+            s = g * G
+            code_g = cbuf[slot, pl.ds(s, G)].astype(jnp.int32)
+            low = jnp.where((code_g & 1) > 0, one, zero_s)
+            high = jnp.where((code_g & 2) > 0, one, zero_s)
+            sink_g = sbuf[slot, pl.ds(s, G)].astype(f32)
+            d_g = dbuf[slot, pl.ds(s, G)].astype(f32)
+            cps, dps = [], []
+            for r in range(G):
+                glo = glo_ref[base + s + r]
+                ghi = ghi_ref[base + s + r]
+                al = glo * low[r]
+                ch = ghi * high[r]
+                a_r = -fac * al
+                c_r = -fac * ch
+                b_r = 1.0 + fac * (al + ch + sink_g[r])
+                inv = 1.0 / (b_r - a_r * cp_prev)
+                cp_prev = c_r * inv
+                dp_prev = (d_g[r] - a_r * dp_prev) * inv
+                cps.append(cp_prev)
+                dps.append(dp_prev)
+            xbuf[pl.ds(base + s, G)] = jnp.stack(cps)
+            dpbuf[pl.ds(base + s, G)] = jnp.stack(dps)
+            return cp_prev, dp_prev
+
+        carry = lax.fori_loop(0, cn // G, grp, carry)
+        if k + 2 < nchunks:
+            for dma in in_dmas(slot, k + 2):
+                dma.start()
+
+    x_next = zero
+    for k in range(nchunks - 1, -1, -1):
+        base = k * cn
+
+        def grp_b(gg, x_next, *, base=base):
+            s = (cn // G - 1 - gg) * G
+            cp_g = xbuf[pl.ds(base + s, G)]
+            dp_g = dpbuf[pl.ds(base + s, G)]
+            xs = [None] * G
+            for r in range(G - 1, -1, -1):
+                x_next = dp_g[r] - cp_g[r] * x_next
+                xs[r] = x_next
+            xbuf[pl.ds(base + s, G)] = jnp.stack(xs)
+            return x_next
+
+        x_next = lax.fori_loop(0, cn // G, grp_b, x_next)
+        out_dma(k).start()
+
+    for k in range(nchunks):
+        out_dma(k).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_b1",
+                                             "block_b2", "chunk"))
+def fused_masked_sweep(rhs, code, sink, geo_lo, geo_hi, fac, *,
+                       interpret: bool = False, block_b1: int = 8,
+                       block_b2: int = 256, chunk: int = 64):
+    """Masked implicit sweep along axis 0 of (n, B1, B2) arrays with
+    per-row geometry (geo_lo/geo_hi: (n,) vectors) and a per-cell Robin
+    sink field (step/cylindrical_masked.py row structure).  ``rhs`` must be
+    prefolded (void rows = ambient, pinned rows = pin value, + fac*sink_rhs
+    on live rows)."""
+    n, b1, b2 = rhs.shape
+    dtype = rhs.dtype
+    cn = min(chunk, _round_up(n, 8))
+    pn = _round_up(n, cn) - n
+    p1 = _round_up(b1, block_b1) - b1
+    p2 = _round_up(b2, block_b2) - b2
+    if p1 or p2 or pn:
+        pad = ((0, pn), (0, p1), (0, p2))
+        rhs = jnp.pad(rhs, pad)
+        code = jnp.pad(code, pad)   # padded rows: identity (code 0, sink 0)
+        sink = jnp.pad(sink, pad)
+    if pn:
+        geo_lo = jnp.pad(geo_lo, (0, pn))
+        geo_hi = jnp.pad(geo_hi, (0, pn))
+    n_pad, P1, P2 = rhs.shape
+    cdt = jnp.promote_types(dtype, jnp.float32)
+
+    scal = jnp.stack([jnp.asarray(fac, cdt)])
+    grid = (P1 // block_b1, P2 // block_b2)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        functools.partial(_masked_sweep_kernel, n=n_pad, cn=cn, b1=block_b1,
+                          b2=block_b2),
+        grid=grid,
+        in_specs=[sspec, sspec, sspec, hbm, hbm, hbm],
+        out_specs=hbm,
+        out_shape=jax.ShapeDtypeStruct((n_pad, P1, P2), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n_pad, block_b1, block_b2), cdt),       # x / cp
+            pltpu.VMEM((n_pad, block_b1, block_b2), cdt),       # dp
+            pltpu.VMEM((2, cn, block_b1, block_b2), dtype),     # rhs chunks
+            pltpu.VMEM((2, cn, block_b1, block_b2), jnp.int8),  # code chunks
+            pltpu.VMEM((2, cn, block_b1, block_b2), dtype),     # sink chunks
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((n_pad // cn,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(scal, geo_lo.astype(cdt), geo_hi.astype(cdt), rhs, code, sink)
+
+    if p1 or p2 or pn:
+        out = out[:n, :b1, :b2]
+    return out
+
+
+def _masked_cyclic_kernel(scal_ref, geo_ref, d_hbm, code_hbm, sink_hbm,
+                          out_hbm, ybuf, zbuf, cpbuf, dbuf, cbuf, sbuf,
+                          in_sem, out_sem, *, n, n_pad, cn, b1, b2):
+    """Compressed masked CYCLIC sweep (the mask-broken periodic phi solve).
+
+    Geometry is per SYSTEM (geo: (B1, B2), the phi metric varies over the
+    radius batch, not along the line).  Wrap couplings come from the code
+    bits at the real rows 0 / n-1; Sherman-Morrison as in
+    solvers/thomas.cyclic_thomas, gauge g = -b[0].  gamma/beta are carried
+    from the first chunk; rows after n-1 (padding) are identity."""
+    fac = scal_ref[0]
+    f32 = ybuf.dtype
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    r0 = i * b1
+    c0 = j * b2
+    nchunks = n_pad // cn
+    G = 8
+    geo = geo_ref[0].astype(f32)
+
+    def in_dmas(slot, k):
+        s = k * cn
+        src = lambda ref: ref.at[pl.ds(s, cn), pl.ds(r0, b1), pl.ds(c0, b2)]
+        return (
+            pltpu.make_async_copy(src(d_hbm), dbuf.at[slot], in_sem.at[slot, 0]),
+            pltpu.make_async_copy(src(code_hbm), cbuf.at[slot], in_sem.at[slot, 1]),
+            pltpu.make_async_copy(src(sink_hbm), sbuf.at[slot], in_sem.at[slot, 2]),
+        )
+
+    def out_dma(k):
+        s = k * cn
+        return pltpu.make_async_copy(
+            ybuf.at[pl.ds(s, cn)],
+            out_hbm.at[pl.ds(s, cn), pl.ds(r0, b1), pl.ds(c0, b2)],
+            out_sem.at[k])
+
+    for dma in in_dmas(0, 0):
+        dma.start()
+    if nchunks > 1:
+        for dma in in_dmas(1, 1):
+            dma.start()
+
+    one = jnp.ones((), f32)
+    zero_s = jnp.zeros((), f32)
+    zero = jnp.zeros((b1, b2), f32)
+    # carries: (cp, dy, dz, gamma, beta) — gamma/beta fixed after row 0
+    carry = (zero, zero, zero, jnp.full((b1, b2), -1.0, f32), zero)
+    for k in range(nchunks):
+        slot = k % 2
+        for dma in in_dmas(slot, k):
+            dma.wait()
+
+        def grp(g, carry, *, slot=slot, base=k * cn):
+            cp_prev, dy_prev, dz_prev, gamma, beta = carry
+            s = g * G
+            code_g = cbuf[slot, pl.ds(s, G)].astype(jnp.int32)
+            low = jnp.where((code_g & 1) > 0, one, zero_s)
+            high = jnp.where((code_g & 2) > 0, one, zero_s)
+            sink_g = sbuf[slot, pl.ds(s, G)].astype(f32)
+            d_g = dbuf[slot, pl.ds(s, G)].astype(f32)
+            for r in range(G):
+                row = base + s + r
+                first = row == 0
+                last = row == n - 1
+                al = geo * low[r]
+                ch = geo * high[r]
+                b_r = 1.0 + fac * (al + ch + sink_g[r])
+                # wrap handling at the real end rows
+                gamma = jnp.where(first, -b_r, gamma)
+                beta = jnp.where(first, -fac * al, beta)
+                alpha = -fac * ch          # only meaningful at row n-1
+                a_r = jnp.where(first, 0.0, -fac * al)
+                c_r = jnp.where(last, 0.0, -fac * ch)
+                b_r = b_r + jnp.where(first, -gamma, 0.0) \
+                    + jnp.where(last, -alpha * beta / gamma, 0.0)
+                u_r = jnp.where(first, gamma, jnp.where(last, alpha, zero))
+                inv = 1.0 / (b_r - a_r * cp_prev)
+                cp_prev = c_r * inv
+                dy_prev = (d_g[r] - a_r * dy_prev) * inv
+                dz_prev = (u_r - a_r * dz_prev) * inv
+                cpbuf[base + s + r] = cp_prev
+                ybuf[base + s + r] = dy_prev
+                zbuf[base + s + r] = dz_prev
+            return cp_prev, dy_prev, dz_prev, gamma, beta
+
+        carry = lax.fori_loop(0, cn // G, grp, carry)
+        if k + 2 < nchunks:
+            for dma in in_dmas(slot, k + 2):
+                dma.start()
+
+    _, _, _, gamma, beta = carry
+    y_next = zero
+    z_next = zero
+    for k in range(nchunks - 1, -1, -1):
+        base = k * cn
+
+        def grp_b(gg, carry, *, base=base):
+            y_next, z_next = carry
+            s = (cn // G - 1 - gg) * G
+            cp_g = cpbuf[pl.ds(base + s, G)]
+            dy_g = ybuf[pl.ds(base + s, G)]
+            dz_g = zbuf[pl.ds(base + s, G)]
+            ys, zs = [None] * G, [None] * G
+            for r in range(G - 1, -1, -1):
+                y_next = dy_g[r] - cp_g[r] * y_next
+                z_next = dz_g[r] - cp_g[r] * z_next
+                ys[r] = y_next
+                zs[r] = z_next
+            ybuf[pl.ds(base + s, G)] = jnp.stack(ys)
+            zbuf[pl.ds(base + s, G)] = jnp.stack(zs)
+            return y_next, z_next
+
+        y_next, z_next = lax.fori_loop(0, cn // G, grp_b, (y_next, z_next))
+
+    yn = ybuf[n - 1]
+    zn = zbuf[n - 1]
+    fact = (y_next + beta * yn / gamma) / (1.0 + z_next + beta * zn / gamma)
+
+    for k in range(nchunks):
+        base = k * cn
+
+        def fix(g, _, *, base=base):
+            s = g * G
+            ybuf[pl.ds(base + s, G)] = (ybuf[pl.ds(base + s, G)]
+                                        - fact[None] * zbuf[pl.ds(base + s, G)])
+            return 0
+
+        lax.fori_loop(0, cn // G, fix, 0)
+        out_dma(k).start()
+
+    for k in range(nchunks):
+        out_dma(k).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_b1",
+                                             "block_b2", "chunk"))
+def fused_masked_cyclic(rhs, code, sink, geo, fac, *, interpret: bool = False,
+                        block_b1: int = 8, block_b2: int = 128,
+                        chunk: int = 64):
+    """Masked CYCLIC sweep along axis 0 of (n, B1, B2) arrays: per-system
+    geometry ``geo`` (B1, B2), per-cell sink field, int8 coupling code
+    (bit0 = to i-1 incl. the periodic wrap at row 0, bit1 = to i+1 incl. the
+    wrap at row n-1); rhs prefolded as in fused_masked_sweep."""
+    n, b1, b2 = rhs.shape
+    dtype = rhs.dtype
+    cn = min(chunk, _round_up(n, 8))
+    pn = _round_up(n, cn) - n
+    p1 = _round_up(b1, block_b1) - b1
+    p2 = _round_up(b2, block_b2) - b2
+    if p1 or p2 or pn:
+        pad = ((0, pn), (0, p1), (0, p2))
+        rhs = jnp.pad(rhs, pad)
+        code = jnp.pad(code, pad)
+        sink = jnp.pad(sink, pad)
+        geo = jnp.pad(geo, ((0, p1), (0, p2)))
+    n_pad, P1, P2 = rhs.shape
+    cdt = jnp.promote_types(dtype, jnp.float32)
+
+    scal = jnp.stack([jnp.asarray(fac, cdt)])
+    grid = (P1 // block_b1, P2 // block_b2)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    gspec = pl.BlockSpec((1, block_b1, block_b2), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_masked_cyclic_kernel, n=n, n_pad=n_pad, cn=cn,
+                          b1=block_b1, b2=block_b2),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), gspec, hbm, hbm, hbm],
+        out_specs=hbm,
+        out_shape=jax.ShapeDtypeStruct((n_pad, P1, P2), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n_pad, block_b1, block_b2), cdt),       # y / dy
+            pltpu.VMEM((n_pad, block_b1, block_b2), cdt),       # z / dz
+            pltpu.VMEM((n_pad, block_b1, block_b2), cdt),       # cp
+            pltpu.VMEM((2, cn, block_b1, block_b2), dtype),     # rhs chunks
+            pltpu.VMEM((2, cn, block_b1, block_b2), jnp.int8),  # code chunks
+            pltpu.VMEM((2, cn, block_b1, block_b2), dtype),     # sink chunks
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((n_pad // cn,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(scal, geo[None].astype(cdt), rhs, code, sink)
 
     if p1 or p2 or pn:
         out = out[:n, :b1, :b2]

@@ -60,6 +60,10 @@ class MaskedRobinPlan(NamedTuple):
     r: tuple
     phi: tuple | None
     z: tuple
+    # compressed per-sweep inputs in the SOLVE (axis-first) layout for the
+    # fused masked kernels: (code int8, sink, geo...) per axis; None entries
+    # fall back to the field-coefficient path
+    compressed: tuple | None = None
 
 
 def _shift(m: jax.Array, axis: int, direction: int, fill=False) -> jax.Array:
@@ -233,8 +237,30 @@ def build_masked_robin_plan(grid: CylindricalGrid, mat: Material,
     z_sw = pack(coupled(2, -1), coupled(2, +1), geo_z, geo_z,
                 sink_zm + sink_zp, rhs_zm + rhs_zp)
 
+    def code_of(sw, axis):
+        cup_lo, cup_hi = sw[0], sw[1]
+        code = cup_lo.astype(jnp.int8) | (cup_hi.astype(jnp.int8) * np.int8(2))
+        return jnp.moveaxis(code, axis, 0)
+
+    def sink_of(sw, axis):
+        return jnp.moveaxis(sw[4], axis, 0)
+
+    # compressed kernel inputs (13 B/cell solve instead of materialized
+    # a/b/c/d at 20 B + four per-sweep transposes)
+    geo_r_lo_v = jnp.asarray(r_imh / (r * dr * dr), dtype)
+    geo_r_hi_v = jnp.asarray(r_iph / (r * dr * dr), dtype)
+    comp_r = (code_of(r_sw, 0), sink_of(r_sw, 0), geo_r_lo_v, geo_r_hi_v)
+    comp_phi = None
+    if phi_sw is not None:
+        # phi geometry varies over the (r, z) batch, constant along the line
+        geo_phi_b = jnp.broadcast_to(phi_sw[2][:, 0, :], (nr, nz))
+        comp_phi = (code_of(phi_sw, 1), sink_of(phi_sw, 1), geo_phi_b)
+    geo_z_v = jnp.full((nz,), 1.0 / (dz * dz), dtype)
+    comp_z = (code_of(z_sw, 2), sink_of(z_sw, 2), geo_z_v, geo_z_v)
+
     return MaskedRobinPlan(active, pin, pin_val,
-                           jnp.asarray(T_inf_void, dtype), r_sw, phi_sw, z_sw)
+                           jnp.asarray(T_inf_void, dtype), r_sw, phi_sw, z_sw,
+                           (comp_r, comp_phi, comp_z))
 
 
 def masked_robin_solve(T: jax.Array, plan: MaskedRobinPlan,
@@ -258,14 +284,31 @@ def masked_robin_solve(T: jax.Array, plan: MaskedRobinPlan,
 
     def sweep(rhs, axis, sw, periodic=False):
         cup_lo, cup_hi, geo_lo, geo_hi, sink, sink_rhs = sw
-        a = jnp.where(cup_lo, -fac * geo_lo, 0.0).astype(dtype)
-        c = jnp.where(cup_hi, -fac * geo_hi, 0.0).astype(dtype)
-        b = 1.0 - (a + c) + fac * sink     # void/pinned rows: exactly 1
+        mv = lambda t: jnp.moveaxis(t, axis, 0)
         d = rhs + fac * sink_rhs
         d = jnp.where(active, d, ambient)
         d = jnp.where(pin, plan.pin_val, d)
 
-        mv = lambda t: jnp.moveaxis(t, axis, 0)
+        if use_pallas and plan.compressed is not None:
+            # compressed kernels: a/b/c rebuilt in registers from the plan's
+            # int8 code + geometry; only d moves layout per step
+            from ..solvers.pallas_fields import (fused_masked_cyclic,
+                                                 fused_masked_sweep)
+
+            comp = plan.compressed[axis]
+            if periodic:
+                code, sink0, geo = comp
+                x = fused_masked_cyclic(mv(d), code, sink0, geo, fac,
+                                        interpret=interp)
+            else:
+                code, sink0, glo, ghi = comp
+                x = fused_masked_sweep(mv(d), code, sink0, glo, ghi, fac,
+                                       interpret=interp)
+            return jnp.moveaxis(x, 0, axis)
+
+        a = jnp.where(cup_lo, -fac * geo_lo, 0.0).astype(dtype)
+        c = jnp.where(cup_hi, -fac * geo_hi, 0.0).astype(dtype)
+        b = 1.0 - (a + c) + fac * sink     # void/pinned rows: exactly 1
         if use_pallas:
             from ..solvers.pallas_fields import (fused_cyclic_fields,
                                                  fused_tridiag_fields)
