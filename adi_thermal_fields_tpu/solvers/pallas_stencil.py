@@ -44,7 +44,8 @@ def _shift_hi(x, axis):
         dimension=axis)
 
 
-def _theta_rhs_kernel(scal_ref, T_ref, M_ref, out_ref, Tbuf, Mbuf, *, nx):
+def _theta_rhs_kernel(scal_ref, seed_ref, T_ref, M_ref, out_ref, Tbuf,
+                      Mbuf, *, nx):
     """Grid = (nx + 1,); step i computes R0 for plane p = i - 1.
 
     Ring protocol: before the rotate at step i, {Tbuf,Mbuf}[(i-1) % 2] hold
@@ -57,6 +58,8 @@ def _theta_rhs_kernel(scal_ref, T_ref, M_ref, out_ref, Tbuf, Mbuf, *, nx):
     inv_dx2 = scal_ref[1]
     i = pl.program_id(0)
     f32 = scal_ref.dtype   # compute dtype (f32 for bf16 state)
+    if seed_ref is not None:
+        pltpu.prng_seed(seed_ref[0] + i)
     # one int8 -> f32 conversion per plane (int8 ops barely legalize)
     Mh_f = M_ref[0].astype(jnp.int32).astype(f32)
 
@@ -87,7 +90,14 @@ def _theta_rhs_kernel(scal_ref, T_ref, M_ref, out_ref, Tbuf, Mbuf, *, nx):
             s = ml * _shift_lo(Tc, ax) + mh * _shift_hi(Tc, ax)
             acc = acc + (s - (ml + mh) * Tc) * inv_dx2
 
-        out_ref[0] = (Tc + (c * Mc_f) * acc).astype(out_ref.dtype)
+        res = Tc + (c * Mc_f) * acc
+        if seed_ref is not None:
+            bits = pltpu.bitcast(pltpu.prng_random_bits(res.shape),
+                                 jnp.uint32)
+            out_ref[0] = pltpu.stochastic_round(res, bits,
+                                                target_dtype=out_ref.dtype)
+        else:
+            out_ref[0] = res.astype(out_ref.dtype)
 
     @pl.when(i <= nx - 1)
     def _rotate():
@@ -100,7 +110,8 @@ def _round_up(v, m):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def theta_rhs(T, mask_i8, c, inv_dx2, *, interpret: bool = False):
+def theta_rhs(T, mask_i8, c, inv_dx2, rng_seed=None, *,
+              interpret: bool = False):
     """``R0 = T + c * (Lx+Ly+Lz) T`` with mask-aware Laplacians, one HBM pass.
 
     ``c`` is the scalar ``dt*kappa*(1-theta)`` and ``inv_dx2 = 1/dx^2``
@@ -124,14 +135,30 @@ def theta_rhs(T, mask_i8, c, inv_dx2, *, interpret: bool = False):
     in_idx = lambda i: (jnp.minimum(i, nx - 1), 0, 0)
     out_idx = lambda i: (jnp.maximum(i - 1, 0), 0, 0)
 
+    # stochastic bf16 stores (unbiased; kills sub-quantum update dropout)
+    stochastic = (rng_seed is not None
+                  and dtype != jnp.promote_types(dtype, jnp.float32))
+    if stochastic:
+        body = functools.partial(_theta_rhs_kernel, nx=nx)
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM)]
+        inputs = [scal, jnp.asarray(rng_seed, jnp.int32).reshape(1)]
+    else:
+        body = (lambda scal, T_ref, M_ref, out_ref, Tb, Mb:
+                functools.partial(_theta_rhs_kernel, nx=nx)(
+                    scal, None, T_ref, M_ref, out_ref, Tb, Mb))
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        inputs = [scal]
+    in_specs += [
+        pl.BlockSpec(blk, in_idx, memory_space=pltpu.VMEM),
+        pl.BlockSpec(blk, in_idx, memory_space=pltpu.VMEM),
+    ]
+    inputs += [T, mask_i8]
+
     out = pl.pallas_call(
-        functools.partial(_theta_rhs_kernel, nx=nx),
+        body,
         grid=(nx + 1,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(blk, in_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec(blk, in_idx, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(blk, out_idx, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nx, Py, Pz), dtype),
         scratch_shapes=[
@@ -141,7 +168,7 @@ def theta_rhs(T, mask_i8, c, inv_dx2, *, interpret: bool = False):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(scal, T, mask_i8)
+    )(*inputs)
 
     if p1 or p2:
         out = out[:, :ny, :nz]

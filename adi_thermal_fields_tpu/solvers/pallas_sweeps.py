@@ -284,9 +284,9 @@ def fused_sweep_axis0(rhs, code, coeff, theta_gam, dt, t_inf,
     return out
 
 
-def _sweep_kernel_v2(scal_ref, d_hbm, code_hbm, coeff_hbm, out_hbm,
-                     xbuf, dpbuf, dbuf, cbuf, fbuf, obuf, in_sem, out_sem, *,
-                     n, cn, b1, b2, grp_rows=8):
+def _sweep_kernel_v2(scal_ref, seed_ref, d_hbm, code_hbm, coeff_hbm,
+                     out_hbm, xbuf, dpbuf, dbuf, cbuf, fbuf, obuf, in_sem,
+                     out_sem, *, n, cn, b1, b2, grp_rows=8):
     """Chunked-DMA fused sweep along axis 0 (the bandwidth-tuned variant).
 
     Inputs stay in HBM; chunks of ``cn`` line positions are double-buffered
@@ -306,11 +306,16 @@ def _sweep_kernel_v2(scal_ref, d_hbm, code_hbm, coeff_hbm, out_hbm,
     t_inf = scal_ref[2]
     f32 = xbuf.dtype                 # compute dtype
     mixed = obuf is not None         # HBM dtype narrower than compute dtype
+    stochastic = seed_ref is not None
     i = pl.program_id(0)
     j = pl.program_id(1)
     r0 = i * b1
     c0 = j * b2
     nchunks = n // cn
+    if stochastic:
+        # decorrelate tiles; unbiased rounding kills the sub-quantum update
+        # dropout of round-to-nearest in bf16 mode
+        pltpu.prng_seed(seed_ref[0] + i * pl.num_programs(1) + j)
 
     def in_dmas(slot, k, r0=r0, c0=c0):
         s = k * cn
@@ -392,7 +397,14 @@ def _sweep_kernel_v2(scal_ref, d_hbm, code_hbm, coeff_hbm, out_hbm,
         if mixed:
             if k + 2 < nchunks:
                 out_dma(k + 2).wait()   # staging slot free?
-            obuf[k % 2] = xbuf[pl.ds(base, cn)].astype(obuf.dtype)
+            xk = xbuf[pl.ds(base, cn)]
+            if stochastic:
+                bits = pltpu.bitcast(pltpu.prng_random_bits(xk.shape),
+                                     jnp.uint32)
+                obuf[k % 2] = pltpu.stochastic_round(xk, bits,
+                                                     target_dtype=obuf.dtype)
+            else:
+                obuf[k % 2] = xk.astype(obuf.dtype)
         out_dma(k).start()
 
     for k in range(min(nchunks, 2) if mixed else nchunks):
@@ -403,7 +415,8 @@ def _sweep_kernel_v2(scal_ref, d_hbm, code_hbm, coeff_hbm, out_hbm,
                                              "block_b2", "chunk",
                                              "grp_rows"))
 def fused_sweep_axis0_v2(rhs, code, coeff, theta_gam, dt, t_inf,
-                         qflux=None, dir_val=None, *, interpret: bool = False,
+                         qflux=None, dir_val=None, rng_seed=None, *,
+                         interpret: bool = False,
                          block_b1: int = 8, block_b2: int | None = None,
                          chunk: int = 64, grp_rows: int = 8):
     """Bandwidth-tuned fused masked sweep along axis 0 of (n, B1, B2) arrays.
@@ -445,6 +458,7 @@ def fused_sweep_axis0_v2(rhs, code, coeff, theta_gam, dt, t_inf,
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
     nchunks = n_pad // cn
 
+    stochastic = mixed and rng_seed is not None
     kern = functools.partial(_sweep_kernel_v2, n=n_pad, cn=cn, b1=block_b1,
                              b2=block_b2, grp_rows=grp_rows)
     scratch = [
@@ -456,33 +470,47 @@ def fused_sweep_axis0_v2(rhs, code, coeff, theta_gam, dt, t_inf,
     ]
     if mixed:
         scratch.append(pltpu.VMEM((2, cn, block_b1, block_b2), dtype))  # obuf
-        body = kern
+        if stochastic:
+            body = (lambda scal, seed, d, c, f, o, *rest:
+                    kern(scal, seed, d, c, f, o, *rest))
+        else:
+            body = (lambda scal, d, c, f, o, *rest:
+                    kern(scal, None, d, c, f, o, *rest))
     else:
         body = (lambda scal, d, c, f, o, xb, dp, db, cb, fb, isem, osem:
-                kern(scal, d, c, f, o, xb, dp, db, cb, fb, None, isem, osem))
+                kern(scal, None, d, c, f, o, xb, dp, db, cb, fb, None,
+                     isem, osem))
     scratch += [pltpu.SemaphoreType.DMA((2, 3)),
                 pltpu.SemaphoreType.DMA((n_pad // cn,))]
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    inputs = [scal]
+    if stochastic:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(jnp.asarray(rng_seed, jnp.int32).reshape(1))
+    in_specs += [hbm, hbm, hbm]
+    inputs += [rhs, code, coeff]
 
     out = pl.pallas_call(
         body,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), hbm, hbm, hbm],
+        in_specs=in_specs,
         out_specs=hbm,
         out_shape=jax.ShapeDtypeStruct((n_pad, P1, P2), dtype),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(scal, rhs, code, coeff)
+    )(*inputs)
 
     if p1 or p2 or pn:
         out = out[:n, :b1, :b2]
     return out
 
 
-def _sweep_kernel_axis1_v2(scal_ref, d_hbm, code_hbm, coeff_hbm, out_hbm,
-                           xbuf, dpbuf, dbuf, cbuf, fbuf, obuf, in_sem,
-                           out_sem, *, n, cn, b1, b2):
+def _sweep_kernel_axis1_v2(scal_ref, seed_ref, d_hbm, code_hbm, coeff_hbm,
+                           out_hbm, xbuf, dpbuf, dbuf, cbuf, fbuf, obuf,
+                           in_sem, out_sem, *, n, cn, b1, b2):
     """Chunked-DMA fused sweep along axis 1 of (B1, n, B2) arrays — the
     y-sweep on the natural (x, y, z) layout, no transposes.  Same streaming
     scheme as _sweep_kernel_v2; the line dimension is the sublane dim, so
@@ -493,12 +521,15 @@ def _sweep_kernel_axis1_v2(scal_ref, d_hbm, code_hbm, coeff_hbm, out_hbm,
     t_inf = scal_ref[2]
     f32 = xbuf.dtype
     mixed = obuf is not None
+    stochastic = seed_ref is not None
     i = pl.program_id(0)
     j = pl.program_id(1)
     r0 = i * b1
     c0 = j * b2
     nchunks = n // cn
     G = 8
+    if stochastic:
+        pltpu.prng_seed(seed_ref[0] + i * pl.num_programs(1) + j)
 
     def in_dmas(slot, k):
         s = k * cn
@@ -586,7 +617,14 @@ def _sweep_kernel_axis1_v2(scal_ref, d_hbm, code_hbm, coeff_hbm, out_hbm,
         if mixed:
             if k + 2 < nchunks:
                 out_dma(k + 2).wait()   # staging slot free?
-            obuf[k % 2] = xbuf[:, pl.ds(base, cn), :].astype(obuf.dtype)
+            xk = xbuf[:, pl.ds(base, cn), :]
+            if stochastic:
+                bits = pltpu.bitcast(pltpu.prng_random_bits(xk.shape),
+                                     jnp.uint32)
+                obuf[k % 2] = pltpu.stochastic_round(xk, bits,
+                                                     target_dtype=obuf.dtype)
+            else:
+                obuf[k % 2] = xk.astype(obuf.dtype)
         out_dma(k).start()
 
     for k in range(min(nchunks, 2) if mixed else nchunks):
@@ -596,7 +634,8 @@ def _sweep_kernel_axis1_v2(scal_ref, d_hbm, code_hbm, coeff_hbm, out_hbm,
 @functools.partial(jax.jit, static_argnames=("interpret", "block_b1",
                                              "block_b2", "chunk"))
 def fused_sweep_axis1_v2(rhs, code, coeff, theta_gam, dt, t_inf,
-                         qflux=None, dir_val=None, *, interpret: bool = False,
+                         qflux=None, dir_val=None, rng_seed=None, *,
+                         interpret: bool = False,
                          block_b1: int = 8, block_b2: int | None = None,
                          chunk: int = 64):
     """Bandwidth-tuned fused masked sweep along axis 1 of (B1, n, B2) arrays
@@ -632,6 +671,7 @@ def fused_sweep_axis1_v2(rhs, code, coeff, theta_gam, dt, t_inf,
     grid = (P1 // block_b1, P2 // block_b2)
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
 
+    stochastic = mixed and rng_seed is not None
     kern = functools.partial(_sweep_kernel_axis1_v2, n=n_pad, cn=cn,
                              b1=block_b1, b2=block_b2)
     scratch = [
@@ -643,24 +683,38 @@ def fused_sweep_axis1_v2(rhs, code, coeff, theta_gam, dt, t_inf,
     ]
     if mixed:
         scratch.append(pltpu.VMEM((2, block_b1, cn, block_b2), dtype))  # obuf
-        body = kern
+        if stochastic:
+            body = (lambda scal, seed, d, c, f, o, *rest:
+                    kern(scal, seed, d, c, f, o, *rest))
+        else:
+            body = (lambda scal, d, c, f, o, *rest:
+                    kern(scal, None, d, c, f, o, *rest))
     else:
         body = (lambda scal, d, c, f, o, xb, dp, db, cb, fb, isem, osem:
-                kern(scal, d, c, f, o, xb, dp, db, cb, fb, None, isem, osem))
+                kern(scal, None, d, c, f, o, xb, dp, db, cb, fb, None,
+                     isem, osem))
     scratch += [pltpu.SemaphoreType.DMA((2, 3)),
                 pltpu.SemaphoreType.DMA((n_pad // cn,))]
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    inputs = [scal]
+    if stochastic:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(jnp.asarray(rng_seed, jnp.int32).reshape(1))
+    in_specs += [hbm, hbm, hbm]
+    inputs += [rhs, code, coeff]
 
     out = pl.pallas_call(
         body,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), hbm, hbm, hbm],
+        in_specs=in_specs,
         out_specs=hbm,
         out_shape=jax.ShapeDtypeStruct((P1, n_pad, P2), dtype),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(scal, rhs, code, coeff)
+    )(*inputs)
 
     if p1 or p2 or pn:
         out = out[:b1, :n, :b2]

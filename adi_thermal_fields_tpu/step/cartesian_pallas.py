@@ -78,9 +78,14 @@ def build_sweep_plan(mask: jax.Array, packs: CoeffPacks, *,
 def adi_step_pallas(T: jax.Array, plan: SweepPlan, grid: CartesianGrid,
                     mat: Material, *, dt, theta: float = 0.5, t_inf=0.0,
                     source: jax.Array | None = None,
-                    interpret: bool = False) -> jax.Array:
+                    rng_seed=None, interpret: bool = False) -> jax.Array:
     """One theta-scheme ADI step on the fused-kernel path.  ``source``:
-    optional volumetric heat rate [W/m^3], as in step/cartesian.adi_step."""
+    optional volumetric heat rate [W/m^3], as in step/cartesian.adi_step.
+
+    rng_seed: optional int32 (vary it per step!) enabling STOCHASTIC
+    rounding of the bf16 stores — unbiased quantization that removes the
+    sub-quantum update dropout of round-to-nearest (bf16 state only; this
+    path bypasses the custom-VJP wrappers and is not differentiable)."""
     mask = plan.mask
     kappa = mat.alpha
     inv_dx2 = 1.0 / (grid.dx * grid.dx)
@@ -89,11 +94,19 @@ def adi_step_pallas(T: jax.Array, plan: SweepPlan, grid: CartesianGrid,
     gam = kappa * dt * inv_dx2
     theta_gam = theta * gam
 
+    stochastic = (rng_seed is not None
+                  and T.dtype != jnp.promote_types(T.dtype, jnp.float32))
     if plan.mask_i8 is not None:
         # fused stencil kernel: one HBM pass instead of XLA's ~3
         # (differentiable: L is symmetric, pullback is the stencil itself)
-        R0 = theta_rhs_diff(T, plan.mask_i8, dt * kappa * (1.0 - theta),
-                            inv_dx2, interpret=interpret)
+        if stochastic:
+            from ..solvers.pallas_stencil import theta_rhs
+
+            R0 = theta_rhs(T, plan.mask_i8, dt * kappa * (1.0 - theta),
+                           inv_dx2, rng_seed, interpret=interpret)
+        else:
+            R0 = theta_rhs_diff(T, plan.mask_i8, dt * kappa * (1.0 - theta),
+                                inv_dx2, interpret=interpret)
     else:
         lap = (masked_laplacian_1d(T, mask, 0, inv_dx2)
                + masked_laplacian_1d(T, mask, 1, inv_dx2)
@@ -104,6 +117,24 @@ def adi_step_pallas(T: jax.Array, plan: SweepPlan, grid: CartesianGrid,
 
     q = plan.qfluxes or (None, None, None)
     dv = plan.dir_vals or (None, None, None)
+
+    if stochastic:
+        from ..solvers.pallas_sweeps import (fused_sweep_axis0_v2,
+                                             fused_sweep_axis1_v2)
+
+        U = fused_sweep_axis0_v2(R0, plan.codes[0], plan.coeffs[0],
+                                 theta_gam, dt, t_inf, qflux=q[0],
+                                 dir_val=dv[0], rng_seed=rng_seed + 1,
+                                 interpret=interpret)
+        V = fused_sweep_axis1_v2(U, plan.codes[1], plan.coeffs[1],
+                                 theta_gam, dt, t_inf, qflux=q[1],
+                                 dir_val=dv[1], rng_seed=rng_seed + 2,
+                                 interpret=interpret)
+        W = fused_sweep_axis0_v2(jnp.transpose(V, (2, 0, 1)), plan.codes[2],
+                                 plan.coeffs[2], theta_gam, dt, t_inf,
+                                 qflux=q[2], dir_val=dv[2],
+                                 rng_seed=rng_seed + 3, interpret=interpret)
+        return jnp.transpose(W, (1, 2, 0))
 
     U = sweep_solve(R0, plan.codes[0], plan.coeffs[0], theta_gam, dt,
                     t_inf, qflux=q[0], dir_val=dv[0], axis=0,
