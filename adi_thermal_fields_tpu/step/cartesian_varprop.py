@@ -99,6 +99,9 @@ def adi_step_varprop(T: jax.Array, mask: jax.Array, packs: CoeffPacks,
 
     mat_ref: the reference material whose rho (constant) and cp were used to
     build ``packs``; constant tables reproduce adi_step_cartesian.
+    k_table: a single PropertyTable (isotropic) or a 3-tuple of per-axis
+    tables/constants (anisotropic — e.g. WAAM beads conduct better along
+    the deposit direction than across layer interfaces).
     implementation: "pallas" (fused field-coefficient sweeps), "xla"
     (scan solver), or "auto" (pallas on TPU).
     """
@@ -111,8 +114,17 @@ def adi_step_varprop(T: jax.Array, mask: jax.Array, packs: CoeffPacks,
     dt = jnp.asarray(dt, jnp.promote_types(dtype, jnp.float32))
     inv_dx2 = 1.0 / (grid.dx * grid.dx)
 
-    kf = (k_table(T) if k_table is not None
-          else jnp.full(T.shape, mat_ref.k, dtype))
+    def k_of(tab):
+        if tab is None:
+            return jnp.full(T.shape, mat_ref.k, dtype)
+        if callable(tab):
+            return tab(T)
+        return jnp.full(T.shape, float(tab), dtype)
+
+    if isinstance(k_table, (tuple, list)):
+        kfs = tuple(k_of(tab) for tab in k_table)
+    else:
+        kfs = (k_of(k_table),) * 3
     cpf = (cp_table(T) if cp_table is not None
            else jnp.full(T.shape, mat_ref.cp, dtype))
     inv_rc = 1.0 / (mat_ref.rho * cpf)
@@ -122,8 +134,8 @@ def adi_step_varprop(T: jax.Array, mask: jax.Array, packs: CoeffPacks,
     # per-face implicit coupling factors g = dt*k_face/(rho cp_i dx^2)
     g = {}
     for ax in range(3):
-        g[(ax, -1)] = dt * _face_g(kf, ax, -1, mask) * inv_rc * inv_dx2
-        g[(ax, +1)] = dt * _face_g(kf, ax, +1, mask) * inv_rc * inv_dx2
+        g[(ax, -1)] = dt * _face_g(kfs[ax], ax, -1, mask) * inv_rc * inv_dx2
+        g[(ax, +1)] = dt * _face_g(kfs[ax], ax, +1, mask) * inv_rc * inv_dx2
 
     # explicit pass: R0 = T + dt*(1-theta)*sum_faces g*(T_nbr - T)/dt ...
     # (g already includes dt, so the explicit term is (1-theta)*sum g*dT)

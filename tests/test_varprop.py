@@ -118,3 +118,37 @@ def test_latent_heat_energy_accounting():
     for _ in range(nsteps):
         T2 = step2(T2)
     assert float(jnp.mean(T2)) > T_end + 0.5 * L / cp_s
+
+
+def test_anisotropic_conductivity_separates_axes():
+    """Per-axis k (anisotropic deposits): a perturbation varying only along
+    axis A must evolve exactly as the ISOTROPIC solver with k = k_A — the
+    other axes' conductivities cannot leak into it."""
+    grid = CartesianGrid(24, 24, 4, 1e-3)
+    mat = Material(7800.0, 490.0, 40.0)
+    mask = jnp.ones(grid.shape, bool)
+    packs = build_coeff_packs(mask, grid, mat)   # adiabatic
+    kx, ky, kz = 40.0, 10.0, 4.0
+
+    x = (np.arange(grid.nx) + 0.5) / grid.nx
+    Tx = jnp.asarray(np.broadcast_to(
+        100.0 + 50.0 * np.cos(np.pi * x)[:, None, None], grid.shape))
+    y = (np.arange(grid.ny) + 0.5) / grid.ny
+    Ty = jnp.asarray(np.broadcast_to(
+        100.0 + 50.0 * np.cos(np.pi * y)[None, :, None], grid.shape))
+
+    def run(T0, k):
+        step = jax.jit(lambda T: adi_step_varprop(
+            T, mask, packs, grid, mat, k_table=k, dt=0.2, theta=1.0))
+        T = T0
+        for _ in range(5):
+            T = step(T)
+        return np.asarray(T)
+
+    aniso = (kx, ky, kz)
+    np.testing.assert_allclose(run(Tx, aniso), run(Tx, kx), rtol=1e-12)
+    np.testing.assert_allclose(run(Ty, aniso), run(Ty, ky), rtol=1e-12)
+    # and the two axes genuinely decay at different rates
+    ax_amp = run(Tx, aniso).max() - run(Tx, aniso).min()
+    ay_amp = run(Ty, aniso).max() - run(Ty, aniso).min()
+    assert ax_amp < ay_amp  # kx > ky -> faster decay along x
