@@ -25,6 +25,7 @@ from ..step.cylindrical import RobinBC, ZFaceBC, _r_sweep, _z_sweep
 from ..solvers.spectral import phi_solve_spectral
 
 __all__ = ["sharded_cylindrical_step", "sharded_cylindrical_masked_step",
+           "sharded_cylindrical_masked_step_pallas",
            "sharded_cylindrical_masked_clamp_step"]
 
 
@@ -118,6 +119,118 @@ def sharded_cylindrical_masked_step(grid: CylindricalGrid, mat: Material,
             zbc=zbc, robin_inner=robin_inner, h_void=h_void,
             T_inf_void=T_inf_void, h_front=h_front, constrain=cz)
         return cz(out, "r")
+
+    return step
+
+
+def sharded_cylindrical_masked_step_pallas(grid: CylindricalGrid,
+                                           mat: Material, mesh: Mesh, *,
+                                           robin_outer: RobinBC, zbc: ZFaceBC,
+                                           robin_inner: RobinBC | None = None,
+                                           h_void: float = 0.0,
+                                           T_inf_void: float = 20.0,
+                                           h_front: float | None = None,
+                                           interpret: bool | None = None):
+    """Production multi-chip masked-Robin step: the compressed masked
+    kernels (solvers/pallas_fields.py) run per shard via shard_map with each
+    sweep's solve axis chip-local — the cylindrical analogue of
+    dist/cartesian_pallas.  ``step(T, active, dt)``; the plan (coefficient
+    codes, sinks, geometry) rebuilds in-jit from the mask with sharding
+    constraints, so birth events stay functional."""
+    from jax import shard_map
+
+    from ..solvers.pallas_fields import (fused_masked_cyclic,
+                                         fused_masked_sweep)
+    from ..step.cylindrical_masked import build_masked_robin_plan
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    specs = _stage_specs(mesh)
+    alpha = mat.alpha
+
+    def cz(x, stage):
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, specs[stage]))
+
+    # solve-layout specs (axis-first per sweep): the batch shardings follow
+    # the stage specs with the solve axis moved to the front
+    a, b = mesh.axis_names
+    sol = {"r": P(None, a, b),            # (r, phi, z): r local
+           "phi": P(None, None, (a, b)),  # (phi, r, z): phi local, z sharded
+           "z": P(None, None, (a, b))}    # (z, r, phi): z local, phi sharded
+
+    def czs(x, stage):
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, sol[stage]))
+
+    def sweep_open(stage, axis):
+        def local(d, code, sink, glo, ghi, fac):
+            return fused_masked_sweep(d, code, sink, glo, ghi, fac,
+                                      interpret=interpret)
+
+        sm = shard_map(local, mesh=mesh,
+                       in_specs=(sol[stage], sol[stage], sol[stage],
+                                 P(None), P(None), P()),
+                       out_specs=sol[stage], check_vma=False)
+
+        def run(d, comp, fac):
+            code, sink, glo, ghi = comp
+            mv = lambda t: jnp.moveaxis(t, axis, 0)
+            x = sm(czs(mv(d), stage), czs(mv0(code, stage), stage),
+                   czs(mv0(sink, stage), stage), glo, ghi, fac)
+            return jnp.moveaxis(x, 0, axis)
+
+        return run
+
+    mv0 = lambda t, stage: t   # plan arrays are already axis-first
+
+    def sweep_cyclic(stage, axis):
+        def local(d, code, sink, geo, fac):
+            return fused_masked_cyclic(d, code, sink, geo, fac,
+                                       interpret=interpret)
+
+        # geo is (nr, nz): r replicated, z sharded over the whole mesh
+        sm = shard_map(local, mesh=mesh,
+                       in_specs=(sol[stage], sol[stage], sol[stage],
+                                 P(None, (a, b)), P()),
+                       out_specs=sol[stage], check_vma=False)
+
+        def run(d, comp, fac):
+            code, sink, geo = comp
+            mv = lambda t: jnp.moveaxis(t, axis, 0)
+            x = sm(czs(mv(d), stage), czs(code, stage), czs(sink, stage),
+                   jax.lax.with_sharding_constraint(
+                       geo, NamedSharding(mesh, P(None, (a, b)))), fac)
+            return jnp.moveaxis(x, 0, axis)
+
+        return run
+
+    run_r = sweep_open("r", 0)
+    run_phi = sweep_cyclic("phi", 1)
+    run_z = sweep_open("z", 2)
+
+    @jax.jit
+    def step(T, active, dt):
+        active = active.astype(bool)
+        plan = build_masked_robin_plan(
+            grid, mat, active, robin_outer=robin_outer, zbc=zbc,
+            robin_inner=robin_inner, h_void=h_void, T_inf_void=T_inf_void,
+            h_front=h_front, dtype=T.dtype)
+        fac = jnp.asarray(dt * alpha, T.dtype)
+        ambient = plan.ambient
+
+        def prefold(rhs, sw):
+            d = rhs + fac * sw[5]
+            d = jnp.where(plan.active, d, ambient)
+            return jnp.where(plan.pin, plan.pin_val, d)
+
+        R0 = jnp.where(plan.active, T, ambient)
+        X = run_r(prefold(cz(R0, "r"), plan.r), plan.compressed[0], fac)
+        if plan.compressed[1] is not None:
+            X = run_phi(prefold(cz(X, "phi"), plan.phi), plan.compressed[1],
+                        fac)
+        X = run_z(prefold(cz(X, "z"), plan.z), plan.compressed[2], fac)
+        return cz(jnp.where(plan.active, X, ambient), "r")
 
     return step
 

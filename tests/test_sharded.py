@@ -317,3 +317,48 @@ def test_sharded_pallas_step_matches_xla(monkeypatch):
     assert len(T.sharding.device_set) == 8
     np.testing.assert_allclose(np.asarray(T), np.asarray(ref), rtol=1e-11,
                                atol=1e-9)
+
+
+def test_sharded_masked_cylindrical_pallas_matches_single_device():
+    """Production multi-chip element birth: the compressed masked kernels
+    under shard_map (interpret mode on the virtual mesh) vs the
+    single-device masked-Robin step."""
+    from adi_thermal_fields_tpu import CylindricalGrid, RobinBC, ZFaceBC
+    from adi_thermal_fields_tpu.dist.cylindrical import (
+        sharded_cylindrical_masked_step_pallas)
+    from adi_thermal_fields_tpu.step.cylindrical_masked import (
+        adi_step_masked_robin)
+
+    grid = CylindricalGrid(6, 32, 16, 4e-4, 1e-3, r_inner=0.03)
+    mat = Material(7800.0, 490.0, 54.0)
+    rob = RobinBC(350.0, 20.0)
+    zbc = ZFaceBC(kind_bot="robin", h_bot=200.0, T_inf_bot=20.0,
+                  kind_top="neumann0")
+    active_np = np.zeros(grid.shape, bool)
+    active_np[:, :, :8] = True
+    active_np[:, :20, 8:10] = True
+    active = jnp.asarray(active_np)
+    rng = np.random.default_rng(5)
+    T0 = jnp.asarray(np.where(active_np, 20.0 + 1480.0 * rng.random(grid.shape),
+                              20.0))
+    dt = 0.05
+    kw = dict(robin_outer=rob, zbc=zbc, robin_inner=rob, h_void=80.0,
+              T_inf_void=20.0)
+
+    ref = T0
+    for _ in range(2):
+        ref = adi_step_masked_robin(ref, grid, mat, dt=dt, active=active,
+                                    implementation="xla", **kw)
+
+    mesh = make_mesh()
+    step = sharded_cylindrical_masked_step_pallas(grid, mat, mesh,
+                                                  interpret=True, **kw)
+    spec = jax.sharding.NamedSharding(mesh,
+                                      jax.sharding.PartitionSpec(None, "a", "b"))
+    T = jax.device_put(T0, spec)
+    act = jax.device_put(active, spec)
+    for _ in range(2):
+        T = step(T, act, dt)
+    assert len(T.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(T), np.asarray(ref), rtol=1e-9,
+                               atol=1e-8)
