@@ -223,8 +223,11 @@ def run_masked_cylindrical(shape=(64, 512, 256), steps=10, dtype=None):
 
 
 def main_masked():
-    # traffic model: 3 solves x (read a,b,c,d 16B + write 4B) = 60 B/cell
-    sol = HBM_BYTES_PER_S / 60.0
+    # traffic model (compressed masked kernels): per sweep a prefold pass
+    # (read rhs + sink_rhs + masks, write d ~ 14 B) + the kernel
+    # (read d + code + sink, write x = 13 B); phi/z add a layout-change
+    # pair (16 B).  3 sweeps + final select ~ 120 B/cell/step.
+    sol = HBM_BYTES_PER_S / 120.0
     value = None
     for shape in ((64, 512, 256), (32, 256, 128)):
         for attempt in range(3):
