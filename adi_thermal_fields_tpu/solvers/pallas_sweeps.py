@@ -286,7 +286,7 @@ def fused_sweep_axis0(rhs, code, coeff, theta_gam, dt, t_inf,
 
 def _sweep_kernel_v2(scal_ref, seed_ref, d_hbm, code_hbm, coeff_hbm,
                      out_hbm, xbuf, dpbuf, dbuf, cbuf, fbuf, obuf, in_sem,
-                     out_sem, *, n, cn, b1, b2, grp_rows=8):
+                     out_sem, *, n, cn, b1, b2, grp_rows=8, has_pin=True):
     """Chunked-DMA fused sweep along axis 0 (the bandwidth-tuned variant).
 
     Inputs stay in HBM; chunks of ``cn`` line positions are double-buffered
@@ -356,11 +356,13 @@ def _sweep_kernel_v2(scal_ref, seed_ref, d_hbm, code_hbm, coeff_hbm,
             code_g = cbuf[slot, pl.ds(s, G)].astype(jnp.int32)
             low = jnp.where((code_g & 1) > 0, one, zero_s)
             high = jnp.where((code_g & 2) > 0, one, zero_s)
-            pin = jnp.where((code_g & 4) > 0, one, zero_s)
             cf_g = fbuf[slot, pl.ds(s, G)].astype(f32)
             a_g = -tg * low
             c_g = -tg * high
-            b_g = (1.0 + tg * (low + high) + dt * cf_g) * (1.0 - pin) + pin
+            b_g = 1.0 + tg * (low + high) + dt * cf_g
+            if has_pin:  # static: skipped when the code carries no pin bits
+                pin = jnp.where((code_g & 4) > 0, one, zero_s)
+                b_g = b_g * (1.0 - pin) + pin
             dd_g = dbuf[slot, pl.ds(s, G)].astype(f32) + dt * cf_g * t_inf
             cps, dps = [], []
             for r in range(G):
@@ -460,7 +462,8 @@ def fused_sweep_axis0_v2(rhs, code, coeff, theta_gam, dt, t_inf,
 
     stochastic = mixed and rng_seed is not None
     kern = functools.partial(_sweep_kernel_v2, n=n_pad, cn=cn, b1=block_b1,
-                             b2=block_b2, grp_rows=grp_rows)
+                             b2=block_b2, grp_rows=grp_rows,
+                             has_pin=dir_val is not None)
     scratch = [
         pltpu.VMEM((n_pad, block_b1, block_b2), cdt),          # x / cp
         pltpu.VMEM((n_pad, block_b1, block_b2), cdt),          # dp
@@ -510,7 +513,7 @@ def fused_sweep_axis0_v2(rhs, code, coeff, theta_gam, dt, t_inf,
 
 def _sweep_kernel_axis1_v2(scal_ref, seed_ref, d_hbm, code_hbm, coeff_hbm,
                            out_hbm, xbuf, dpbuf, dbuf, cbuf, fbuf, obuf,
-                           in_sem, out_sem, *, n, cn, b1, b2):
+                           in_sem, out_sem, *, n, cn, b1, b2, has_pin=True):
     """Chunked-DMA fused sweep along axis 1 of (B1, n, B2) arrays — the
     y-sweep on the natural (x, y, z) layout, no transposes.  Same streaming
     scheme as _sweep_kernel_v2; the line dimension is the sublane dim, so
@@ -569,16 +572,17 @@ def _sweep_kernel_axis1_v2(scal_ref, seed_ref, d_hbm, code_hbm, coeff_hbm,
             code_g = cbuf[slot, :, pl.ds(s, G), :].astype(jnp.int32)
             low = jnp.where((code_g & 1) > 0, one, zero_s)
             high = jnp.where((code_g & 2) > 0, one, zero_s)
-            pin = jnp.where((code_g & 4) > 0, one, zero_s)
             cf_g = fbuf[slot, :, pl.ds(s, G), :].astype(f32)
             # ONE group swapaxes to (G, b1, b2) makes the row slices free
             # leading-dim views — measured 38% faster than per-row sublane
             # extracts at 512^3 (bitwise identical)
             a_g = jnp.swapaxes(-tg * low, 0, 1)
             c_g = jnp.swapaxes(-tg * high, 0, 1)
-            b_g = jnp.swapaxes(
-                (1.0 + tg * (low + high) + dt * cf_g) * (1.0 - pin) + pin,
-                0, 1)
+            b_raw = 1.0 + tg * (low + high) + dt * cf_g
+            if has_pin:  # static: skipped when the code carries no pin bits
+                pin = jnp.where((code_g & 4) > 0, one, zero_s)
+                b_raw = b_raw * (1.0 - pin) + pin
+            b_g = jnp.swapaxes(b_raw, 0, 1)
             dd_g = jnp.swapaxes(
                 dbuf[slot, :, pl.ds(s, G), :].astype(f32) + dt * cf_g * t_inf,
                 0, 1)
@@ -673,7 +677,8 @@ def fused_sweep_axis1_v2(rhs, code, coeff, theta_gam, dt, t_inf,
 
     stochastic = mixed and rng_seed is not None
     kern = functools.partial(_sweep_kernel_axis1_v2, n=n_pad, cn=cn,
-                             b1=block_b1, b2=block_b2)
+                             b1=block_b1, b2=block_b2,
+                             has_pin=dir_val is not None)
     scratch = [
         pltpu.VMEM((block_b1, n_pad, block_b2), cdt),          # x / cp
         pltpu.VMEM((block_b1, n_pad, block_b2), cdt),          # dp
