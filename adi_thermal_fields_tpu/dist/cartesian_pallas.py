@@ -19,7 +19,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.grid import CartesianGrid
 from ..core.material import Material
-from ..solvers.pallas_sweeps import fused_sweep_axis0, fused_sweep_axis1
+from ..solvers.pallas_sweeps import (fused_sweep_axis0_v2,
+                                     fused_sweep_axis1_v2)
 from ..step.cartesian import masked_laplacian_1d
 from ..step.cartesian_pallas import SweepPlan
 
@@ -75,12 +76,12 @@ def sharded_adi_step_pallas(grid: CartesianGrid, mat: Material, mesh: Mesh, *,
         return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
     def local0(rhs, code, coeff, tg, dt):
-        return fused_sweep_axis0(rhs, code, coeff, tg, dt, t_inf,
-                                 interpret=interpret)
+        return fused_sweep_axis0_v2(rhs, code, coeff, tg, dt, t_inf,
+                                    interpret=interpret)
 
     def local1(rhs, code, coeff, tg, dt):
-        return fused_sweep_axis1(rhs, code, coeff, tg, dt, t_inf,
-                                 interpret=interpret)
+        return fused_sweep_axis1_v2(rhs, code, coeff, tg, dt, t_inf,
+                                    interpret=interpret)
 
     sweep_x = shard_map(local0, mesh=mesh,
                         in_specs=(s[0], s[0], s[0], P(), P()),

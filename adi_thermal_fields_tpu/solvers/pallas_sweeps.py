@@ -359,11 +359,12 @@ def _sweep_kernel_v2(scal_ref, seed_ref, d_hbm, code_hbm, coeff_hbm,
             cf_g = fbuf[slot, pl.ds(s, G)].astype(f32)
             a_g = -tg * low
             c_g = -tg * high
-            b_g = 1.0 + tg * (low + high) + dt * cf_g
+            dtcf = dt * cf_g
+            b_g = 1.0 + tg * (low + high) + dtcf
             if has_pin:  # static: skipped when the code carries no pin bits
                 pin = jnp.where((code_g & 4) > 0, one, zero_s)
                 b_g = b_g * (1.0 - pin) + pin
-            dd_g = dbuf[slot, pl.ds(s, G)].astype(f32) + dt * cf_g * t_inf
+            dd_g = dbuf[slot, pl.ds(s, G)].astype(f32) + dtcf * t_inf
             cps, dps = [], []
             for r in range(G):
                 inv = 1.0 / (b_g[r] - a_g[r] * cp_prev)
@@ -578,13 +579,14 @@ def _sweep_kernel_axis1_v2(scal_ref, seed_ref, d_hbm, code_hbm, coeff_hbm,
             # extracts at 512^3 (bitwise identical)
             a_g = jnp.swapaxes(-tg * low, 0, 1)
             c_g = jnp.swapaxes(-tg * high, 0, 1)
-            b_raw = 1.0 + tg * (low + high) + dt * cf_g
+            dtcf = dt * cf_g
+            b_raw = 1.0 + tg * (low + high) + dtcf
             if has_pin:  # static: skipped when the code carries no pin bits
                 pin = jnp.where((code_g & 4) > 0, one, zero_s)
                 b_raw = b_raw * (1.0 - pin) + pin
             b_g = jnp.swapaxes(b_raw, 0, 1)
             dd_g = jnp.swapaxes(
-                dbuf[slot, :, pl.ds(s, G), :].astype(f32) + dt * cf_g * t_inf,
+                dbuf[slot, :, pl.ds(s, G), :].astype(f32) + dtcf * t_inf,
                 0, 1)
             cps, dps = [], []
             for r in range(G):
