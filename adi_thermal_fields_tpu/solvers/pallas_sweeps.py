@@ -439,8 +439,11 @@ def fused_sweep_axis0_v2(rhs, code, coeff, theta_gam, dt, t_inf,
         coeff = jnp.where(pin, 0.0, coeff)
 
     if block_b2 is None:
-        # keep xbuf+dpbuf (2 * n_pad * 8 * B2 * itemsize) within ~10 MB
-        block_b2 = 256 if n <= 640 else 128
+        # keep xbuf+dpbuf (2 * n_pad * 8 * B2 * itemsize) within ~10 MB,
+        # and prefer the tile that pads the lane dimension least (a (8,256)
+        # tile on b2 = 576 would pad to 768: +33% wasted work)
+        cands = [c for c in (256, 128) if n <= 640 or c == 128]
+        block_b2 = min(cands, key=lambda c: (_round_up(b2, c), -c))
     cn = min(chunk, _round_up(n, 8))
     pn = _round_up(n, cn) - n
     p1 = _round_up(b1, block_b1) - b1
@@ -657,7 +660,8 @@ def fused_sweep_axis1_v2(rhs, code, coeff, theta_gam, dt, t_inf,
         coeff = jnp.where(pin, 0.0, coeff)
 
     if block_b2 is None:
-        block_b2 = 256 if n <= 640 else 128
+        cands = [c for c in (256, 128) if n <= 640 or c == 128]
+        block_b2 = min(cands, key=lambda c: (_round_up(b2, c), -c))
     cn = min(chunk, _round_up(n, 8))
     pn = _round_up(n, cn) - n
     p1 = _round_up(b1, block_b1) - b1
