@@ -52,7 +52,10 @@ def build_argparser() -> argparse.ArgumentParser:
     # numerics
     p.add_argument("--theta", type=float, default=0.5)
     p.add_argument("--cfl", type=float, default=2.0)
-    p.add_argument("--precision", choices=["float32", "float64"], default="float32")
+    p.add_argument("--precision", choices=["float32", "float64", "bfloat16"],
+                   default="float32",
+                   help="bfloat16 = bandwidth mode (f32 solve precision; "
+                        "see BASELINE.md for accuracy characteristics)")
     # output
     p.add_argument("--nframes", type=int, default=12)
     p.add_argument("--save_vtk", type=int, default=0)
@@ -156,8 +159,9 @@ def run(args) -> dict:
     grid = CartesianGrid(nx, ny, nz, dx)
     mat = Material(args.rho, args.cp, args.k)
 
-    dtype = jnp.float32 if args.precision == "float32" else jnp.float64
-    bytes_T = grid.ncells * (4 if args.precision == "float32" else 8)
+    dtype = {"float32": jnp.float32, "float64": jnp.float64,
+             "bfloat16": jnp.bfloat16}[args.precision]
+    bytes_T = grid.ncells * jnp.dtype(dtype).itemsize
     log(f"field memory ~{fmt_bytes(bytes_T)} + mask {fmt_bytes(grid.ncells)}",
         tag="mem")
 
