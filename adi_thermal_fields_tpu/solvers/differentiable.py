@@ -30,7 +30,7 @@ import numpy as np
 
 from .thomas import thomas
 
-__all__ = ["sweep_solve", "theta_rhs_diff"]
+__all__ = ["sweep_solve", "sweep_solve_lite", "theta_rhs_diff"]
 
 
 def _f0(x):
@@ -132,6 +132,94 @@ def sweep_solve(rhs, code, coeff, tg, dt, t_inf, qflux=None, dir_val=None, *,
     return _sweep_solve(axis, interpret, has_q, has_d)(
         rhs, code, coeff, jnp.asarray(tg, dtype), jnp.asarray(dt, dtype),
         jnp.asarray(t_inf, dtype),
+        qflux if has_q else zero, dir_val if has_d else zero)
+
+
+@functools.cache
+def _sweep_solve_lite(axis: int, interpret: bool, has_q: bool, has_d: bool):
+    """Differentiable plan-lite sweep: the Robin coefficient field is
+    derived from the code bits (``cf = rob_c * (2 - low - high) * inmask``,
+    see pallas_sweeps.sweep_code) in both the primal kernel and the
+    pullback; ``rob_c_bar`` contracts the coefficient cotangent against
+    that dependence."""
+    from .pallas_sweeps import fused_sweep_axis0_v2, fused_sweep_axis1_v2
+
+    kern = fused_sweep_axis0_v2 if axis == 0 else fused_sweep_axis1_v2
+
+    @jax.custom_vjp
+    def solve(rhs, code, rob_c, tg, dt, t_inf, qflux, dir_val):
+        return kern(rhs, code, None, tg, dt, t_inf,
+                    qflux=qflux if has_q else None,
+                    dir_val=dir_val if has_d else None, rob_c=rob_c,
+                    interpret=interpret)
+
+    def fwd(rhs, code, rob_c, tg, dt, t_inf, qflux, dir_val):
+        x = solve(rhs, code, rob_c, tg, dt, t_inf, qflux, dir_val)
+        return x, (x, code, rob_c, tg, dt, t_inf, qflux)
+
+    def bwd(res, g):
+        x, code, rob_c, tg, dt, t_inf, qflux = res
+        mv = lambda t: (t if axis == 0 else jnp.moveaxis(t, 1, 0))
+        xf, gf = mv(x), mv(g)
+        code_f = mv(code).astype(jnp.int32)
+        dtype = x.dtype
+        tg = jnp.asarray(tg, dtype)
+        dt = jnp.asarray(dt, dtype)
+        t_inf = jnp.asarray(t_inf, dtype)
+        rob_c = jnp.asarray(rob_c, dtype)
+        qf = mv(qflux) if has_q else jnp.zeros_like(xf)
+
+        low = (code_f & 1) > 0
+        high = (code_f & 2) > 0
+        pin = (code_f & 4) > 0
+        lowf = low.astype(dtype)
+        highf = high.astype(dtype)
+        nfaces = ((2.0 - lowf - highf)
+                  * ((code_f & 8) > 0).astype(dtype))  # exposed faces/axis
+        cf = rob_c * nfaces                            # pin rows: nfaces = 0
+        a = jnp.where(low, -tg, 0.0).astype(dtype)
+        c = jnp.where(high, -tg, 0.0).astype(dtype)
+        b = jnp.where(pin, 1.0,
+                      1.0 + tg * (lowf + highf) + dt * cf).astype(dtype)
+
+        y = thomas(_shift_dn(c), b, _shift_up(a), gf)
+
+        unp = ~pin
+        rhs_bar = jnp.where(pin, 0.0, y)
+        qflux_bar = dt * rhs_bar
+        dval_bar = jnp.where(pin, y, 0.0)
+        coeff_bar = jnp.where(unp, dt * y * (t_inf - xf), 0.0)
+        rob_c_bar = jnp.sum(coeff_bar * nfaces).astype(dtype)
+
+        x_lo = _shift_dn(xf)
+        x_hi = _shift_up(xf)
+        tg_bar = -jnp.sum(jnp.where(
+            unp, y * ((lowf + highf) * xf - lowf * x_lo - highf * x_hi), 0.0))
+        dt_bar = jnp.sum(jnp.where(unp, y * (qf + cf * (t_inf - xf)), 0.0))
+        t_inf_bar = jnp.sum(jnp.where(unp, y * dt * cf, 0.0))
+
+        mvb = lambda t: (t if axis == 0 else jnp.moveaxis(t, 0, 1))
+        q_bar = (mvb(qflux_bar) if has_q else jnp.zeros((), dtype))
+        d_bar = (mvb(dval_bar) if has_d else jnp.zeros((), dtype))
+        return (mvb(rhs_bar), _f0(code), rob_c_bar,
+                tg_bar.astype(dtype), dt_bar.astype(dtype),
+                t_inf_bar.astype(dtype), q_bar, d_bar)
+
+    solve.defvjp(fwd, bwd)
+    return solve
+
+
+def sweep_solve_lite(rhs, code, rob_c, tg, dt, t_inf, qflux=None,
+                     dir_val=None, *, axis: int = 0,
+                     interpret: bool = False):
+    """Differentiable plan-lite fused sweep (no coefficient field; scalar
+    ``rob_c = h/(rho cp dx)``)."""
+    dtype = rhs.dtype
+    has_q, has_d = qflux is not None, dir_val is not None
+    zero = jnp.zeros((), dtype)
+    return _sweep_solve_lite(axis, interpret, has_q, has_d)(
+        rhs, code, jnp.asarray(rob_c, dtype), jnp.asarray(tg, dtype),
+        jnp.asarray(dt, dtype), jnp.asarray(t_inf, dtype),
         qflux if has_q else zero, dir_val if has_d else zero)
 
 

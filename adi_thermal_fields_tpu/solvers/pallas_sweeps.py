@@ -42,20 +42,28 @@ __all__ = ["sweep_code", "fused_sweep", "fused_sweep_axis0",
            "fused_sweep_axis0_v2", "fused_sweep_axis1_v2",
            "fused_sweep_const", "fused_cyclic_const", "fused_cyclic_phi"]
 
-_LOW, _HIGH, _PIN = np.int8(1), np.int8(2), np.int8(4)
+_LOW, _HIGH, _PIN, _INMASK = np.int8(1), np.int8(2), np.int8(4), np.int8(8)
 
 
 def sweep_code(mask: jax.Array, dir_mask: jax.Array | None, axis: int) -> jax.Array:
     """int8 per-cell sweep code for ``axis``, in the (axis-first) layout.
 
     Bits: 1 = coupling to the i-1 neighbor, 2 = coupling to i+1,
-    4 = Dirichlet-pinned row.  Built once per mask change (birth event)."""
+    4 = Dirichlet-pinned row, 8 = cell is in-mask.  Built once per mask
+    change (birth event).  Bit 8 lets the "plan-lite" kernels derive the
+    scalar-h Robin coefficient entirely from the code — the number of
+    exposed faces along the sweep axis is ``(2 - low - high)`` for in-mask
+    cells (bc/packs.build_coeff_packs semantics; reference
+    adi3d_numba_coeff.py:93-99) — so no coefficient field is streamed.
+    Pinned rows carry ONLY bit 4 (their Robin sink is folded away, matching
+    the field path's ``coeff = where(pin, 0, coeff)``)."""
     from ..bc.faces import shift_in
 
     mask = mask.astype(bool)
     low = mask & shift_in(mask, axis, -1, fill=False)
     high = mask & shift_in(mask, axis, +1, fill=False)
-    code = (low.astype(jnp.int8) * _LOW) | (high.astype(jnp.int8) * _HIGH)
+    code = ((low.astype(jnp.int8) * _LOW) | (high.astype(jnp.int8) * _HIGH)
+            | (mask.astype(jnp.int8) * _INMASK))
     if dir_mask is not None:
         pin = dir_mask.astype(bool) & mask
         code = jnp.where(pin, _PIN, code)  # pinned rows have no couplings
@@ -228,6 +236,27 @@ def _round_up(v, m):
     return -(-v // m) * m
 
 
+def _v2_body(kern, *, stochastic: bool, mixed: bool, lite: bool):
+    """Positional-ref adapter for the chunked-DMA kernels: maps the
+    pallas_call ref list (which omits seed/coeff/fbuf/obuf refs depending on
+    the mode) onto the full kernel signature."""
+    def body(*refs):
+        it = iter(refs)
+        scal = next(it)
+        seed = next(it) if stochastic else None
+        d = next(it)
+        c = next(it)
+        f = None if lite else next(it)
+        o = next(it)
+        xb, dp, db, cb = next(it), next(it), next(it), next(it)
+        fb = None if lite else next(it)
+        ob = next(it) if mixed else None
+        isem, osem = next(it), next(it)
+        return kern(scal, seed, d, c, f, o, xb, dp, db, cb, fb, ob,
+                    isem, osem)
+    return body
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "block_b1", "block_b2"))
 def fused_sweep_axis0(rhs, code, coeff, theta_gam, dt, t_inf,
                       qflux=None, dir_val=None, *, interpret: bool = False,
@@ -300,13 +329,19 @@ def _sweep_kernel_v2(scal_ref, seed_ref, d_hbm, code_hbm, coeff_hbm,
     bf16 mode: when the HBM dtype is narrower than the compute dtype
     (xbuf.dtype), inputs are upcast per chunk and finished output chunks are
     downcast into the small ``obuf`` staging ring before their DMA — state
-    traffic halves while the whole solve runs at f32."""
+    traffic halves while the whole solve runs at f32.
+
+    Plan-lite mode (``coeff_hbm is None``): the Robin coefficient is derived
+    in-registers from the code's in-mask bit as ``rob_c * (2 - low - high)``
+    with ``rob_c = scal[3]`` — the scalar-h flagship configuration needs no
+    coefficient field at all, cutting the sweep to 9 B/cell."""
     tg = scal_ref[0]
     dt = scal_ref[1]
     t_inf = scal_ref[2]
     f32 = xbuf.dtype                 # compute dtype
     mixed = obuf is not None         # HBM dtype narrower than compute dtype
     stochastic = seed_ref is not None
+    lite = coeff_hbm is None         # derive Robin coeff from the code bits
     i = pl.program_id(0)
     j = pl.program_id(1)
     r0 = i * b1
@@ -320,11 +355,14 @@ def _sweep_kernel_v2(scal_ref, seed_ref, d_hbm, code_hbm, coeff_hbm,
     def in_dmas(slot, k, r0=r0, c0=c0):
         s = k * cn
         src = lambda ref: ref.at[pl.ds(s, cn), pl.ds(r0, b1), pl.ds(c0, b2)]
-        return (
+        dmas = (
             pltpu.make_async_copy(src(d_hbm), dbuf.at[slot], in_sem.at[slot, 0]),
             pltpu.make_async_copy(src(code_hbm), cbuf.at[slot], in_sem.at[slot, 1]),
-            pltpu.make_async_copy(src(coeff_hbm), fbuf.at[slot], in_sem.at[slot, 2]),
         )
+        if not lite:
+            dmas += (pltpu.make_async_copy(src(coeff_hbm), fbuf.at[slot],
+                                           in_sem.at[slot, 2]),)
+        return dmas
 
     def out_dma(k):
         s = k * cn
@@ -356,7 +394,11 @@ def _sweep_kernel_v2(scal_ref, seed_ref, d_hbm, code_hbm, coeff_hbm,
             code_g = cbuf[slot, pl.ds(s, G)].astype(jnp.int32)
             low = jnp.where((code_g & 1) > 0, one, zero_s)
             high = jnp.where((code_g & 2) > 0, one, zero_s)
-            cf_g = fbuf[slot, pl.ds(s, G)].astype(f32)
+            if lite:
+                inm = jnp.where((code_g & 8) > 0, one, zero_s)
+                cf_g = scal_ref[3] * ((2.0 - low - high) * inm)
+            else:
+                cf_g = fbuf[slot, pl.ds(s, G)].astype(f32)
             a_g = -tg * low
             c_g = -tg * high
             dtcf = dt * cf_g
@@ -414,29 +456,240 @@ def _sweep_kernel_v2(scal_ref, seed_ref, d_hbm, code_hbm, coeff_hbm,
         out_dma(k).wait()
 
 
+def _sweep_kernel_v2t(scal_ref, seed_ref, d_hbm, code_hbm, coeff_hbm,
+                      out_hbm, xbuf, dpbuf, dbuf, cbuf, fbuf, obuf, in_sem,
+                      out_sem, *, n, cn, b1, b2, grp_rows=8, has_pin=True):
+    """Twisted (two-sided) elimination variant of _sweep_kernel_v2.
+
+    Factorizes from BOTH ends toward the middle m = n/2: the top half runs
+    the standard downward recurrence (x_i = dp_i - cp_i x_{i+1}), the bottom
+    half the mirrored upward one (x_i = ep_i - fp_i x_{i-1}).  The two chains
+    are data-independent, so interleaving them in the register loop doubles
+    the ILP hiding the divide latency of the sequential Thomas chain — the
+    dominant cost of the one-sided kernel (NOTES.md lever #2).  At the
+    junction the two relations for rows m-1/m give a closed 2x2 solve:
+
+        x_m = (ep_m - fp_m dp_{m-1}) / (1 - fp_m cp_{m-1})
+
+    after which back-substitution proceeds outward in both directions, again
+    interleaved.  Chunks are streamed in PAIRS (k, nchunks-1-k), four DMA
+    slots instead of two; finished output chunks stream back middle-out.
+    Requires nchunks even (wrapper pads; padded rows are identity rows).
+    Identical math to one-sided Thomas in exact arithmetic; rounding differs
+    by ulps (different accumulation order)."""
+    tg = scal_ref[0]
+    dt = scal_ref[1]
+    t_inf = scal_ref[2]
+    f32 = xbuf.dtype
+    mixed = obuf is not None
+    stochastic = seed_ref is not None
+    lite = coeff_hbm is None
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    r0 = i * b1
+    c0 = j * b2
+    nchunks = n // cn
+    npairs = nchunks // 2
+    if stochastic:
+        pltpu.prng_seed(seed_ref[0] + i * pl.num_programs(1) + j)
+
+    def in_dmas(slot, k):
+        s = k * cn
+        src = lambda ref: ref.at[pl.ds(s, cn), pl.ds(r0, b1), pl.ds(c0, b2)]
+        dmas = (
+            pltpu.make_async_copy(src(d_hbm), dbuf.at[slot], in_sem.at[slot, 0]),
+            pltpu.make_async_copy(src(code_hbm), cbuf.at[slot], in_sem.at[slot, 1]),
+        )
+        if not lite:
+            dmas += (pltpu.make_async_copy(src(coeff_hbm), fbuf.at[slot],
+                                           in_sem.at[slot, 2]),)
+        return dmas
+
+    def pair_dmas(p):
+        st = 2 * (p % 2)
+        return in_dmas(st, p) + in_dmas(st + 1, nchunks - 1 - p)
+
+    def out_dma(k, oslot=None):
+        s = k * cn
+        src = xbuf.at[pl.ds(s, cn)] if oslot is None else obuf.at[oslot]
+        return pltpu.make_async_copy(
+            src,
+            out_hbm.at[pl.ds(s, cn), pl.ds(r0, b1), pl.ds(c0, b2)],
+            out_sem.at[k])
+
+    for dma in pair_dmas(0):
+        dma.start()
+    if npairs > 1:
+        for dma in pair_dmas(1):
+            dma.start()
+
+    one = jnp.ones((), f32)
+    zero_s = jnp.zeros((), f32)
+    zero = jnp.zeros((b1, b2), f32)
+    G = grp_rows
+
+    def decode(slot, s):
+        code_g = cbuf[slot, pl.ds(s, G)].astype(jnp.int32)
+        low = jnp.where((code_g & 1) > 0, one, zero_s)
+        high = jnp.where((code_g & 2) > 0, one, zero_s)
+        if lite:
+            inm = jnp.where((code_g & 8) > 0, one, zero_s)
+            cf_g = scal_ref[3] * ((2.0 - low - high) * inm)
+        else:
+            cf_g = fbuf[slot, pl.ds(s, G)].astype(f32)
+        a_g = -tg * low
+        c_g = -tg * high
+        dtcf = dt * cf_g
+        b_g = 1.0 + tg * (low + high) + dtcf
+        if has_pin:  # static: skipped when the code carries no pin bits
+            pin = jnp.where((code_g & 4) > 0, one, zero_s)
+            b_g = b_g * (1.0 - pin) + pin
+        dd_g = dbuf[slot, pl.ds(s, G)].astype(f32) + dtcf * t_inf
+        return a_g, b_g, c_g, dd_g
+
+    carry = (zero, zero, zero, zero)   # cp, dp (top) / fp, ep (bottom)
+    for p in range(npairs):
+        st = 2 * (p % 2)
+        for dma in pair_dmas(p):
+            dma.wait()
+
+        def grp(g, carry, *, st=st, tbase=p * cn,
+                bbase=(nchunks - 1 - p) * cn):
+            cp_prev, dp_prev, fp_prev, ep_prev = carry
+            s_t = g * G
+            s_b = cn - (g + 1) * G      # bottom chunk consumed high-to-low
+            at_, bt_, ct_, ddt_ = decode(st, s_t)
+            ab_, bb_, cb_, ddb_ = decode(st + 1, s_b)
+            cps, dps, fps, eps = [], [], [], []
+            for r in range(G):
+                rb = G - 1 - r
+                # top chain (downward elimination) ...
+                invt = 1.0 / (bt_[r] - at_[r] * cp_prev)
+                cp_prev = ct_[r] * invt
+                dp_prev = (ddt_[r] - at_[r] * dp_prev) * invt
+                # ... interleaved with the independent bottom chain (upward)
+                invb = 1.0 / (bb_[rb] - cb_[rb] * fp_prev)
+                fp_prev = ab_[rb] * invb
+                ep_prev = (ddb_[rb] - cb_[rb] * ep_prev) * invb
+                cps.append(cp_prev)
+                dps.append(dp_prev)
+                fps.append(fp_prev)
+                eps.append(ep_prev)
+            xbuf[pl.ds(tbase + s_t, G)] = jnp.stack(cps)
+            dpbuf[pl.ds(tbase + s_t, G)] = jnp.stack(dps)
+            xbuf[pl.ds(bbase + s_b, G)] = jnp.stack(fps[::-1])
+            dpbuf[pl.ds(bbase + s_b, G)] = jnp.stack(eps[::-1])
+            return cp_prev, dp_prev, fp_prev, ep_prev
+
+        carry = lax.fori_loop(0, cn // G, grp, carry)
+        if p + 2 < npairs:
+            for dma in pair_dmas(p + 2):
+                dma.start()
+
+    cp_m1, dp_m1, fp_m, ep_m = carry
+    x_m = (ep_m - fp_m * dp_m1) / (1.0 - fp_m * cp_m1)
+    x_next = x_m                    # top backward enters row m-1 with x_m
+    x_prev = dp_m1 - cp_m1 * x_m    # = x_{m-1}; bottom backward re-derives
+    #                                 x_m = ep_m - fp_m x_{m-1} consistently
+
+    for p in range(npairs - 1, -1, -1):
+        tbase = p * cn
+        kb = nchunks - 1 - p
+        bbase = kb * cn
+
+        def grp_b(gg, carry, *, tbase=tbase, bbase=bbase):
+            x_next, x_prev = carry
+            s_t = (cn // G - 1 - gg) * G
+            s_b = gg * G
+            cp_g = xbuf[pl.ds(tbase + s_t, G)]
+            dp_g = dpbuf[pl.ds(tbase + s_t, G)]
+            fp_g = xbuf[pl.ds(bbase + s_b, G)]
+            ep_g = dpbuf[pl.ds(bbase + s_b, G)]
+            xs_t = [None] * G
+            xs_b = [None] * G
+            for r in range(G - 1, -1, -1):
+                rb = G - 1 - r
+                x_next = dp_g[r] - cp_g[r] * x_next
+                xs_t[r] = x_next
+                x_prev = ep_g[rb] - fp_g[rb] * x_prev
+                xs_b[rb] = x_prev
+            xbuf[pl.ds(tbase + s_t, G)] = jnp.stack(xs_t)
+            xbuf[pl.ds(bbase + s_b, G)] = jnp.stack(xs_b)
+            return x_next, x_prev
+
+        x_next, x_prev = lax.fori_loop(0, cn // G, grp_b, (x_next, x_prev))
+        if mixed:
+            ot = 2 * (p % 2)
+            if p + 2 < npairs:          # staging slots free?
+                out_dma(p + 2, ot).wait()
+                out_dma(nchunks - 3 - p, ot + 1).wait()
+            xk_t = xbuf[pl.ds(tbase, cn)]
+            xk_b = xbuf[pl.ds(bbase, cn)]
+            if stochastic:
+                bits = pltpu.bitcast(pltpu.prng_random_bits(xk_t.shape),
+                                     jnp.uint32)
+                obuf[ot] = pltpu.stochastic_round(xk_t, bits,
+                                                  target_dtype=obuf.dtype)
+                bits = pltpu.bitcast(pltpu.prng_random_bits(xk_b.shape),
+                                     jnp.uint32)
+                obuf[ot + 1] = pltpu.stochastic_round(xk_b, bits,
+                                                      target_dtype=obuf.dtype)
+            else:
+                obuf[ot] = xk_t.astype(obuf.dtype)
+                obuf[ot + 1] = xk_b.astype(obuf.dtype)
+            out_dma(p, ot).start()
+            out_dma(kb, ot + 1).start()
+        else:
+            out_dma(p).start()
+            out_dma(kb).start()
+
+    if mixed:
+        for p in range(min(npairs, 2)):
+            out_dma(p, 2 * (p % 2)).wait()
+            out_dma(nchunks - 1 - p, 2 * (p % 2) + 1).wait()
+    else:
+        for k in range(nchunks):
+            out_dma(k).wait()
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "block_b1",
                                              "block_b2", "chunk",
-                                             "grp_rows"))
+                                             "grp_rows", "twisted"))
 def fused_sweep_axis0_v2(rhs, code, coeff, theta_gam, dt, t_inf,
-                         qflux=None, dir_val=None, rng_seed=None, *,
-                         interpret: bool = False,
+                         qflux=None, dir_val=None, rng_seed=None, rob_c=None,
+                         *, interpret: bool = False,
                          block_b1: int = 8, block_b2: int | None = None,
-                         chunk: int = 64, grp_rows: int = 8):
+                         chunk: int = 64, grp_rows: int = 8,
+                         twisted: bool | None = None):
     """Bandwidth-tuned fused masked sweep along axis 0 of (n, B1, B2) arrays.
 
     Same math as fused_sweep_axis0; inputs are streamed from HBM in
     double-buffered chunks so VMEM holds only the cp/dp line buffers at the
     (wider) batch tile.  bfloat16 inputs solve at float32 internally and
-    store bfloat16 (half the HBM traffic)."""
+    store bfloat16 (half the HBM traffic).
+
+    ``twisted``: two-sided elimination (see _sweep_kernel_v2t) — halves the
+    sequential chain length by running two independent recurrences; default
+    picks it whenever the line is long enough to pair chunks.
+
+    Plan-lite mode: pass ``coeff=None`` and the scalar ``rob_c`` =
+    ``h/(rho cp dx)`` [1/s per exposed face]; the kernel derives the Robin
+    coefficient from the code's in-mask bit — no coefficient field is
+    streamed (9 B/cell instead of 13).  The code must carry bit 8
+    (sweep_code sets it)."""
     n, b1, b2 = rhs.shape
     dtype = rhs.dtype
+    lite = coeff is None
+    if lite and rob_c is None:
+        raise ValueError("plan-lite sweep (coeff=None) requires rob_c")
 
     if qflux is not None:
         rhs = rhs + jnp.asarray(dt, dtype) * qflux
     if dir_val is not None:
         pin = (code & _PIN) > 0
         rhs = jnp.where(pin, dir_val, rhs)
-        coeff = jnp.where(pin, 0.0, coeff)
+        if not lite:   # lite: pinned rows carry no in-mask bit -> coeff 0
+            coeff = jnp.where(pin, 0.0, coeff)
 
     if block_b2 is None:
         # keep xbuf+dpbuf (2 * n_pad * 8 * B2 * itemsize) within ~10 MB,
@@ -445,49 +698,63 @@ def fused_sweep_axis0_v2(rhs, code, coeff, theta_gam, dt, t_inf,
         cands = [c for c in (256, 128) if n <= 640 or c == 128]
         block_b2 = min(cands, key=lambda c: (_round_up(b2, c), -c))
     cn = min(chunk, _round_up(n, 8))
-    pn = _round_up(n, cn) - n
+    if twisted is None:
+        # Measured on v5e at 512^3: twisted is neutral-to-slightly-negative
+        # at f32 (4.54 vs 4.40 ms — the kernel is not divide-latency bound)
+        # but wins in the bf16 bandwidth mode (3.44 vs 3.60 ms), so it is
+        # the default only for mixed-precision states.
+        twisted = (jnp.promote_types(dtype, jnp.float32) != dtype
+                   and _round_up(n, 8) >= 2 * grp_rows)
+    if twisted:
+        # pairing needs an EVEN chunk count; pick the chunk size (multiples
+        # of the row group, up to `chunk`) that minimizes padded rows,
+        # largest winning ties
+        cands = range(grp_rows, cn + 1, grp_rows)
+        cn = min(cands, key=lambda c: (_round_up(n, 2 * c), -c))
+        pn = _round_up(n, 2 * cn) - n
+    else:
+        pn = _round_up(n, cn) - n
     p1 = _round_up(b1, block_b1) - b1
     p2 = _round_up(b2, block_b2) - b2
     if p1 or p2 or pn:
         pad = ((0, pn), (0, p1), (0, p2))
         rhs = jnp.pad(rhs, pad)
         code = jnp.pad(code, pad)  # padded rows: identity, x = 0
-        coeff = jnp.pad(coeff, pad)
+        if not lite:
+            coeff = jnp.pad(coeff, pad)
     n_pad, P1, P2 = rhs.shape
 
     cdt = jnp.promote_types(dtype, jnp.float32)   # solve precision
     mixed = cdt != dtype
     scal = jnp.stack([jnp.asarray(theta_gam, cdt), jnp.asarray(dt, cdt),
-                      jnp.asarray(t_inf, cdt), jnp.zeros((), cdt)])
+                      jnp.asarray(t_inf, cdt),
+                      jnp.asarray(0.0 if rob_c is None else rob_c, cdt)])
 
     grid = (P1 // block_b1, P2 // block_b2)
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
-    nchunks = n_pad // cn
 
+    # twisted pairing is only possible with >= 2 chunks after padding
+    twisted = twisted and n_pad // cn >= 2
     stochastic = mixed and rng_seed is not None
-    kern = functools.partial(_sweep_kernel_v2, n=n_pad, cn=cn, b1=block_b1,
+    kern_fn = _sweep_kernel_v2t if twisted else _sweep_kernel_v2
+    nslots = 4 if twisted else 2    # chunk pairs need twice the DMA slots
+    kern = functools.partial(kern_fn, n=n_pad, cn=cn, b1=block_b1,
                              b2=block_b2, grp_rows=grp_rows,
                              has_pin=dir_val is not None)
     scratch = [
         pltpu.VMEM((n_pad, block_b1, block_b2), cdt),          # x / cp
         pltpu.VMEM((n_pad, block_b1, block_b2), cdt),          # dp
-        pltpu.VMEM((2, cn, block_b1, block_b2), dtype),        # rhs chunks
-        pltpu.VMEM((2, cn, block_b1, block_b2), jnp.int8),     # code chunks
-        pltpu.VMEM((2, cn, block_b1, block_b2), dtype),        # coeff chunks
+        pltpu.VMEM((nslots, cn, block_b1, block_b2), dtype),   # rhs chunks
+        pltpu.VMEM((nslots, cn, block_b1, block_b2), jnp.int8),  # code chunks
     ]
+    if not lite:
+        scratch.append(
+            pltpu.VMEM((nslots, cn, block_b1, block_b2), dtype))  # coeff
     if mixed:
-        scratch.append(pltpu.VMEM((2, cn, block_b1, block_b2), dtype))  # obuf
-        if stochastic:
-            body = (lambda scal, seed, d, c, f, o, *rest:
-                    kern(scal, seed, d, c, f, o, *rest))
-        else:
-            body = (lambda scal, d, c, f, o, *rest:
-                    kern(scal, None, d, c, f, o, *rest))
-    else:
-        body = (lambda scal, d, c, f, o, xb, dp, db, cb, fb, isem, osem:
-                kern(scal, None, d, c, f, o, xb, dp, db, cb, fb, None,
-                     isem, osem))
-    scratch += [pltpu.SemaphoreType.DMA((2, 3)),
+        scratch.append(
+            pltpu.VMEM((nslots, cn, block_b1, block_b2), dtype))  # obuf
+    body = _v2_body(kern, stochastic=stochastic, mixed=mixed, lite=lite)
+    scratch += [pltpu.SemaphoreType.DMA((nslots, 3)),
                 pltpu.SemaphoreType.DMA((n_pad // cn,))]
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
@@ -495,8 +762,11 @@ def fused_sweep_axis0_v2(rhs, code, coeff, theta_gam, dt, t_inf,
     if stochastic:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.append(jnp.asarray(rng_seed, jnp.int32).reshape(1))
-    in_specs += [hbm, hbm, hbm]
-    inputs += [rhs, code, coeff]
+    in_specs += [hbm, hbm]
+    inputs += [rhs, code]
+    if not lite:
+        in_specs.append(hbm)
+        inputs.append(coeff)
 
     out = pl.pallas_call(
         body,
@@ -529,6 +799,7 @@ def _sweep_kernel_axis1_v2(scal_ref, seed_ref, d_hbm, code_hbm, coeff_hbm,
     f32 = xbuf.dtype
     mixed = obuf is not None
     stochastic = seed_ref is not None
+    lite = coeff_hbm is None
     i = pl.program_id(0)
     j = pl.program_id(1)
     r0 = i * b1
@@ -541,11 +812,14 @@ def _sweep_kernel_axis1_v2(scal_ref, seed_ref, d_hbm, code_hbm, coeff_hbm,
     def in_dmas(slot, k):
         s = k * cn
         src = lambda ref: ref.at[pl.ds(r0, b1), pl.ds(s, cn), pl.ds(c0, b2)]
-        return (
+        dmas = (
             pltpu.make_async_copy(src(d_hbm), dbuf.at[slot], in_sem.at[slot, 0]),
             pltpu.make_async_copy(src(code_hbm), cbuf.at[slot], in_sem.at[slot, 1]),
-            pltpu.make_async_copy(src(coeff_hbm), fbuf.at[slot], in_sem.at[slot, 2]),
         )
+        if not lite:
+            dmas += (pltpu.make_async_copy(src(coeff_hbm), fbuf.at[slot],
+                                           in_sem.at[slot, 2]),)
+        return dmas
 
     def out_dma(k):
         s = k * cn
@@ -576,7 +850,11 @@ def _sweep_kernel_axis1_v2(scal_ref, seed_ref, d_hbm, code_hbm, coeff_hbm,
             code_g = cbuf[slot, :, pl.ds(s, G), :].astype(jnp.int32)
             low = jnp.where((code_g & 1) > 0, one, zero_s)
             high = jnp.where((code_g & 2) > 0, one, zero_s)
-            cf_g = fbuf[slot, :, pl.ds(s, G), :].astype(f32)
+            if lite:
+                inm = jnp.where((code_g & 8) > 0, one, zero_s)
+                cf_g = scal_ref[3] * ((2.0 - low - high) * inm)
+            else:
+                cf_g = fbuf[slot, :, pl.ds(s, G), :].astype(f32)
             # ONE group swapaxes to (G, b1, b2) makes the row slices free
             # leading-dim views — measured 38% faster than per-row sublane
             # extracts at 512^3 (bitwise identical)
@@ -643,21 +921,28 @@ def _sweep_kernel_axis1_v2(scal_ref, seed_ref, d_hbm, code_hbm, coeff_hbm,
 @functools.partial(jax.jit, static_argnames=("interpret", "block_b1",
                                              "block_b2", "chunk"))
 def fused_sweep_axis1_v2(rhs, code, coeff, theta_gam, dt, t_inf,
-                         qflux=None, dir_val=None, rng_seed=None, *,
-                         interpret: bool = False,
+                         qflux=None, dir_val=None, rng_seed=None, rob_c=None,
+                         *, interpret: bool = False,
                          block_b1: int = 8, block_b2: int | None = None,
                          chunk: int = 64):
     """Bandwidth-tuned fused masked sweep along axis 1 of (B1, n, B2) arrays
-    (transpose-free y-sweep; same math as fused_sweep_axis1)."""
+    (transpose-free y-sweep; same math as fused_sweep_axis1).
+
+    Plan-lite: pass ``coeff=None`` + scalar ``rob_c`` (see
+    fused_sweep_axis0_v2)."""
     b1, n, b2 = rhs.shape
     dtype = rhs.dtype
+    lite = coeff is None
+    if lite and rob_c is None:
+        raise ValueError("plan-lite sweep (coeff=None) requires rob_c")
 
     if qflux is not None:
         rhs = rhs + jnp.asarray(dt, dtype) * qflux
     if dir_val is not None:
         pin = (code & _PIN) > 0
         rhs = jnp.where(pin, dir_val, rhs)
-        coeff = jnp.where(pin, 0.0, coeff)
+        if not lite:
+            coeff = jnp.where(pin, 0.0, coeff)
 
     if block_b2 is None:
         cands = [c for c in (256, 128) if n <= 640 or c == 128]
@@ -670,13 +955,15 @@ def fused_sweep_axis1_v2(rhs, code, coeff, theta_gam, dt, t_inf,
         pad = ((0, p1), (0, pn), (0, p2))
         rhs = jnp.pad(rhs, pad)
         code = jnp.pad(code, pad)
-        coeff = jnp.pad(coeff, pad)
+        if not lite:
+            coeff = jnp.pad(coeff, pad)
     P1, n_pad, P2 = rhs.shape
 
     cdt = jnp.promote_types(dtype, jnp.float32)
     mixed = cdt != dtype
     scal = jnp.stack([jnp.asarray(theta_gam, cdt), jnp.asarray(dt, cdt),
-                      jnp.asarray(t_inf, cdt), jnp.zeros((), cdt)])
+                      jnp.asarray(t_inf, cdt),
+                      jnp.asarray(0.0 if rob_c is None else rob_c, cdt)])
 
     grid = (P1 // block_b1, P2 // block_b2)
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
@@ -690,20 +977,13 @@ def fused_sweep_axis1_v2(rhs, code, coeff, theta_gam, dt, t_inf,
         pltpu.VMEM((block_b1, n_pad, block_b2), cdt),          # dp
         pltpu.VMEM((2, block_b1, cn, block_b2), dtype),        # rhs chunks
         pltpu.VMEM((2, block_b1, cn, block_b2), jnp.int8),     # code chunks
-        pltpu.VMEM((2, block_b1, cn, block_b2), dtype),        # coeff chunks
     ]
+    if not lite:
+        scratch.append(
+            pltpu.VMEM((2, block_b1, cn, block_b2), dtype))    # coeff chunks
     if mixed:
         scratch.append(pltpu.VMEM((2, block_b1, cn, block_b2), dtype))  # obuf
-        if stochastic:
-            body = (lambda scal, seed, d, c, f, o, *rest:
-                    kern(scal, seed, d, c, f, o, *rest))
-        else:
-            body = (lambda scal, d, c, f, o, *rest:
-                    kern(scal, None, d, c, f, o, *rest))
-    else:
-        body = (lambda scal, d, c, f, o, xb, dp, db, cb, fb, isem, osem:
-                kern(scal, None, d, c, f, o, xb, dp, db, cb, fb, None,
-                     isem, osem))
+    body = _v2_body(kern, stochastic=stochastic, mixed=mixed, lite=lite)
     scratch += [pltpu.SemaphoreType.DMA((2, 3)),
                 pltpu.SemaphoreType.DMA((n_pad // cn,))]
 
@@ -712,8 +992,11 @@ def fused_sweep_axis1_v2(rhs, code, coeff, theta_gam, dt, t_inf,
     if stochastic:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.append(jnp.asarray(rng_seed, jnp.int32).reshape(1))
-    in_specs += [hbm, hbm, hbm]
-    inputs += [rhs, code, coeff]
+    in_specs += [hbm, hbm]
+    inputs += [rhs, code]
+    if not lite:
+        in_specs.append(hbm)
+        inputs.append(coeff)
 
     out = pl.pallas_call(
         body,

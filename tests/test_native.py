@@ -44,11 +44,15 @@ def test_native_flood_fill_speed():
 
     mesh = uv_sphere_mesh(0.02, n_theta=32, n_phi=64)
     mask, _ = voxelize_solid(mesh, 4e-4)  # ~100^3
-    t0 = time.perf_counter()
-    nat = flood_fill_outside(mask, use_native=True)
-    t_nat = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    ref = flood_fill_outside(mask, use_native=False)
-    t_py = time.perf_counter() - t0
+    # best-of-3 each way: a single-shot comparison is vulnerable to one
+    # scheduler hiccup (observed flaking under concurrent machine load)
+    t_nat, t_py = float("inf"), float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        nat = flood_fill_outside(mask, use_native=True)
+        t_nat = min(t_nat, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        ref = flood_fill_outside(mask, use_native=False)
+        t_py = min(t_py, time.perf_counter() - t0)
     np.testing.assert_array_equal(nat, ref)
     assert t_nat < t_py  # BFS beats iterated dilation

@@ -80,6 +80,52 @@ def test_pallas_step_grad_matches_scan_path(with_bcs):
     np.testing.assert_allclose(float(gdt), float(gdt_ref), rtol=1e-8)
 
 
+@pytest.mark.parametrize("n", [8, 24, 64, 129])
+def test_twisted_sweep_matches_one_sided(n):
+    """Two-sided (twisted) elimination — the default kernel when the line is
+    long enough to pair chunks — is algebraically the same factorization as
+    one-sided Thomas; the junction 2x2 solve and both half-chains must agree
+    to round-off across pad/chunk-pairing shapes, with and without pins."""
+    from adi_thermal_fields_tpu.solvers.pallas_sweeps import (
+        fused_sweep_axis0_v2)
+
+    rng = np.random.default_rng(n)
+    shape = (n, 9, 130)
+    mask = jnp.asarray(rng.random(shape) > 0.3)
+    dirm = jnp.asarray(rng.random(shape) > 0.85)
+    code = sweep_code(mask, dirm, 0)
+    rhs = jnp.asarray(rng.normal(size=shape) * 100)
+    coeff = jnp.asarray(np.abs(rng.normal(size=shape)))
+    dval = jnp.asarray(rng.normal(size=shape) * 500)
+    q = jnp.asarray(rng.normal(size=shape))
+    args = (rhs, code, coeff, 0.37, 0.05, 20.0)
+    kw = dict(qflux=q, dir_val=dval, interpret=True)
+    one = fused_sweep_axis0_v2(*args, twisted=False, **kw)
+    two = fused_sweep_axis0_v2(*args, twisted=True, **kw)
+    np.testing.assert_allclose(np.asarray(two), np.asarray(one), rtol=1e-11,
+                               atol=1e-11)
+
+
+def test_twisted_sweep_bf16_mixed():
+    """Twisted kernel in the bf16-state / f32-solve mode (paired output
+    staging slots) matches the one-sided mixed path to a bf16 quantum."""
+    from adi_thermal_fields_tpu.solvers.pallas_sweeps import (
+        fused_sweep_axis0_v2, sweep_code as _sc)
+
+    rng = np.random.default_rng(3)
+    shape = (48, 8, 128)
+    mask = jnp.asarray(rng.random(shape) > 0.3)
+    code = _sc(mask, None, 0)
+    rhs = jnp.asarray(rng.normal(size=shape), jnp.bfloat16)
+    coeff = jnp.asarray(np.abs(rng.normal(size=shape)), jnp.bfloat16)
+    args = (rhs, code, coeff, 0.4, 0.05, 20.0)
+    one = fused_sweep_axis0_v2(*args, twisted=False, interpret=True)
+    two = fused_sweep_axis0_v2(*args, twisted=True, interpret=True)
+    assert two.dtype == jnp.bfloat16
+    diff = jnp.abs(one.astype(jnp.float32) - two.astype(jnp.float32))
+    assert float(diff.max()) < 0.05
+
+
 def test_bfloat16_state_adequacy():
     """bf16-state / f32-solve mode (halved HBM traffic): over a 30-step
     masked Robin cooling run from a 900 C random field the bf16 trajectory
