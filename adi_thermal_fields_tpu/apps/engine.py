@@ -62,6 +62,16 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
                                  dirichlet_value=dirichlet_value,
                                  dtype=pack_dtype)
 
+    # plan-lite: a plain-scalar (or absent) Robin h needs no coefficient
+    # fields at all — the fused kernels derive the per-axis sink from the
+    # sweep code (pallas_sweeps.sweep_code bit 8).  Dict/field h keeps the
+    # general field path.
+    lite_c = None
+    if robin_h is None or isinstance(robin_h, (int, float)):
+        lite_c = float(robin_h or 0.0) / (mat.rho * mat.cp * grid.dx)
+    # packs are still needed for Neumann sources / Dirichlet pins
+    lite_needs_packs = neumann is not None or dirichlet_mask is not None
+
     if mesh is not None and implementation == "pallas":
         from ..dist.cartesian_pallas import (shard_plan,
                                              sharded_adi_step_pallas)
@@ -74,9 +84,12 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
         @jax.jit
         def prepare(active):
             active = active.astype(bool)
+            packs = (_packs(active)
+                     if lite_c is None or lite_needs_packs else None)
             return shard_plan(build_sweep_plan(
-                active, _packs(active), has_neumann=neumann is not None,
-                has_dirichlet=dirichlet_mask is not None), mesh, traced=True)
+                active, packs, has_neumann=neumann is not None,
+                has_dirichlet=dirichlet_mask is not None,
+                robin_const=lite_c), mesh, traced=True)
 
         @jax.jit
         def advance(T, prep, dt, n_sub, t0=0.0):
@@ -115,9 +128,12 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
         @jax.jit
         def prepare(active):
             active = active.astype(bool)
-            return build_sweep_plan(active, _packs(active),
+            packs = (_packs(active)
+                     if lite_c is None or lite_needs_packs else None)
+            return build_sweep_plan(active, packs,
                                     has_neumann=neumann is not None,
-                                    has_dirichlet=dirichlet_mask is not None)
+                                    has_dirichlet=dirichlet_mask is not None,
+                                    robin_const=lite_c)
 
         @jax.jit
         def advance(T, prep, dt, n_sub, t0=0.0):

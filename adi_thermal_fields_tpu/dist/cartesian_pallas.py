@@ -58,7 +58,8 @@ def shard_plan(plan: SweepPlan, mesh: Mesh, *, traced: bool = False) -> SweepPla
     mask_i8 = (None if plan.mask_i8 is None
                else place(plan.mask_i8, NamedSharding(mesh, s[0])))
     return SweepPlan(mask, put(plan.codes), put(plan.coeffs),
-                     put(plan.qfluxes), put(plan.dir_vals), mask_i8)
+                     put(plan.qfluxes), put(plan.dir_vals), mask_i8,
+                     plan.rob_c)  # scalar: replicated as-is
 
 
 def sharded_adi_step_pallas(grid: CartesianGrid, mat: Material, mesh: Mesh, *,
@@ -83,6 +84,14 @@ def sharded_adi_step_pallas(grid: CartesianGrid, mat: Material, mesh: Mesh, *,
         return fused_sweep_axis1_v2(rhs, code, coeff, tg, dt, t_inf,
                                     interpret=interpret)
 
+    def local0_lite(rhs, code, tg, dt, rc):
+        return fused_sweep_axis0_v2(rhs, code, None, tg, dt, t_inf,
+                                    rob_c=rc, interpret=interpret)
+
+    def local1_lite(rhs, code, tg, dt, rc):
+        return fused_sweep_axis1_v2(rhs, code, None, tg, dt, t_inf,
+                                    rob_c=rc, interpret=interpret)
+
     sweep_x = shard_map(local0, mesh=mesh,
                         in_specs=(s[0], s[0], s[0], P(), P()),
                         out_specs=s[0], check_vma=False)
@@ -92,6 +101,13 @@ def sharded_adi_step_pallas(grid: CartesianGrid, mat: Material, mesh: Mesh, *,
     sweep_z = shard_map(local0, mesh=mesh,
                         in_specs=(s[2], s[2], s[2], P(), P()),
                         out_specs=s[2], check_vma=False)
+    lspec = (lambda i: (s[i], s[i], P(), P(), P()))
+    sweep_x_l = shard_map(local0_lite, mesh=mesh, in_specs=lspec(0),
+                          out_specs=s[0], check_vma=False)
+    sweep_y_l = shard_map(local1_lite, mesh=mesh, in_specs=lspec(1),
+                          out_specs=s[1], check_vma=False)
+    sweep_z_l = shard_map(local0_lite, mesh=mesh, in_specs=lspec(2),
+                          out_specs=s[2], check_vma=False)
 
     def prefold(rhs, plan, ax, dt):
         """Fold Neumann sources / Dirichlet pins into the sweep RHS in global
@@ -123,6 +139,16 @@ def sharded_adi_step_pallas(grid: CartesianGrid, mat: Material, mesh: Mesh, *,
         if source is not None:
             R0 = R0 + jnp.where(mask, dt * source / (mat.rho * mat.cp), 0.0)
 
+        if plan.coeffs is None:   # plan-lite: coeff derived from code bits
+            rc = jnp.asarray(plan.rob_c, T.dtype)
+            U = sweep_x_l(constrain(prefold(R0, plan, 0, dt), s[0]),
+                          plan.codes[0], tg, dt, rc)
+            V = sweep_y_l(constrain(prefold(U, plan, 1, dt), s[1]),
+                          plan.codes[1], tg, dt, rc)
+            Wz = sweep_z_l(constrain(prefold(jnp.transpose(V, (2, 0, 1)),
+                                             plan, 2, dt), s[2]),
+                           plan.codes[2], tg, dt, rc)
+            return constrain(jnp.transpose(Wz, (1, 2, 0)), s[0])
         U = sweep_x(constrain(prefold(R0, plan, 0, dt), s[0]),
                     plan.codes[0], coeff_of(plan, 0), tg, dt)
         V = sweep_y(constrain(prefold(U, plan, 1, dt), s[1]),

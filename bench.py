@@ -59,8 +59,12 @@ def run(n, steps=20, dtype=None, implementation="pallas"):
     grid, mat, T, mask, packs = build_case(n, dtype)
 
     if implementation == "pallas":
+        # plan-lite: scalar-h Robin (the flagship WAAM BC set) derives the
+        # per-axis sink in-kernel from the sweep code — no coeff fields
+        rob_c = 200.0 / (mat.rho * mat.cp * grid.dx)
         plan = jax.jit(lambda m, p: build_sweep_plan(
-            m, p, has_neumann=False, has_dirichlet=False))(mask, packs)
+            m, p, has_neumann=False, has_dirichlet=False,
+            robin_const=rob_c))(mask, packs)
 
         @jax.jit
         def step(T, plan, packs, dt):

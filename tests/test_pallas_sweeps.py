@@ -106,6 +106,53 @@ def test_twisted_sweep_matches_one_sided(n):
                                atol=1e-11)
 
 
+def test_plan_lite_step_matches_field_plan():
+    """Plan-lite (coeff derived in-kernel from the code's in-mask bit, with
+    the uniform-interior fast path) is bitwise the field-plan step on a
+    WAAM-like geometry whose solid bulk exercises the fast path and whose
+    surfaces/voids exercise the general path."""
+    shape = (32, 24, 40)
+    grid = CartesianGrid(*shape, 1e-3)
+    mat = Material(7800.0, 490.0, 54.0)
+    rng = np.random.default_rng(7)
+    m = np.ones(shape, bool)
+    zs = 3 * shape[2] // 4
+    m[:, :, zs:] = False
+    m[8:24, 6:18, zs:zs + 2] = True
+    mask = jnp.asarray(m)
+    T = jnp.asarray(np.where(m, 20 + 880 * rng.random(shape), 20.0))
+    h = 250.0
+    packs = build_coeff_packs(mask, grid, mat, robin_h=h)
+    plan_f = build_sweep_plan(mask, packs, has_neumann=False,
+                              has_dirichlet=False)
+    C = h / (mat.rho * mat.cp * grid.dx)
+    plan_l = build_sweep_plan(mask, packs, has_neumann=False,
+                              has_dirichlet=False, robin_const=C)
+    a = adi_step_pallas(T, plan_f, grid, mat, dt=0.05, theta=0.5,
+                        t_inf=20.0, interpret=True)
+    b = adi_step_pallas(T, plan_l, grid, mat, dt=0.05, theta=0.5,
+                        t_inf=20.0, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # scan-path oracle
+    r = adi_step_cartesian(T, mask, packs, grid, mat, dt=0.05, theta=0.5,
+                           t_inf=20.0)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(r), rtol=1e-12,
+                               atol=1e-9)
+    # grads flow through the lite path and match the scan path
+    def loss_lite(T):
+        return jnp.sum(adi_step_pallas(T, plan_l, grid, mat, dt=0.05,
+                                       theta=0.5, t_inf=20.0, interpret=True))
+
+    def loss_scan(T):
+        return jnp.sum(adi_step_cartesian(T, mask, packs, grid, mat, dt=0.05,
+                                          theta=0.5, t_inf=20.0))
+
+    gl = jax.grad(loss_lite)(T)
+    gs = jax.grad(loss_scan)(T)
+    np.testing.assert_allclose(np.asarray(gl), np.asarray(gs), rtol=1e-10,
+                               atol=1e-10)
+
+
 def test_twisted_sweep_bf16_mixed():
     """Twisted kernel in the bf16-state / f32-solve mode (paired output
     staging slots) matches the one-sided mixed path to a bf16 quantum."""

@@ -318,6 +318,17 @@ def test_sharded_pallas_step_matches_xla(monkeypatch):
     np.testing.assert_allclose(np.asarray(T), np.asarray(ref), rtol=1e-11,
                                atol=1e-9)
 
+    # plan-lite (scalar-h Robin, coeff derived in-kernel) sharded: bitwise
+    # identical to the field-plan sharded step
+    C = 250.0 / (mat.rho * mat.cp * grid.dx)
+    plan_l = shard_plan(build_sweep_plan(mask, packs, has_neumann=False,
+                                         has_dirichlet=False,
+                                         robin_const=C), mesh)
+    Tl = shard_field(T0, mesh, 0)
+    for _ in range(2):
+        Tl = step(Tl, plan_l, dt)
+    np.testing.assert_array_equal(np.asarray(Tl), np.asarray(T))
+
 
 def test_sharded_masked_cylindrical_pallas_matches_single_device():
     """Production multi-chip element birth: the compressed masked kernels
