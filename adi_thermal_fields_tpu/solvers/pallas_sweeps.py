@@ -792,7 +792,14 @@ def _sweep_kernel_axis1_v2(scal_ref, seed_ref, d_hbm, code_hbm, coeff_hbm,
     y-sweep on the natural (x, y, z) layout, no transposes.  Same streaming
     scheme as _sweep_kernel_v2; the line dimension is the sublane dim, so
     rows are processed in groups of 8 (register-level indexing inside each
-    loaded (b1, 8, b2) group, as in _sweep_kernel_axis1)."""
+    loaded (b1, 8, b2) group, as in _sweep_kernel_axis1).
+
+    Layout notes (measured at 512^3): decoding AFTER one swap of the raw
+    code/rhs group (2-3 shuffles instead of swapping each derived
+    coefficient, 4) is ~0.8 ms faster; keeping the cp/dp scratch line-major
+    to eliminate the group-store swaps entirely is ~1.2 ms SLOWER (the
+    per-chunk (cn, b1, b2) output restage lowers much worse than the small
+    per-group swaps) — rejected."""
     tg = scal_ref[0]
     dt = scal_ref[1]
     t_inf = scal_ref[2]
@@ -847,28 +854,30 @@ def _sweep_kernel_axis1_v2(scal_ref, seed_ref, d_hbm, code_hbm, coeff_hbm,
         def grp(g, carry, *, slot=slot, base=k * cn):
             cp_prev, dp_prev = carry
             s = pl.multiple_of(g * G, G)
-            code_g = cbuf[slot, :, pl.ds(s, G), :].astype(jnp.int32)
+            # swap the RAW inputs to (G, b1, b2) once and decode in that
+            # layout: the row slices of every derived array are then free
+            # leading-dim views with only 2-3 shuffles per group instead of
+            # the 4 of swapping each derived coefficient (elementwise decode
+            # is layout-independent, so this is bitwise identical)
+            code_g = jnp.swapaxes(
+                cbuf[slot, :, pl.ds(s, G), :].astype(jnp.int32), 0, 1)
             low = jnp.where((code_g & 1) > 0, one, zero_s)
             high = jnp.where((code_g & 2) > 0, one, zero_s)
             if lite:
                 inm = jnp.where((code_g & 8) > 0, one, zero_s)
                 cf_g = scal_ref[3] * ((2.0 - low - high) * inm)
             else:
-                cf_g = fbuf[slot, :, pl.ds(s, G), :].astype(f32)
-            # ONE group swapaxes to (G, b1, b2) makes the row slices free
-            # leading-dim views — measured 38% faster than per-row sublane
-            # extracts at 512^3 (bitwise identical)
-            a_g = jnp.swapaxes(-tg * low, 0, 1)
-            c_g = jnp.swapaxes(-tg * high, 0, 1)
+                cf_g = jnp.swapaxes(
+                    fbuf[slot, :, pl.ds(s, G), :].astype(f32), 0, 1)
+            a_g = -tg * low
+            c_g = -tg * high
             dtcf = dt * cf_g
-            b_raw = 1.0 + tg * (low + high) + dtcf
+            b_g = 1.0 + tg * (low + high) + dtcf
             if has_pin:  # static: skipped when the code carries no pin bits
                 pin = jnp.where((code_g & 4) > 0, one, zero_s)
-                b_raw = b_raw * (1.0 - pin) + pin
-            b_g = jnp.swapaxes(b_raw, 0, 1)
-            dd_g = jnp.swapaxes(
-                dbuf[slot, :, pl.ds(s, G), :].astype(f32) + dtcf * t_inf,
-                0, 1)
+                b_g = b_g * (1.0 - pin) + pin
+            dd_g = (jnp.swapaxes(dbuf[slot, :, pl.ds(s, G), :], 0, 1)
+                    .astype(f32) + dtcf * t_inf)
             cps, dps = [], []
             for r in range(G):
                 inv = 1.0 / (b_g[r] - a_g[r] * cp_prev)
