@@ -22,10 +22,11 @@ from ..bc.packs import CoeffPacks
 from ..core.grid import CartesianGrid
 from ..core.material import Material
 from ..solvers.differentiable import sweep_solve, theta_rhs_diff
-from ..solvers.pallas_sweeps import sweep_code
+from ..solvers.pallas_sweeps import _round_up, sweep_code
 from .cartesian import masked_laplacian_1d
 
-__all__ = ["SweepPlan", "build_sweep_plan", "adi_step_pallas"]
+__all__ = ["SweepPlan", "build_sweep_plan", "adi_step_pallas",
+           "padded_shape", "pad_domain"]
 
 # layout of each sweep's arrays (axes of the natural (x,y,z) field):
 # x-sweep: natural (axis-0 kernel); y-sweep: natural (axis-1 kernel);
@@ -45,10 +46,31 @@ class SweepPlan(NamedTuple):
     rob_c: jax.Array | None = None  # scalar h/(rho cp dx) — plan-lite mode
 
 
+def padded_shape(shape: tuple) -> tuple:
+    """Tile-friendly domain shape for the fused kernels: every sweep then
+    sees exact (8, 128) batch tiles and whole 64-row DMA chunks, so no
+    kernel wrapper ever pads or slices per call (measured 2x step cost at
+    576^3, where each jnp.pad is a full extra HBM pass).  Padding cells are
+    void (identity rows / stencil passthrough) — physically inert."""
+    nx, ny, nz = shape
+    ru = _round_up
+    return (ru(nx, 64) if nx >= 64 else ru(nx, 8), ru(ny, 128), ru(nz, 128))
+
+
+def pad_domain(arr: jax.Array, value=0) -> jax.Array:
+    """Pad a (x, y, z) field to ``padded_shape`` with ``value``."""
+    ps = padded_shape(arr.shape)
+    if tuple(arr.shape) == ps:
+        return arr
+    return jnp.pad(arr, [(0, p - s) for p, s in zip(ps, arr.shape)],
+                   constant_values=value)
+
+
 def build_sweep_plan(mask: jax.Array, packs: CoeffPacks | None, *,
                      has_neumann: bool | None = None,
                      has_dirichlet: bool | None = None,
-                     robin_const: jax.Array | float | None = None) -> SweepPlan:
+                     robin_const: jax.Array | float | None = None,
+                     pad_to_tile: bool = False) -> SweepPlan:
     """Precompute per-axis codes and transposed coefficient fields.
 
     ``has_neumann`` / ``has_dirichlet`` must be python bools when tracing
@@ -62,15 +84,25 @@ def build_sweep_plan(mask: jax.Array, packs: CoeffPacks | None, *,
     in-mask bit.  Cuts sweep HBM traffic 13 -> 9 B/cell and the plan's
     device footprint by 12 B/cell.  ``packs`` may be None when no
     Neumann/Dirichlet BCs exist.
+
+    ``pad_to_tile``: pad the domain to ``padded_shape`` (void padding) so
+    the fused kernels never pad/slice per call.  ``adi_step_pallas`` then
+    accepts T at either the original or the padded shape: padded in,
+    padded out (the zero-copy steady state — keep the state padded across
+    steps and crop only for I/O with ``T[:nx, :ny, :nz]``); original in,
+    original out (one pad + one crop per step).
     """
     mask = mask.astype(bool)
+    if pad_to_tile:
+        mask = pad_domain(mask, False)
     if has_dirichlet is None:
         has_dirichlet = packs is not None and bool(packs.dir_mask.any())
     if has_neumann is None:
         has_neumann = packs is not None and bool(jnp.any(packs.qflux != 0))
 
-    dirm = packs.dir_mask if has_dirichlet else None
-    tr = lambda arr, ax: jnp.transpose(arr, _PERM[ax])
+    padf = pad_domain if pad_to_tile else (lambda a: a)
+    dirm = padf(packs.dir_mask) if has_dirichlet else None
+    tr = lambda arr, ax: jnp.transpose(padf(arr), _PERM[ax])
     # sweep_code returns axis-first; re-lay into each sweep's kernel layout
     codes = tuple(
         jnp.transpose(jnp.moveaxis(sweep_code(mask, dirm, ax), 0, ax),
@@ -101,6 +133,21 @@ def adi_step_pallas(T: jax.Array, plan: SweepPlan, grid: CartesianGrid,
     rounding of the bf16 stores — unbiased quantization that removes the
     sub-quantum update dropout of round-to-nearest (bf16 state only; this
     path bypasses the custom-VJP wrappers and is not differentiable)."""
+    crop = None
+    if tuple(T.shape) != tuple(plan.mask.shape):
+        # plan built with pad_to_tile: pad T (and source) into the plan's
+        # tile-friendly shape and crop the result back.  Keeping the state
+        # padded across steps (T already at plan shape) skips both copies.
+        crop = T.shape
+        T = pad_domain(T)
+        if source is not None:
+            source = pad_domain(source)
+        if tuple(T.shape) != tuple(plan.mask.shape):
+            raise ValueError(
+                f"T shape {crop} matches neither the plan's domain "
+                f"{plan.mask.shape} nor its unpadded original")
+    fin = (lambda out: out) if crop is None else (
+        lambda out: out[:crop[0], :crop[1], :crop[2]])
     mask = plan.mask
     kappa = mat.alpha
     inv_dx2 = 1.0 / (grid.dx * grid.dx)
@@ -153,7 +200,7 @@ def adi_step_pallas(T: jax.Array, plan: SweepPlan, grid: CartesianGrid,
                                  qflux=q[2], dir_val=dv[2],
                                  rng_seed=rng_seed + 3, rob_c=rc,
                                  interpret=interpret)
-        return jnp.transpose(W, (1, 2, 0))
+        return fin(jnp.transpose(W, (1, 2, 0)))
 
     if lite:
         from ..solvers.differentiable import sweep_solve_lite
@@ -168,7 +215,7 @@ def adi_step_pallas(T: jax.Array, plan: SweepPlan, grid: CartesianGrid,
         W = sweep_solve_lite(jnp.transpose(V, (2, 0, 1)), plan.codes[2], rc,
                              theta_gam, dt, t_inf, qflux=q[2], dir_val=dv[2],
                              axis=0, interpret=interpret)
-        return jnp.transpose(W, (1, 2, 0))
+        return fin(jnp.transpose(W, (1, 2, 0)))
 
     U = sweep_solve(R0, plan.codes[0], plan.coeffs[0], theta_gam, dt,
                     t_inf, qflux=q[0], dir_val=dv[0], axis=0,
@@ -179,4 +226,4 @@ def adi_step_pallas(T: jax.Array, plan: SweepPlan, grid: CartesianGrid,
     W = sweep_solve(jnp.transpose(V, (2, 0, 1)), plan.codes[2],
                     plan.coeffs[2], theta_gam, dt, t_inf, qflux=q[2],
                     dir_val=dv[2], axis=0, interpret=interpret)
-    return jnp.transpose(W, (1, 2, 0))
+    return fin(jnp.transpose(W, (1, 2, 0)))

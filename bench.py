@@ -26,7 +26,7 @@ TRAFFIC_B_PER_CELL = 48.0    # see module docstring
 SOL_CELLS_PER_S = HBM_BYTES_PER_S / TRAFFIC_B_PER_CELL
 
 
-def build_case(n, dtype):
+def build_case(n, dtype, lite=False):
     import jax.numpy as jnp
 
     from adi_thermal_fields_tpu import (CartesianGrid, Material,
@@ -42,8 +42,12 @@ def build_case(n, dtype):
     T = jnp.where(mask, 900.0, 20.0).astype(dtype)
     # Robin-only BCs: the flagship WAAM configuration (the reference's WAAM
     # driver applies convective h on all faces and nothing else,
-    # waam_from_stl_v7_mm.py:446-455)
-    packs = build_coeff_packs(mask, grid, mat, robin_h=200.0, dtype=dtype)
+    # waam_from_stl_v7_mm.py:446-455).  The plan-lite path derives the Robin
+    # sink in-kernel, so it needs no coefficient packs at all — skipping them
+    # frees ~28 B/cell of HBM and lifts the single-chip capacity ceiling
+    # (640^3 fits lite but OOMs with packs resident).
+    packs = (None if lite else
+             build_coeff_packs(mask, grid, mat, robin_h=200.0, dtype=dtype))
     return grid, mat, T, mask, packs
 
 
@@ -56,15 +60,21 @@ def run(n, steps=20, dtype=None, implementation="pallas"):
     from adi_thermal_fields_tpu.step.cartesian_pallas import (adi_step_pallas,
                                                               build_sweep_plan)
 
-    grid, mat, T, mask, packs = build_case(n, dtype)
+    grid, mat, T, mask, packs = build_case(n, dtype,
+                                           lite=implementation == "pallas")
 
     if implementation == "pallas":
+        from adi_thermal_fields_tpu.step.cartesian_pallas import pad_domain
+
         # plan-lite: scalar-h Robin (the flagship WAAM BC set) derives the
-        # per-axis sink in-kernel from the sweep code — no coeff fields
+        # per-axis sink in-kernel from the sweep code — no coeff fields.
+        # pad_to_tile keeps the whole domain at kernel-tile-friendly dims
+        # (no-op at 512^3; 2x at 576^3 where per-call pads dominate)
         rob_c = 200.0 / (mat.rho * mat.cp * grid.dx)
-        plan = jax.jit(lambda m, p: build_sweep_plan(
-            m, p, has_neumann=False, has_dirichlet=False,
-            robin_const=rob_c))(mask, packs)
+        plan = jax.jit(lambda m: build_sweep_plan(
+            m, None, has_neumann=False, has_dirichlet=False,
+            robin_const=rob_c, pad_to_tile=True))(mask)
+        T = jax.jit(pad_domain)(T)  # once; the state then stays padded
 
         @jax.jit
         def step(T, plan, packs, dt):
