@@ -127,6 +127,7 @@ def run(args) -> dict:
         if args.save_vtk:
             from ..io.vtk import write_vtk_structured_points
             import os
+            os.makedirs(args.outdir, exist_ok=True)
             write_vtk_structured_points(
                 os.path.join(args.outdir, f"track_{t:09.3f}.vtk"),
                 {"Temperature": T_np, "Mask": a_np.astype(np.float32)},
