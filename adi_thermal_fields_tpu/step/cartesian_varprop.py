@@ -40,7 +40,8 @@ from ..core.grid import CartesianGrid
 from ..core.material import Material
 from ..solvers.thomas import thomas
 
-__all__ = ["PropertyTable", "apparent_cp", "adi_step_varprop"]
+__all__ = ["PropertyTable", "apparent_cp", "melt_pool_enhanced_k",
+           "adi_step_varprop"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -76,6 +77,28 @@ def apparent_cp(cp_solid: float, cp_liquid: float, latent_heat: float,
     pts += [T_liquidus, T_liquidus + eps]
     vals += [cp_mushy, cp_liquid]
     return PropertyTable(tuple(pts), tuple(vals))
+
+
+def melt_pool_enhanced_k(k_solid: float, T_solidus: float, T_liquidus: float,
+                         enhancement: float = 4.0,
+                         k_liquid: float | None = None) -> PropertyTable:
+    """Melt-pool convection proxy: an effective-conductivity k(T) table that
+    ramps from ``k_solid`` (or ``k_liquid`` at the liquidus, if given) to
+    ``enhancement * k`` above the liquidus.
+
+    Fixed-grid thermal models cannot resolve Marangoni/buoyancy convection
+    inside the pool; the standard proxy multiplies the liquid conductivity
+    by a factor (typically 2-10x for steel/Ti arc and laser AM) so the pool
+    isothermalizes at the rate the real convective mixing would produce.
+    Use with ``adi_step_varprop(k_table=...)``; pair with ``apparent_cp``
+    for the latent heat of the same interval.  ``enhancement=1`` reduces to
+    plain melting (k_solid -> k_liquid across the mushy zone)."""
+    if T_liquidus <= T_solidus:
+        raise ValueError("T_liquidus must exceed T_solidus")
+    kl = k_solid if k_liquid is None else k_liquid
+    return PropertyTable(
+        (T_solidus, T_liquidus),
+        (k_solid, kl * enhancement))
 
 
 def _face_g(kf, axis, direction, mask):

@@ -152,3 +152,65 @@ def test_anisotropic_conductivity_separates_axes():
     ax_amp = run(Tx, aniso).max() - run(Tx, aniso).min()
     ay_amp = run(Ty, aniso).max() - run(Ty, aniso).min()
     assert ax_amp < ay_amp  # kx > ky -> faster decay along x
+
+
+def test_melt_pool_enhanced_k_convection_proxy():
+    """Melt-pool convection proxy (melt_pool_enhanced_k): (1) above the
+    liquidus the table must act exactly like a constant k*enhancement
+    material; (2) in a pool-in-solid configuration the boosted pool must
+    export heat measurably faster while the far solid is untouched;
+    (3) enhancement=1 degrades to plain constant k below the solidus."""
+    from adi_thermal_fields_tpu.step.cartesian_varprop import (
+        melt_pool_enhanced_k)
+
+    grid = CartesianGrid(32, 16, 8, 1e-3)
+    mat = Material(7800.0, 600.0, 30.0)
+    mask = jnp.ones(grid.shape, bool)
+    packs = build_coeff_packs(mask, grid, mat)   # adiabatic
+    T_sol, T_liq = 1400.0, 1500.0
+    boosted = melt_pool_enhanced_k(30.0, T_sol, T_liq, enhancement=8.0)
+    plain = melt_pool_enhanced_k(30.0, T_sol, T_liq, enhancement=1.0)
+
+    # (1) fully molten domain: boosted table == constant k*8 exactly
+    rng = np.random.default_rng(3)
+    T_hot = jnp.asarray(1600.0 + 80.0 * rng.random(grid.shape))
+    kt8 = PropertyTable((0.0, 2000.0), (240.0, 240.0))
+    a = adi_step_varprop(T_hot, mask, packs, grid, mat, k_table=boosted,
+                         dt=0.01, theta=1.0)
+    b = adi_step_varprop(T_hot, mask, packs, grid, mat, k_table=kt8,
+                         dt=0.01, theta=1.0)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+
+    # (2) hot pool inside cold solid: the boosted pool exports heat faster
+    T0_np = np.full(grid.shape, 300.0)
+    xg = np.arange(8)[:, None, None]
+    T0_np[12:20, 4:12, 2:6] = 1700.0 + 40.0 * np.broadcast_to(
+        np.cos(np.pi * xg / 7.0), (8, 8, 4))
+    T0 = jnp.asarray(T0_np)
+    core = np.zeros(grid.shape, bool)
+    core[14:18, 6:10, 3:5] = True      # pool interior, away from its edge
+
+    def run(k_table, steps=3):
+        step = jax.jit(lambda T: adi_step_varprop(
+            T, mask, packs, grid, mat, k_table=k_table, dt=0.01, theta=1.0))
+        T = T0
+        for _ in range(steps):
+            T = step(T)
+        return np.asarray(T)
+
+    T_plain = run(plain)
+    T_boost = run(boosted)
+    assert T_boost[core].min() > T_liq          # core still molten
+    assert T_boost[core].mean() < T_plain[core].mean() - 100.0
+    far = np.zeros(grid.shape, bool)
+    far[:4] = True                              # untouched far solid
+    np.testing.assert_allclose(T_boost[far], T_plain[far], atol=1e-5)
+
+    # (3) enhancement=1 == plain constant k below the solidus
+    cold = jnp.asarray(300.0 + 50.0 * rng.random(grid.shape))
+    a = adi_step_varprop(cold, mask, packs, grid, mat, k_table=plain,
+                         dt=0.05, theta=1.0)
+    b = adi_step_varprop(cold, mask, packs, grid, mat,
+                         k_table=PropertyTable((0.0, 2000.0), (30.0, 30.0)),
+                         dt=0.05, theta=1.0)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
