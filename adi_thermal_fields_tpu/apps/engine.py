@@ -31,10 +31,13 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
                           robin_h=None, neumann=None,
                           dirichlet_mask=None, dirichlet_value=None,
                           source_fn=None, implementation: str = "auto",
-                          mesh=None, dtype=None):
+                          mesh=None, dtype=None, interpret: bool = False):
     """Split engine: ``prepare(active) -> prep`` (jitted pack/plan rebuild,
     needed only when the mask changes — i.e. on birth events) and
     ``advance(T, prep, dt, n_sub[, t0]) -> T`` (jitted sub-step loop).
+
+    interpret: run the fused kernels in Pallas interpret mode (CPU testing
+    of the single-device pallas branch; the mesh branch derives its own).
 
     The reference rebuilds BC packs inside every time segment (per *column*
     in single_track_on_plate.py:163); splitting keeps the rebuild off the
@@ -151,7 +154,8 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
                 if src is not None:
                     src = pad_domain(src)
                 return adi_step_pallas(Tp, prep, grid, mat, dt=dt, theta=theta,
-                                       t_inf=t_inf, source=src)
+                                       t_inf=t_inf, source=src,
+                                       interpret=interpret)
 
             Tp = lax.fori_loop(0, n_sub, body, Tp)
             return Tp[:shape[0], :shape[1], :shape[2]]

@@ -259,3 +259,44 @@ def test_radiative_cooling_matches_lumped_ode():
 
     assert Tl < 1100.0                      # cooled substantially
     np.testing.assert_allclose(T_num, Tl, rtol=0.01)
+
+
+def test_engine_pallas_pad_to_tile_matches_xla():
+    """The single-device pallas engine pads hostile domains to tile-friendly
+    shapes (void padding) once per event segment; run a birth schedule
+    through EventLoop on a non-multiple-of-8/128 grid and require bitwise
+    agreement with the XLA engine (interpret-mode kernels on CPU)."""
+    from adi_thermal_fields_tpu.apps.engine import (EventLoop,
+                                                    make_cartesian_engine)
+
+    grid = CartesianGrid(11, 13, 9, 1e-3)
+    mat = Material(7800.0, 490.0, 54.0)
+    base = np.zeros(grid.shape, bool)
+    base[:, :, :3] = True                        # substrate plate
+    act = np.full(grid.shape, np.inf)
+    act[3:9, 4:10, 3] = 0.4                      # two birth events
+    act[3:9, 4:10, 4] = 0.9
+    act[~(base | np.isfinite(act))] = np.inf
+    act = np.where(base, -np.inf, act)
+    act_d = jnp.asarray(act, jnp.float32)
+    T0 = jnp.full(grid.shape, 20.0, jnp.float32)
+
+    results = {}
+    for impl, kw in (("pallas", {"interpret": True}), ("xla", {})):
+        prepare, advance = make_cartesian_engine(
+            grid, mat, theta=0.5, t_inf=20.0, robin_h=150.0,
+            implementation=impl, dtype=jnp.float32, **kw)
+        frames = []
+        loop = EventLoop(advance=advance, activation_times=act_d,
+                         deposit_T=900.0, dt_cap=0.05, prepare=prepare)
+        T, active, t = loop.run(
+            T0, frame_times=[0.0, 0.6, 1.2], t_end=1.2,
+            on_frame=lambda t, T_d, a: frames.append(np.asarray(T_d)))
+        results[impl] = (np.asarray(T), [f.copy() for f in frames])
+
+    Tp, fp = results["pallas"]
+    Tx, fx = results["xla"]
+    assert len(fp) == len(fx) == 3
+    for a, b in zip(fp, fx):
+        np.testing.assert_allclose(a, b, atol=2e-4)
+    np.testing.assert_allclose(Tp, Tx, atol=2e-4)
