@@ -227,8 +227,13 @@ def run(args) -> dict:
     frames_meta = []
 
     def on_frame(t, T_d, active):
-        T_np = np.asarray(T_d)
-        a_np = np.asarray(active)
+        # multihost-safe: all-gathers process-external shards (collective on
+        # a multi-host mesh; a plain copy otherwise)
+        from ..dist.gather import gather_to_host, is_output_process
+        T_np = gather_to_host(T_d)
+        a_np = gather_to_host(active)
+        if not is_output_process():
+            return
         n_act = int(a_np.sum())
         tmax = float(np.nanmax(np.where(a_np, T_np, np.nan))) if n_act else 0.0
         if not np.isfinite(tmax) or abs(tmax) > 1e5:

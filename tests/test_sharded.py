@@ -373,3 +373,22 @@ def test_sharded_masked_cylindrical_pallas_matches_single_device():
     assert len(T.sharding.device_set) == 8
     np.testing.assert_allclose(np.asarray(T), np.asarray(ref), rtol=1e-9,
                                atol=1e-8)
+
+
+def test_gather_to_host_sharded_and_plain():
+    """dist.gather.gather_to_host: identical bytes back from a mesh-sharded
+    field, an unsharded device field, and a plain numpy array (the VTK /
+    checkpoint path for sharded WAAM runs; multi-process branch uses
+    process_allgather, a passthrough single-process)."""
+    from adi_thermal_fields_tpu.dist.gather import (gather_to_host,
+                                                    is_output_process)
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(16, 8, 24)).astype(np.float32)
+    mesh = make_mesh()
+    sharded = shard_field(jnp.asarray(x), mesh, 0)
+    assert len(sharded.sharding.device_set) == 8
+    np.testing.assert_array_equal(gather_to_host(sharded), x)
+    np.testing.assert_array_equal(gather_to_host(jnp.asarray(x)), x)
+    assert gather_to_host(x) is x
+    assert is_output_process()
