@@ -31,7 +31,8 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
                           robin_h=None, neumann=None,
                           dirichlet_mask=None, dirichlet_value=None,
                           source_fn=None, implementation: str = "auto",
-                          mesh=None, dtype=None, interpret: bool = False):
+                          mesh=None, dtype=None, interpret: bool = False,
+                          history_t_crit: float | None = None):
     """Split engine: ``prepare(active) -> prep`` (jitted pack/plan rebuild,
     needed only when the mask changes — i.e. on birth events) and
     ``advance(T, prep, dt, n_sub[, t0]) -> T`` (jitted sub-step loop).
@@ -50,7 +51,13 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
     multi-chip with per-sweep batch-axis layouts (dist/cartesian*.py).
     dtype: pack dtype (defaults to the field dtype at first advance; pass
     explicitly when preparing before the first advance with non-default
-    precision)."""
+    precision).
+    history_t_crit: enable per-voxel THERMAL-HISTORY tracking — the advance
+    signature becomes ``advance(T, prep, dt, n_sub, t0, hist) -> (T, hist)``
+    with ``hist = (T_peak, t_above)`` updated every sub-step: running peak
+    temperature and cumulative seconds above ``history_t_crit`` (the inputs
+    to microstructure/HAZ estimates in WAAM).  Elementwise updates fused
+    into the sub-step loop; EventLoop(history=True) threads the state."""
     import jax.numpy as jnp
 
     if implementation == "auto":
@@ -94,14 +101,10 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
                 has_dirichlet=dirichlet_mask is not None,
                 robin_const=lite_c), mesh, traced=True)
 
-        @jax.jit
-        def advance(T, prep, dt, n_sub, t0=0.0):
-            def body(i, T):
-                src = (None if source_fn is None
-                       else source_fn(jnp.asarray(t0, T.dtype) + i * dt))
-                return inner(T, prep, dt, src)
-
-            return lax.fori_loop(0, n_sub, body, T)
+        def step1(T, prep, dt, t):
+            src = None if source_fn is None else source_fn(t)
+            return inner(T, prep, dt, src)
+        pad = None
 
     elif mesh is not None:
         from ..dist.cartesian import sharded_adi_step
@@ -113,17 +116,12 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
             active = active.astype(bool)
             return (active, _packs(active))
 
-        @jax.jit
-        def advance(T, prep, dt, n_sub, t0=0.0):
+        def step1(T, prep, dt, t):
             active, packs = prep
-            t_inf_ = jnp.asarray(t_inf, T.dtype)
-
-            def body(i, T):
-                src = (None if source_fn is None
-                       else source_fn(jnp.asarray(t0, T.dtype) + i * dt))
-                return inner(T, active, packs, dt, t_inf_, src)
-
-            return lax.fori_loop(0, n_sub, body, T)
+            src = None if source_fn is None else source_fn(t)
+            return inner(T, active, packs, dt, jnp.asarray(t_inf, T.dtype),
+                         src)
+        pad = None
 
     elif implementation == "pallas":
         from ..step.cartesian_pallas import (adi_step_pallas, build_sweep_plan,
@@ -142,23 +140,13 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
                                     has_dirichlet=dirichlet_mask is not None,
                                     robin_const=lite_c, pad_to_tile=True)
 
-        @jax.jit
-        def advance(T, prep, dt, n_sub, t0=0.0):
-            # pad once per event segment; the sub-step loop runs pad-free
-            shape = T.shape
-            Tp = pad_domain(T)
-
-            def body(i, Tp):
-                src = (None if source_fn is None
-                       else source_fn(jnp.asarray(t0, Tp.dtype) + i * dt))
-                if src is not None:
-                    src = pad_domain(src)
-                return adi_step_pallas(Tp, prep, grid, mat, dt=dt, theta=theta,
-                                       t_inf=t_inf, source=src,
-                                       interpret=interpret)
-
-            Tp = lax.fori_loop(0, n_sub, body, Tp)
-            return Tp[:shape[0], :shape[1], :shape[2]]
+        def step1(Tp, prep, dt, t):
+            src = None if source_fn is None else pad_domain(source_fn(t))
+            return adi_step_pallas(Tp, prep, grid, mat, dt=dt, theta=theta,
+                                   t_inf=t_inf, source=src,
+                                   interpret=interpret)
+        # pad once per event segment; the sub-step loop runs pad-free
+        pad = pad_domain
 
     else:
         @jax.jit
@@ -166,17 +154,47 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
             active = active.astype(bool)
             return (active, _packs(active))
 
+        def step1(T, prep, dt, t):
+            active, packs = prep
+            src = None if source_fn is None else source_fn(t)
+            return adi_step(T, active, packs, grid, mat, dt=dt,
+                            theta=theta, t_inf=t_inf, source=src)
+        pad = None
+
+    # one advance builder for all branches: fori over step1, optional
+    # domain padding (pallas pad-to-tile), optional thermal-history fusion
+    unpad = ((lambda x, shape: x[:shape[0], :shape[1], :shape[2]])
+             if pad is not None else (lambda x, shape: x))
+    padf = pad if pad is not None else (lambda x: x)
+
+    if history_t_crit is None:
         @jax.jit
         def advance(T, prep, dt, n_sub, t0=0.0):
-            active, packs = prep
+            shape = T.shape
+            Tp = padf(T)
 
-            def body(i, T):
-                src = (None if source_fn is None
-                       else source_fn(jnp.asarray(t0, T.dtype) + i * dt))
-                return adi_step(T, active, packs, grid, mat, dt=dt,
-                                theta=theta, t_inf=t_inf, source=src)
+            def body(i, Tp):
+                return step1(Tp, prep, dt, jnp.asarray(t0, Tp.dtype) + i * dt)
 
-            return lax.fori_loop(0, n_sub, body, T)
+            return unpad(lax.fori_loop(0, n_sub, body, Tp), shape)
+    else:
+        t_crit = float(history_t_crit)
+
+        @jax.jit
+        def advance(T, prep, dt, n_sub, t0=0.0, hist=None):
+            shape = T.shape
+            pk, ta = hist
+            carry = (padf(T), padf(pk), padf(ta))
+
+            def body(i, carry):
+                Tp, pk, ta = carry
+                Tp = step1(Tp, prep, dt, jnp.asarray(t0, Tp.dtype) + i * dt)
+                pk = jnp.maximum(pk, Tp)
+                ta = ta + jnp.asarray(dt, ta.dtype) * (Tp > t_crit)
+                return (Tp, pk, ta)
+
+            Tp, pk, ta = lax.fori_loop(0, n_sub, body, carry)
+            return unpad(Tp, shape), (unpad(pk, shape), unpad(ta, shape))
 
     return prepare, advance
 
@@ -250,6 +268,11 @@ class EventLoop:
     check_finite : raise on NaN/Inf with simulation context.  The check
         syncs device->host, so it runs at frame boundaries and the final
         event (not per event) — birth bookkeeping itself is sync-free.
+    history : thread per-voxel thermal-history state (requires an advance
+        built with ``make_cartesian_engine(history_t_crit=...)`` and
+        ``prepare``); after ``run`` the (T_peak, t_above) arrays are in
+        ``self.history_state``.  Newborn deposits register their deposit
+        temperature in the peak.
     """
 
     advance: Callable
@@ -258,31 +281,47 @@ class EventLoop:
     dt_cap: float
     check_finite: bool = True
     prepare: Callable | None = None
+    history: bool = False
+    history_state: Any = None
 
     def run(self, T, *, frame_times, t_end: float | None = None,
             on_frame: Callable | None = None, extra_events=(),
             start_t: float = 0.0):
         act = self.activation_times
         eps = 1e-12
-        finite = jnp.isfinite(act) & (act > start_t - eps)
+        # NOTE inclusive comparisons against event times throughout: event
+        # times come from act's own (often float32) values, and `act < te +
+        # 1e-12` is FALSE for act == te in f32 (the epsilon vanishes in the
+        # cast) — with strict compares every layer activated one event late
+        # and the final layer never deposited at all.
+        finite = jnp.isfinite(act) & (act >= start_t)
         births = jnp.unique(jnp.where(finite, act, jnp.inf))
         births = [float(b) for b in births if math.isfinite(float(b))]
         frame_times = [float(t) for t in frame_times]
         t_end = t_end if t_end is not None else (max(frame_times) if frame_times else 0.0)
-        birth_set = set(b for b in births if b <= t_end)
+        # tolerate float32 rounding of a birth time landing a hair above the
+        # (float64) t_end — that layer must still deposit
+        birth_set = set(b for b in births
+                        if b <= t_end + 1e-6 * max(1.0, abs(t_end)))
         events = sorted(birth_set | set(frame_times) | set(extra_events)
                         | {t_end})
         frames = set(frame_times)
         final_event = events[-1] if events else None
 
         t = start_t
-        active = act < t + eps
+        active = act <= t
         # layers whose birth time coincides with the start are deposited now
-        born_now = active & jnp.isfinite(act) & (act > start_t - eps)
+        born_now = active & jnp.isfinite(act) & (act >= start_t)
         T = jnp.where(born_now, self.deposit_T, T)
         active_any = bool(jnp.any(active))     # one sync at start only
         prep = (self.prepare(jnp.broadcast_to(active, T.shape))
                 if self.prepare is not None else None)
+        if self.history:
+            if prep is None:
+                raise ValueError("EventLoop(history=True) requires prepare + "
+                                 "an advance from make_cartesian_engine("
+                                 "history_t_crit=...)")
+            self.history_state = (T, jnp.zeros_like(T))
         if t in frames and on_frame is not None:
             on_frame(t, T, jnp.broadcast_to(active, T.shape))
 
@@ -300,7 +339,12 @@ class EventLoop:
             if active_any:
                 n_sub = max(1, int(math.ceil(seg / self.dt_cap)))
                 dt = seg / n_sub
-                if prep is not None:
+                if self.history:
+                    T, self.history_state = self.advance(
+                        T, prep, jnp.asarray(dt, T.dtype),
+                        jnp.asarray(n_sub, jnp.int32),
+                        jnp.asarray(t, T.dtype), self.history_state)
+                elif prep is not None:
                     T = self.advance(T, prep, jnp.asarray(dt, T.dtype),
                                      jnp.asarray(n_sub, jnp.int32),
                                      jnp.asarray(t, T.dtype))
@@ -311,9 +355,12 @@ class EventLoop:
                                      jnp.asarray(t, T.dtype))
             t = te
             if te in birth_set:
-                new_active = act < t + eps
+                new_active = act <= t
                 newborn = new_active & ~active
                 T = jnp.where(newborn, self.deposit_T, T)
+                if self.history:
+                    pk, ta = self.history_state
+                    self.history_state = (jnp.maximum(pk, T), ta)
                 active = new_active
                 active_any = True          # a birth event implies new cells
                 if self.prepare is not None:

@@ -68,6 +68,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="write a resume checkpoint at every frame")
     p.add_argument("--resume", type=str, default="",
                    help="resume from a checkpoint file")
+    p.add_argument("--history_t_crit", type=float, default=None,
+                   help="track per-voxel thermal history: peak temperature "
+                        "and seconds above this critical temperature [C]; "
+                        "written as T_peak / t_above fields in a final "
+                        "history VTK (microstructure/HAZ inputs)")
     p.add_argument("--viewer", type=int, default=0)
     p.add_argument("--mesh", type=str, default="",
                    help="shard over a PxQ device mesh, e.g. '2x4' "
@@ -203,9 +208,9 @@ def run(args) -> dict:
         log(f"sharding over {p_}x{q_} device mesh", tag="mesh")
 
     # split engine: the pack/plan rebuild runs on birth events only
-    prepare, advance = make_cartesian_engine(grid, mat, theta=args.theta,
-                                             t_inf=args.T_inf, robin_h=robin_h,
-                                             mesh=mesh_dev, dtype=dtype)
+    prepare, advance = make_cartesian_engine(
+        grid, mat, theta=args.theta, t_inf=args.T_inf, robin_h=robin_h,
+        mesh=mesh_dev, dtype=dtype, history_t_crit=args.history_t_crit)
     dt_cap = args.cfl * dx * dx / mat.alpha
     log(f"alpha={mat.alpha:.3e} m^2/s, dt_cap={dt_cap:.3e} s (cfl={args.cfl})",
         tag="num")
@@ -256,10 +261,28 @@ def run(args) -> dict:
                             RunState(T=T_np, active=a_np, t=t))
 
     loop = EventLoop(advance=advance, activation_times=act,
-                     deposit_T=args.Ts, dt_cap=dt_cap, prepare=prepare)
+                     deposit_T=args.Ts, dt_cap=dt_cap, prepare=prepare,
+                     history=args.history_t_crit is not None)
     T, active, t = loop.run(T, frame_times=frame_times, t_end=total_time,
                             on_frame=on_frame, start_t=start_t)
     log(f"done: {len(frames_meta)} frames, outdir={args.outdir}", tag="done")
+
+    if args.history_t_crit is not None:
+        from ..dist.gather import gather_to_host, is_output_process
+        from ..io.vtk import write_vtk_structured_points
+        pk, ta = loop.history_state
+        pk_np, ta_np = gather_to_host(pk), gather_to_host(ta)
+        a_np = gather_to_host(active)
+        if is_output_process():
+            fn = os.path.join(args.outdir, "waam_history.vtk")
+            write_vtk_structured_points(
+                fn, {"T_peak": pk_np.astype(np.float32),
+                     "t_above": ta_np.astype(np.float32),
+                     "Mask": a_np.astype(np.float32)},
+                spacing=dx * 1e3, origin=tuple(np.asarray(origin) * 1e3),
+                binary=args.vtk_format == "binary")
+            log(f"thermal history (T_crit={args.history_t_crit:g} C) -> {fn}",
+                tag="history")
 
     if args.viewer and frames_meta:
         log("viewer: load the VTK series in ParaView, or use "

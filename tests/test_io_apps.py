@@ -186,3 +186,36 @@ def test_single_track_with_goldak_torch(tmp_path):
     _, T1, _ = res_hot["frames"][-1]
     assert np.nanmean(np.where(a, T1, np.nan)) > np.nanmean(np.where(a, T0, np.nan)) + 5.0
     assert np.isfinite(T1[a]).all()
+
+
+def test_waam_app_thermal_history(tmp_path):
+    """--history_t_crit: the run must emit a waam_history.vtk whose T_peak
+    dominates the final field, records the deposit temperature on deposited
+    cells, and whose t_above is positive exactly where the peak crossed the
+    threshold.  Also asserts every solid cell ended active (the f32
+    birth-time regression deposited the last layer never)."""
+    from adi_thermal_fields_tpu.apps.waam_from_stl import build_argparser, run
+    from adi_thermal_fields_tpu.geometry.primitives import box_mesh
+    from adi_thermal_fields_tpu.geometry.stl import save_stl_binary
+    from adi_thermal_fields_tpu.io.vtk import read_vtk_structured_points
+
+    stl = str(tmp_path / "cube_mm.stl")
+    save_stl_binary(stl, box_mesh(size=(6.0, 6.0, 8.0), center=(3, 3, 4)))
+    outdir = str(tmp_path / "out")
+    args = build_argparser().parse_args([
+        "--stl", stl, "--dx_mm", "1", "--nframes", "2", "--save_vtk", "0",
+        "--outdir", outdir, "--bead_height_mm", "2",
+        "--history_t_crit", "800"])
+    res = run(args)
+    # every solid cell must be active at the end (last layer deposited)
+    total_active = int(np.asarray(res["active"]).sum())
+    fields = read_vtk_structured_points(os.path.join(outdir,
+                                                     "waam_history.vtk"))
+    pk, ta, mask = fields["T_peak"], fields["t_above"], fields["Mask"]
+    assert int((mask > 0).sum()) == total_active
+    T_end = np.asarray(res["T"])
+    assert (pk >= T_end - 1e-3).all()
+    # deposited (non-substrate) cells peaked at the deposit temperature
+    assert pk[mask > 0].max() >= 1500.0 - 1e-3
+    assert (ta[pk < 800.0] == 0.0).all()
+    assert (ta[(mask > 0) & (pk >= 1500.0 - 1e-3)] > 0.0).all()
