@@ -39,6 +39,7 @@ from ..solvers.spectral import phi_solve_spectral
 from ..solvers.thomas import thomas
 
 __all__ = ["RobinBC", "ZFaceBC", "adi_step", "adi_step_masked",
+           "padded_cyl_shape", "pad_cyl_domain",
            "apply_Lr", "apply_Lphi", "apply_Lz"]
 
 
@@ -220,6 +221,13 @@ def _r_sweep(rhs: jax.Array, grid: CylindricalGrid, mat: Material, theta_dt,
     # them at trace time so a traced dt never recompiles or mutates arrays.
     ge_a, ge_c, ge_rob, rob_rhs = _r_geometry(grid, mat, robin_outer,
                                               robin_inner)
+    if rhs.shape[0] > grid.nr:
+        # pad-to-tile state: appended radii are identity rows (a=c=0, b=1,
+        # no Robin source) — decoupled from the physical outer row, whose
+        # upward coupling is already zero
+        pad = rhs.shape[0] - grid.nr
+        ge_a, ge_c, ge_rob, rob_rhs = (np.pad(v, (0, pad)) for v in
+                                       (ge_a, ge_c, ge_rob, rob_rhs))
     fac = jnp.asarray(theta_dt * mat.alpha, dtype)
     a_vec = -fac * jnp.asarray(ge_a, dtype)
     c_vec = -fac * jnp.asarray(ge_c, dtype)
@@ -242,6 +250,12 @@ def _z_sweep(rhs: jax.Array, grid: CylindricalGrid, mat: Material, theta_dt,
     dtype = rhs.dtype
     # Static (numpy) unit-fac geometry; traced fac scales it at trace time.
     ge_a, ge_c, ge_b, rob_rhs, dir_rows = _z_geometry(grid, mat, zbc)
+    if rhs.shape[2] > grid.nz:
+        # pad-to-tile state: appended z rows are identities (see _r_sweep);
+        # the Dirichlet/Robin end rows keep their absolute indices
+        pad = rhs.shape[2] - grid.nz
+        ge_a, ge_c, ge_b, rob_rhs = (np.pad(v, (0, pad)) for v in
+                                     (ge_a, ge_c, ge_b, rob_rhs))
 
     d = jnp.moveaxis(rhs, 2, 0)  # (nz, nr, nphi)
     for idx, t_dir in dir_rows:
@@ -284,7 +298,9 @@ def _phi_solve(X, grid: CylindricalGrid, mat: Material, theta, dt,
 
         fac_r = (theta * mat.alpha * dt
                  * phi_eigenvalue_factors(grid, dtype=X.dtype))
-        fac = jnp.broadcast_to(fac_r[:, None], (grid.nr, grid.nz))
+        if X.shape[0] > grid.nr:   # pad-to-tile: fac 0 -> identity systems
+            fac_r = jnp.pad(fac_r, (0, X.shape[0] - grid.nr))
+        fac = jnp.broadcast_to(fac_r[:, None], (X.shape[0], X.shape[2]))
         return fused_cyclic_phi(X, fac, interpret=not on_tpu)
     return phi_solve_spectral(X, grid, mat, theta, dt)
 
@@ -293,12 +309,32 @@ def _phi_solve(X, grid: CylindricalGrid, mat: Material, theta, dt,
 # Time steps
 # --------------------------------------------------------------------------
 
+def padded_cyl_shape(shape: tuple) -> tuple:
+    """Tile-friendly cylindrical domain: nr to a multiple of 8 (phi-solve
+    sublane batches) and nz to a multiple of 128 (r-sweep lane batches).
+    nphi stays EXACT -- it is the periodic solve's line length.  Padded
+    radii/z-rows are identity rows in every sweep (physically inert)."""
+    nr, nphi, nz = shape
+    ru = lambda v, m: -(-v // m) * m
+    return (ru(nr, 8), nphi, ru(nz, 128))
+
+
+def pad_cyl_domain(arr: jax.Array, value=0) -> jax.Array:
+    """Pad an (r, phi, z) field to ``padded_cyl_shape`` with ``value``."""
+    ps = padded_cyl_shape(arr.shape)
+    if tuple(arr.shape) == ps:
+        return arr
+    return jnp.pad(arr, [(0, p - s) for p, s in zip(ps, arr.shape)],
+                   constant_values=value)
+
+
 def adi_step(T: jax.Array, grid: CylindricalGrid, mat: Material, *, dt,
              robin_outer: RobinBC, zbc: ZFaceBC,
              robin_inner: RobinBC | None = None,
              source: jax.Array | None = None,
              scheme: str = "be", theta: float = 0.5,
-             implementation: str = "xla") -> jax.Array:
+             implementation: str = "xla",
+             pad_to_tile: bool = False) -> jax.Array:
     """One cylindrical ADI step (reference ``adi_step``,
     adi3d_cyl_phi_v3.py:332-373).
 
@@ -308,12 +344,26 @@ def adi_step(T: jax.Array, grid: CylindricalGrid, mat: Material, *, dt,
     reference's variant is dimensionally inconsistent; see module docstring).
     """
     if scheme == "be":
+        crop = None
+        if pad_to_tile:
+            if implementation != "pallas":
+                raise ValueError("pad_to_tile requires implementation="
+                                 "'pallas' (the cyclic-phi kernel; the "
+                                 "spectral path assumes exact grid shapes)")
+            if tuple(T.shape) != padded_cyl_shape(T.shape):
+                crop = T.shape
+                T = pad_cyl_domain(T)
+                if source is not None:
+                    source = pad_cyl_domain(source)
         R0 = T if source is None else T + dt * source / (mat.rho * mat.cp)
         X = _r_sweep(R0, grid, mat, dt, robin_outer, robin_inner,
                      implementation=implementation)
         X = _phi_solve(X, grid, mat, 1.0, dt, implementation)
-        return _z_sweep(X, grid, mat, dt, zbc,
-                        implementation=implementation)
+        out = _z_sweep(X, grid, mat, dt, zbc,
+                       implementation=implementation)
+        if crop is not None:
+            out = out[:crop[0], :, :crop[2]]
+        return out
 
     if scheme != "douglas":
         raise ValueError(f"unknown scheme: {scheme!r}")

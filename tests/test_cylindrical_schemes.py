@@ -84,3 +84,39 @@ def test_nphi_equals_one_degenerates_to_rz():
                      robin_inner=rob, scheme="be")
     assert np.isfinite(np.asarray(T)).all()
     assert 20.0 < float(T.min()) <= float(T.max()) < 900.0
+
+
+def test_cylindrical_pad_to_tile_bitwise():
+    """pad_to_tile on the BE pallas step: identity-row padding of nr/nz must
+    be bitwise-inert (crop path and persistent-padded state), on an annular
+    grid with inner+outer Robin, a z Dirichlet/Robin pair, and a source."""
+    from adi_thermal_fields_tpu.step.cylindrical import (pad_cyl_domain,
+                                                         padded_cyl_shape)
+
+    grid = CylindricalGrid(10, 24, 40, 5e-4, 1e-3, r_inner=0.02)
+    mat = Material(7800.0, 490.0, 54.0)
+    rob, robi = RobinBC(300.0, 20.0), RobinBC(150.0, 25.0)
+    zbc = ZFaceBC(kind_bot="dirichlet", T_bot=100.0,
+                  kind_top="robin", h_top=400.0, T_inf_top=20.0)
+    rng = np.random.default_rng(4)
+    T = jnp.asarray((300 + 600 * rng.random(grid.shape)).astype(np.float32))
+    src = jnp.asarray((rng.random(grid.shape) * 1e6).astype(np.float32))
+    kw = dict(dt=0.02, robin_outer=rob, zbc=zbc, robin_inner=robi, source=src)
+
+    assert padded_cyl_shape(grid.shape) == (16, 24, 128)
+    o0 = adi_step(T, grid, mat, implementation="pallas", **kw)
+    o1 = adi_step(T, grid, mat, implementation="pallas", pad_to_tile=True,
+                  **kw)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o0))
+
+    Tp = pad_cyl_domain(T)
+    o2 = adi_step(Tp, grid, mat, implementation="pallas", pad_to_tile=True,
+                  dt=0.02, robin_outer=rob, zbc=zbc, robin_inner=robi,
+                  source=pad_cyl_domain(src))
+    np.testing.assert_array_equal(np.asarray(o2[:10, :, :40]), np.asarray(o0))
+    # spectral path refuses padding rather than silently mis-solving
+    try:
+        adi_step(T, grid, mat, implementation="xla", pad_to_tile=True, **kw)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
