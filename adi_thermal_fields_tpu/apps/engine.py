@@ -321,7 +321,12 @@ class EventLoop:
                 raise ValueError("EventLoop(history=True) requires prepare + "
                                  "an advance from make_cartesian_engine("
                                  "history_t_crit=...)")
-            self.history_state = (T, jnp.zeros_like(T))
+            # t_above accumulates many small dt increments — keep it at
+            # solve precision even for bf16 states (bf16's 8-bit mantissa
+            # absorbs increments after ~256 steps)
+            self.history_state = (
+                T, jnp.zeros(T.shape,
+                             jnp.promote_types(T.dtype, jnp.float32)))
         if t in frames and on_frame is not None:
             on_frame(t, T, jnp.broadcast_to(active, T.shape))
 
