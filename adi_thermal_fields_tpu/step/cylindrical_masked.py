@@ -86,7 +86,8 @@ def adi_step_masked_robin(T: jax.Array, grid: CylindricalGrid, mat: Material, *,
                           h_front: float | None = None,
                           source: jax.Array | None = None,
                           constrain=None,
-                          implementation: str = "auto") -> jax.Array:
+                          implementation: str = "auto",
+                          pad_to_tile: bool = False) -> jax.Array:
     """One BE step of the masked cylindrical problem.
 
     Parameters
@@ -108,14 +109,28 @@ def adi_step_masked_robin(T: jax.Array, grid: CylindricalGrid, mat: Material, *,
     implementation : "pallas" (fused field-coefficient kernels,
         solvers/pallas_fields.py), "xla" (scan solvers), or "auto"
         (pallas on a single TPU; xla elsewhere and under ``constrain``).
+    pad_to_tile : pad nr/nz to tile-friendly dims with void cells
+        (bitwise-inert; see step/cylindrical.padded_cyl_shape).  Padded in,
+        padded out is the zero-copy steady state.
     """
+    crop = None
+    if pad_to_tile:
+        from .cylindrical import pad_cyl_domain, padded_cyl_shape
+
+        if tuple(T.shape) != padded_cyl_shape(T.shape):
+            crop = T.shape
+            T = pad_cyl_domain(T)
+            active = pad_cyl_domain(active, False)
+            if source is not None:
+                source = pad_cyl_domain(source)
     plan = build_masked_robin_plan(grid, mat, active, robin_outer=robin_outer,
                                    zbc=zbc, robin_inner=robin_inner,
                                    h_void=h_void, T_inf_void=T_inf_void,
                                    h_front=h_front, dtype=T.dtype)
-    return masked_robin_solve(T, plan, grid, mat, dt=dt, source=source,
-                              constrain=constrain,
-                              implementation=implementation)
+    out = masked_robin_solve(T, plan, grid, mat, dt=dt, source=source,
+                             constrain=constrain,
+                             implementation=implementation)
+    return out if crop is None else out[:crop[0], :, :crop[2]]
 
 
 def build_masked_robin_plan(grid: CylindricalGrid, mat: Material,
@@ -128,7 +143,14 @@ def build_masked_robin_plan(grid: CylindricalGrid, mat: Material,
     the activation mask — rebuild on birth events, not per sub-step)."""
     dtype = dtype or jnp.result_type(float)
     active = active.astype(bool)
-    nr, nphi, nz = grid.shape
+    # the mask may arrive PADDED to tile-friendly dims (pad_to_tile): padded
+    # cells are void, so every sink/coupling below is zero there and the
+    # solver's void-identity rows make the padding bitwise-inert.  Only nphi
+    # must stay exact (it is the periodic line length).
+    nr, nphi, nz = active.shape
+    if nphi != grid.nphi:
+        raise ValueError(f"active nphi {nphi} != grid nphi {grid.nphi} "
+                         "(phi cannot be padded — periodic line)")
     dr, dz, dphi = grid.dr, grid.dz, grid.dphi
     if h_front is None:
         h_front = h_void
@@ -136,6 +158,9 @@ def build_masked_robin_plan(grid: CylindricalGrid, mat: Material,
     r = np.maximum(np.asarray(grid.r, np.float64), 1e-15)
     r_imh = np.maximum(np.asarray(grid.r_imh, np.float64), 0.0)
     r_iph = np.asarray(grid.r_iph, np.float64)
+    if nr > grid.nr:   # padded radii: any positive geometry (cells are void)
+        r, r_imh, r_iph = (np.pad(v, (0, nr - grid.nr), mode="edge")
+                           for v in (r, r_imh, r_iph))
     inv_k = 1.0 / mat.k
 
     # Coupling presence per face (both cells active; domain edges absent).
@@ -161,10 +186,10 @@ def build_masked_robin_plan(grid: CylindricalGrid, mat: Material,
 
     idx_r0 = jnp.arange(nr)[:, None, None]
     is_r_first = idx_r0 == 0
-    is_r_last = idx_r0 == nr - 1
+    is_r_last = idx_r0 == grid.nr - 1      # PHYSICAL domain faces, not pad
     idx_z = jnp.arange(nz)[None, None, :]
     is_z_first = idx_z == 0
-    is_z_last = idx_z == nz - 1
+    is_z_last = idx_z == grid.nz - 1
 
     def hT(face_exposed, geom, is_domain_slab, h_domain, t_domain, h_ifc, t_ifc):
         """(sink, sink*T_inf) fields for one face direction: Robin sink
@@ -198,8 +223,8 @@ def build_masked_robin_plan(grid: CylindricalGrid, mat: Material,
                          h_front, T_inf_void)
 
     # Dirichlet z-end rows: active cells in the end slab pinned to the value.
-    pin = jnp.zeros(grid.shape, bool)
-    pin_val = jnp.zeros(grid.shape, dtype)
+    pin = jnp.zeros(active.shape, bool)
+    pin_val = jnp.zeros(active.shape, dtype)
     if zbc.kind_bot == "dirichlet":
         pb = active & is_z_first
         pin = pin | pb

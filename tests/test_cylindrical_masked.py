@@ -85,3 +85,38 @@ def test_clamp_mode_keeps_void_at_ambient():
     T1 = adi_step_masked(T, grid, mat, dt=0.05, robin_outer=rob, zbc=zbc,
                          active=active, robin_void=RobinBC(300.0, 20.0))
     np.testing.assert_allclose(np.asarray(jnp.where(~active, T1, 20.0)), 20.0)
+
+
+def test_masked_pad_to_tile_bitwise():
+    """pad_to_tile on the masked-Robin step: void padding of nr/nz must be
+    bitwise-inert in both implementations (crop path and persistent padded
+    state), with interface Robin + z Dirichlet/Robin + source."""
+    from adi_thermal_fields_tpu.step.cylindrical import pad_cyl_domain
+
+    grid = CylindricalGrid(10, 24, 40, 5e-4, 1e-3, r_inner=0.02)
+    mat = Material(7800.0, 490.0, 54.0)
+    rob, robi = RobinBC(300.0, 20.0), RobinBC(150.0, 25.0)
+    zbc = ZFaceBC(kind_bot="dirichlet", T_bot=100.0,
+                  kind_top="robin", h_top=400.0, T_inf_top=20.0)
+    rng = np.random.default_rng(5)
+    act = jnp.asarray(rng.random(grid.shape) > 0.35)
+    T = jnp.where(act, 900.0, 20.0).astype(jnp.float32)
+    src = jnp.asarray((rng.random(grid.shape) * 1e6).astype(np.float32))
+    kw = dict(dt=0.02, robin_outer=rob, zbc=zbc, robin_inner=robi,
+              h_void=80.0, T_inf_void=20.0, source=src)
+
+    for impl in ("xla", "pallas"):
+        o0 = adi_step_masked_robin(T, grid, mat, active=act,
+                                   implementation=impl, **kw)
+        o1 = adi_step_masked_robin(T, grid, mat, active=act,
+                                   implementation=impl, pad_to_tile=True,
+                                   **kw)
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o0))
+        o2 = adi_step_masked_robin(
+            pad_cyl_domain(T), grid, mat,
+            active=pad_cyl_domain(act, False), implementation=impl,
+            pad_to_tile=True, dt=0.02, robin_outer=rob, zbc=zbc,
+            robin_inner=robi, h_void=80.0, T_inf_void=20.0,
+            source=pad_cyl_domain(src))
+        np.testing.assert_array_equal(np.asarray(o2[:10, :, :40]),
+                                      np.asarray(o0))
