@@ -57,7 +57,11 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
     with ``hist = (T_peak, t_above)`` updated every sub-step: running peak
     temperature and cumulative seconds above ``history_t_crit`` (the inputs
     to microstructure/HAZ estimates in WAAM).  Elementwise updates fused
-    into the sub-step loop; EventLoop(history=True) threads the state."""
+    into the sub-step loop; EventLoop(history=True) threads the state and
+    RESETS a cell's history at its birth (pre-birth placeholder values are
+    meaningless).  NEVER-born cells still accumulate from their placeholder
+    temperatures — consumers must mask by the final active state (the WAAM
+    app writes them as 0 in waam_history.vtk)."""
     import jax.numpy as jnp
 
     if implementation == "auto":
@@ -286,7 +290,10 @@ class EventLoop:
 
     def run(self, T, *, frame_times, t_end: float | None = None,
             on_frame: Callable | None = None, extra_events=(),
-            start_t: float = 0.0):
+            start_t: float = 0.0, history_state=None):
+        """``history_state``: optional (T_peak, t_above) to resume
+        thermal-history accumulation from (checkpoint restore); default
+        seeds the peak from the entering field and zero time-above."""
         act = self.activation_times
         eps = 1e-12
         # NOTE inclusive comparisons against event times throughout: event
@@ -324,9 +331,10 @@ class EventLoop:
             # t_above accumulates many small dt increments — keep it at
             # solve precision even for bf16 states (bf16's 8-bit mantissa
             # absorbs increments after ~256 steps)
-            self.history_state = (
-                T, jnp.zeros(T.shape,
-                             jnp.promote_types(T.dtype, jnp.float32)))
+            self.history_state = (history_state if history_state is not None
+                                  else (T, jnp.zeros(
+                                      T.shape, jnp.promote_types(
+                                          T.dtype, jnp.float32))))
         if t in frames and on_frame is not None:
             on_frame(t, T, jnp.broadcast_to(active, T.shape))
 
@@ -364,8 +372,13 @@ class EventLoop:
                 newborn = new_active & ~active
                 T = jnp.where(newborn, self.deposit_T, T)
                 if self.history:
+                    # newborn history STARTS at deposit: void cells carry
+                    # placeholder temperatures through the solver's identity
+                    # rows, so anything accumulated pre-birth is bogus
                     pk, ta = self.history_state
-                    self.history_state = (jnp.maximum(pk, T), ta)
+                    pk = jnp.where(newborn, T, jnp.maximum(pk, T))
+                    ta = jnp.where(newborn, 0.0, ta)
+                    self.history_state = (pk, ta)
                 active = new_active
                 active_any = True          # a birth event implies new cells
                 if self.prepare is not None:

@@ -220,11 +220,18 @@ def run(args) -> dict:
         T = shard_field(T, mesh_dev, 0)
         act = shard_field(act, mesh_dev, 0)
     start_t = 0.0
+    resume_history = None
     if args.resume:
         from ..io.checkpoint import load_checkpoint
         st = load_checkpoint(args.resume)
         T = jnp.asarray(st.T, dtype)
         start_t = st.t
+        if args.history_t_crit is not None and st.meta \
+                and "history_peak" in st.meta:
+            resume_history = (
+                jnp.asarray(st.meta["history_peak"], dtype),
+                jnp.asarray(st.meta["history_above"], jnp.float32))
+            log("resumed thermal-history state from checkpoint", tag="ckpt")
         log(f"resumed from {args.resume} at t={start_t:.3f} s", tag="ckpt")
 
     frame_times = (np.linspace(0.0, total_time, args.nframes).tolist()
@@ -257,14 +264,21 @@ def run(args) -> dict:
                 binary=binary)
         if args.checkpoint:
             from ..io.checkpoint import RunState, save_checkpoint
+            meta = None
+            if args.history_t_crit is not None and loop.history_state is not None:
+                from ..dist.gather import gather_to_host
+                pk_c, ta_c = loop.history_state
+                meta = {"history_peak": gather_to_host(pk_c),
+                        "history_above": gather_to_host(ta_c)}
             save_checkpoint(args.checkpoint,
-                            RunState(T=T_np, active=a_np, t=t))
+                            RunState(T=T_np, active=a_np, t=t, meta=meta))
 
     loop = EventLoop(advance=advance, activation_times=act,
                      deposit_T=args.Ts, dt_cap=dt_cap, prepare=prepare,
                      history=args.history_t_crit is not None)
     T, active, t = loop.run(T, frame_times=frame_times, t_end=total_time,
-                            on_frame=on_frame, start_t=start_t)
+                            on_frame=on_frame, start_t=start_t,
+                            history_state=resume_history)
     log(f"done: {len(frames_meta)} frames, outdir={args.outdir}", tag="done")
 
     if args.history_t_crit is not None:
@@ -275,12 +289,18 @@ def run(args) -> dict:
         a_np = gather_to_host(active)
         if is_output_process():
             fn = os.path.join(args.outdir, "waam_history.vtk")
+            # never-born cells carry no meaningful history: mask them out
+            pk_np = np.where(a_np, pk_np.astype(np.float32), 0.0)
+            ta_np = np.where(a_np, ta_np.astype(np.float32), 0.0)
+            binary = (args.vtk_format == "binary"
+                      or (args.vtk_format == "auto"
+                          and grid.ncells > 2_000_000))
             write_vtk_structured_points(
                 fn, {"T_peak": pk_np.astype(np.float32),
                      "t_above": ta_np.astype(np.float32),
                      "Mask": a_np.astype(np.float32)},
                 spacing=dx * 1e3, origin=tuple(np.asarray(origin) * 1e3),
-                binary=args.vtk_format == "binary")
+                binary=binary)
             log(f"thermal history (T_crit={args.history_t_crit:g} C) -> {fn}",
                 tag="history")
 

@@ -135,17 +135,18 @@ def adi_step_pallas(T: jax.Array, plan: SweepPlan, grid: CartesianGrid,
     path bypasses the custom-VJP wrappers and is not differentiable)."""
     crop = None
     if tuple(T.shape) != tuple(plan.mask.shape):
-        # plan built with pad_to_tile: pad T (and source) into the plan's
-        # tile-friendly shape and crop the result back.  Keeping the state
-        # padded across steps (T already at plan shape) skips both copies.
+        # plan built with pad_to_tile: pad T into the plan's tile-friendly
+        # shape and crop the result back.  Keeping the state padded across
+        # steps (T already at plan shape) skips both copies.
         crop = T.shape
         T = pad_domain(T)
-        if source is not None:
-            source = pad_domain(source)
         if tuple(T.shape) != tuple(plan.mask.shape):
             raise ValueError(
                 f"T shape {crop} matches neither the plan's domain "
                 f"{plan.mask.shape} nor its unpadded original")
+    if source is not None and tuple(source.shape) != tuple(plan.mask.shape):
+        # the source may be unpadded even when T arrives padded
+        source = pad_domain(source)
     fin = (lambda out: out) if crop is None else (
         lambda out: out[:crop[0], :crop[1], :crop[2]])
     mask = plan.mask

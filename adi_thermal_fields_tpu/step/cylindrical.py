@@ -367,6 +367,9 @@ def adi_step(T: jax.Array, grid: CylindricalGrid, mat: Material, *, dt,
 
     if scheme != "douglas":
         raise ValueError(f"unknown scheme: {scheme!r}")
+    if pad_to_tile:
+        raise ValueError("pad_to_tile is only supported for scheme='be' "
+                         "(the douglas operators assume exact grid shapes)")
 
     th = theta if 0.0 < theta <= 1.0 else 0.5
     # BC-consistent affine operators [K/s]: the SAME discrete operators as

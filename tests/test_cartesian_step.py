@@ -355,11 +355,11 @@ def test_engine_thermal_history_tracking():
     probe = (5, 6, 2)
     if all(f[probe] > t_crit for f in frames) and T[probe] > t_crit:
         np.testing.assert_allclose(ta[probe], 1.0, rtol=0.05)
-    # void cells never exceed t_crit
-    void = ~np.isfinite(act) & (act > 0)
-    # (act == +inf -> never born)
-    void = np.isposinf(act)
-    assert (ta[void] == 0.0).all() or (pk[void] <= 600.0 + 1e-3).all()
+    # birth RESETS history: although the placeholder temperature (600) sits
+    # above t_crit for the 0.5 s before birth, newborn cells must count
+    # time-above only from their deposit
+    assert ta[born].max() <= 0.5 * 1.01
+    assert (ta[born] > 0.0).all()
     # (d) engines agree
     Tp, pkp, tap, _ = out["pallas"]
     np.testing.assert_allclose(pkp, pk, rtol=1e-5)   # few-ulp f32

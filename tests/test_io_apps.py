@@ -214,8 +214,31 @@ def test_waam_app_thermal_history(tmp_path):
     pk, ta, mask = fields["T_peak"], fields["t_above"], fields["Mask"]
     assert int((mask > 0).sum()) == total_active
     T_end = np.asarray(res["T"])
-    assert (pk >= T_end - 1e-3).all()
+    assert (pk[mask > 0] >= T_end[mask > 0] - 1e-3).all()
     # deposited (non-substrate) cells peaked at the deposit temperature
     assert pk[mask > 0].max() >= 1500.0 - 1e-3
     assert (ta[pk < 800.0] == 0.0).all()
     assert (ta[(mask > 0) & (pk >= 1500.0 - 1e-3)] > 0.0).all()
+    # never-born cells are masked to zero in the history VTK
+    assert (pk[mask == 0] == 0.0).all() and (ta[mask == 0] == 0.0).all()
+
+    # checkpoint+resume preserves accumulated history (the peak of early
+    # layers must survive a restart after they have cooled)
+    ck = str(tmp_path / "ck.npz")
+    args = build_argparser().parse_args([
+        "--stl", stl, "--dx_mm", "1", "--nframes", "3", "--save_vtk", "0",
+        "--outdir", outdir, "--bead_height_mm", "2",
+        "--history_t_crit", "800", "--checkpoint", ck])
+    run(args)
+    args2 = build_argparser().parse_args([
+        "--stl", stl, "--dx_mm", "1", "--nframes", "2", "--save_vtk", "0",
+        "--outdir", outdir, "--bead_height_mm", "2",
+        "--history_t_crit", "800", "--resume", ck])
+    run(args2)
+    f2 = read_vtk_structured_points(os.path.join(outdir, "waam_history.vtk"))
+    pk2 = f2["T_peak"]
+    # the resumed run re-runs nothing (resume at t_end) yet must still
+    # report the full-run peaks from the checkpointed history
+    assert pk2[f2["Mask"] > 0].max() >= 1500.0 - 1e-3
+    np.testing.assert_allclose(pk2[f2["Mask"] > 0].max(),
+                               pk[mask > 0].max(), rtol=1e-6)
