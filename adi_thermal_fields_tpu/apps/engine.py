@@ -277,6 +277,16 @@ class EventLoop:
         ``prepare``); after ``run`` the (T_peak, t_above) arrays are in
         ``self.history_state``.  Newborn deposits register their deposit
         temperature in the peak.
+    interpass_T : optional INTERPASS TEMPERATURE CONTROL [C] — before each
+        birth event the loop holds deposition and keeps cooling the current
+        part in ``interpass_dwell``-second increments until its maximum
+        temperature drops to this threshold (or ``interpass_max_dwell``
+        seconds of dwell accrue), the standard WAAM practice for
+        controlling bead geometry and microstructure.  Dwell cooling is
+        inserted ON TOP of the print schedule (the schedule clock and
+        activation times are unchanged); per-layer dwells are recorded in
+        ``self.dwell_log`` as (event_time, dwell_seconds).  One
+        device->host sync per dwell check per layer.
     """
 
     advance: Callable
@@ -287,6 +297,10 @@ class EventLoop:
     prepare: Callable | None = None
     history: bool = False
     history_state: Any = None
+    interpass_T: float | None = None
+    interpass_dwell: float = 5.0
+    interpass_max_dwell: float = 600.0
+    dwell_log: Any = None
 
     def run(self, T, *, frame_times, t_end: float | None = None,
             on_frame: Callable | None = None, extra_events=(),
@@ -368,6 +382,36 @@ class EventLoop:
                                      jnp.asarray(t, T.dtype))
             t = te
             if te in birth_set:
+                if self.interpass_T is not None and active_any:
+                    dwell = 0.0
+                    n_dw = max(1, int(math.ceil(self.interpass_dwell
+                                                / self.dt_cap)))
+                    dt_dw = self.interpass_dwell / n_dw
+                    act_b = jnp.broadcast_to(active, T.shape)
+                    while dwell < self.interpass_max_dwell:
+                        tmax = float(jnp.max(jnp.where(act_b, T, -jnp.inf)))
+                        if tmax <= self.interpass_T:
+                            break
+                        if self.history:
+                            T, self.history_state = self.advance(
+                                T, prep, jnp.asarray(dt_dw, T.dtype),
+                                jnp.asarray(n_dw, jnp.int32),
+                                jnp.asarray(t, T.dtype), self.history_state)
+                        elif prep is not None:
+                            T = self.advance(T, prep,
+                                             jnp.asarray(dt_dw, T.dtype),
+                                             jnp.asarray(n_dw, jnp.int32),
+                                             jnp.asarray(t, T.dtype))
+                        else:
+                            T = self.advance(T, act_b,
+                                             jnp.asarray(dt_dw, T.dtype),
+                                             jnp.asarray(n_dw, jnp.int32),
+                                             jnp.asarray(t, T.dtype))
+                        dwell += self.interpass_dwell
+                    if dwell > 0.0:
+                        if self.dwell_log is None:
+                            self.dwell_log = []
+                        self.dwell_log.append((te, dwell))
                 new_active = act <= t
                 newborn = new_active & ~active
                 T = jnp.where(newborn, self.deposit_T, T)

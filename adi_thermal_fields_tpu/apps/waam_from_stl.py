@@ -68,6 +68,14 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="write a resume checkpoint at every frame")
     p.add_argument("--resume", type=str, default="",
                    help="resume from a checkpoint file")
+    p.add_argument("--interpass_T", type=float, default=None,
+                   help="interpass temperature control [C]: dwell (keep "
+                        "cooling) before each layer until the part's max "
+                        "temperature drops below this, as on a real WAAM "
+                        "cell; dwell increments/cap via --interpass_dwell_s "
+                        "/ --interpass_max_dwell_s")
+    p.add_argument("--interpass_dwell_s", type=float, default=5.0)
+    p.add_argument("--interpass_max_dwell_s", type=float, default=600.0)
     p.add_argument("--history_t_crit", type=float, default=None,
                    help="track per-voxel thermal history: peak temperature "
                         "and seconds above this critical temperature [C]; "
@@ -275,10 +283,17 @@ def run(args) -> dict:
 
     loop = EventLoop(advance=advance, activation_times=act,
                      deposit_T=args.Ts, dt_cap=dt_cap, prepare=prepare,
-                     history=args.history_t_crit is not None)
+                     history=args.history_t_crit is not None,
+                     interpass_T=args.interpass_T,
+                     interpass_dwell=args.interpass_dwell_s,
+                     interpass_max_dwell=args.interpass_max_dwell_s)
     T, active, t = loop.run(T, frame_times=frame_times, t_end=total_time,
                             on_frame=on_frame, start_t=start_t,
                             history_state=resume_history)
+    if loop.dwell_log:
+        tot = sum(d for _, d in loop.dwell_log)
+        log(f"interpass dwells: {len(loop.dwell_log)} layers, "
+            f"{tot:.1f} s total cooling inserted", tag="interpass")
     log(f"done: {len(frames_meta)} frames, outdir={args.outdir}", tag="done")
 
     if args.history_t_crit is not None:

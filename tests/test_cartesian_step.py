@@ -364,3 +364,47 @@ def test_engine_thermal_history_tracking():
     Tp, pkp, tap, _ = out["pallas"]
     np.testing.assert_allclose(pkp, pk, rtol=1e-5)   # few-ulp f32
     np.testing.assert_allclose(tap, ta, atol=1e-6)
+
+
+def test_engine_interpass_temperature_control():
+    """Interpass control: the loop dwells before each birth until the part
+    cools to interpass_T; dwells are logged, bounded by interpass_max_dwell,
+    and produce a colder part than the uncontrolled run."""
+    from adi_thermal_fields_tpu.apps.engine import (EventLoop,
+                                                    make_cartesian_engine)
+
+    grid = CartesianGrid(8, 8, 6, 1e-3)
+    mat = Material(7800.0, 490.0, 54.0)
+    act = np.full(grid.shape, np.inf)
+    act[:, :, :2] = -np.inf
+    act[:, :, 2] = 1.0
+    act[:, :, 3] = 2.0
+    act_d = jnp.asarray(act, jnp.float32)
+    T0 = jnp.full(grid.shape, 20.0, jnp.float32)
+    prepare, advance = make_cartesian_engine(
+        grid, mat, theta=0.5, t_inf=20.0, robin_h=40.0,
+        implementation="xla", dtype=jnp.float32)
+
+    def final_T(**kw):
+        loop = EventLoop(advance=advance, activation_times=act_d,
+                         deposit_T=1500.0, dt_cap=0.05, prepare=prepare, **kw)
+        T, active, t = loop.run(T0, frame_times=[0.0, 2.5], t_end=2.5)
+        return float(jnp.max(jnp.where(jnp.broadcast_to(active, T.shape),
+                                       T, -jnp.inf))), loop
+
+    t_free, loop_free = final_T()
+    assert loop_free.dwell_log is None
+
+    t_ctl, loop_ctl = final_T(interpass_T=400.0, interpass_dwell=2.0,
+                              interpass_max_dwell=400.0)
+    # the FIRST deposit lands on a cold plate (no dwell); the second must
+    # wait for the hot layer-1 to cool below 400 C, and the controlled
+    # part ends colder
+    assert loop_ctl.dwell_log == [(2.0, loop_ctl.dwell_log[0][1])]
+    assert loop_ctl.dwell_log[0][1] > 0
+    assert t_ctl < t_free
+
+    # the max-dwell cap binds when the threshold is unreachable
+    t_cap, loop_cap = final_T(interpass_T=25.0, interpass_dwell=2.0,
+                              interpass_max_dwell=6.0)
+    assert all(abs(d - 6.0) < 1e-9 for _, d in loop_cap.dwell_log)
