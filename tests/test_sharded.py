@@ -392,3 +392,32 @@ def test_gather_to_host_sharded_and_plain():
     np.testing.assert_array_equal(gather_to_host(jnp.asarray(x)), x)
     assert gather_to_host(x) is x
     assert is_output_process()
+
+
+def test_sharded_engine_thermal_history_matches_single_device():
+    """history_t_crit through the mesh-aware engine: the sharded (T, peak,
+    t_above) triple matches the single-device engine bitwise-closely."""
+    from adi_thermal_fields_tpu.apps.engine import make_cartesian_engine
+
+    grid = CartesianGrid(16, 16, 8, 1e-3)
+    mat = Material(7800.0, 490.0, 54.0)
+    mask = jnp.ones(grid.shape, bool)
+    T0 = (900.0 + 50.0 * jnp.sin(jnp.arange(16))[:, None, None]
+          * jnp.ones(grid.shape))
+    hist0 = (T0, jnp.zeros_like(T0))
+    kw = dict(theta=0.5, t_inf=20.0, robin_h=250.0, history_t_crit=890.0)
+
+    prep1, adv1 = make_cartesian_engine(grid, mat, **kw)
+    ref, (rpk, rta) = adv1(T0, prep1(mask), 0.05, 6, 0.0, hist0)
+
+    mesh = make_mesh()
+    prep2, adv2 = make_cartesian_engine(grid, mat, mesh=mesh, **kw)
+    Ts = shard_field(T0, mesh, 0)
+    out, (pk, ta) = adv2(Ts, prep2(shard_field(mask, mesh, 0)), 0.05, 6, 0.0,
+                         (Ts, jnp.zeros_like(Ts)))
+    assert len(out.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(pk), np.asarray(rpk), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(ta), np.asarray(rta), atol=0)
+    # the sinusoidally-hot columns spent measurably longer above 890 C
+    assert float(jnp.max(ta)) > float(jnp.min(ta))
