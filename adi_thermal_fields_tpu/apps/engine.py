@@ -286,7 +286,11 @@ class EventLoop:
         inserted ON TOP of the print schedule (the schedule clock and
         activation times are unchanged); per-layer dwells are recorded in
         ``self.dwell_log`` as (event_time, dwell_seconds).  One
-        device->host sync per dwell check per layer.
+        device->host sync per dwell check per layer.  NOTE: meant for
+        deposition-driven heating — an engine built with a continuous
+        ``source_fn`` keeps evaluating it at the frozen schedule time
+        during the dwell (the torch does not switch off), so pair
+        interpass control with birth-deposit heating only.
     """
 
     advance: Callable
