@@ -82,7 +82,10 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
     # general field path.
     lite_c = None
     if robin_h is None or isinstance(robin_h, (int, float)):
-        lite_c = float(robin_h or 0.0) / (mat.rho * mat.cp * grid.dx)
+        # per-axis h/(rho cp d_axis) — exposed-face A/V differs per axis on
+        # anisotropic voxels; a scalar h still needs no coefficient fields
+        lite_c = tuple(float(robin_h or 0.0) / (mat.rho * mat.cp * d)
+                       for d in grid.spacing)
     # packs are still needed for Neumann sources / Dirichlet pins
     lite_needs_packs = neumann is not None or dirichlet_mask is not None
 

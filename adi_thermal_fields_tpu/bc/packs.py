@@ -80,7 +80,9 @@ def build_coeff_packs(
         dtype = jnp.result_type(float)
     mask = mask.astype(bool)
     shape = mask.shape
-    inv_ccell_per_area = 1.0 / (mat.rho * mat.cp * grid.dx)  # A / (rho cp V)
+    # A_face / (rho cp V) per axis = 1 / (rho cp d_axis); reduces to the
+    # reference's single 1/(rho cp dx) for cubic voxels
+    inv_ccell = [1.0 / (mat.rho * mat.cp * d) for d in grid.spacing]
 
     coeff = [jnp.zeros(shape, dtype) for _ in range(3)]
     qflux = [jnp.zeros(shape, dtype) for _ in range(3)]
@@ -97,10 +99,10 @@ def build_coeff_packs(
         exp = exposed_face(mask, f)
         if hf is not None:
             hfield = jnp.asarray(hf, dtype)
-            coeff[ax] = coeff[ax] + jnp.where(exp, hfield * inv_ccell_per_area, 0.0)
+            coeff[ax] = coeff[ax] + jnp.where(exp, hfield * inv_ccell[ax], 0.0)
         if qf is not None:
             qfield = jnp.asarray(qf, dtype)
-            qflux[ax] = qflux[ax] + jnp.where(exp, qfield * inv_ccell_per_area, 0.0)
+            qflux[ax] = qflux[ax] + jnp.where(exp, qfield * inv_ccell[ax], 0.0)
 
     if dirichlet_mask is None:
         dir_mask = jnp.zeros(shape, bool)

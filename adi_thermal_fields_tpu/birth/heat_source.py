@@ -32,8 +32,8 @@ _NORM = 6.0 * _SQRT3 / (np.pi * np.sqrt(np.pi))
 
 def _cell_centers(grid: CartesianGrid, dtype):
     xs = (jnp.arange(grid.nx, dtype=dtype) + 0.5) * grid.dx
-    ys = (jnp.arange(grid.ny, dtype=dtype) + 0.5) * grid.dx
-    zs = (jnp.arange(grid.nz, dtype=dtype) + 0.5) * grid.dx
+    ys = (jnp.arange(grid.ny, dtype=dtype) + 0.5) * grid.dy
+    zs = (jnp.arange(grid.nz, dtype=dtype) + 0.5) * grid.dz
     return xs, ys, zs
 
 

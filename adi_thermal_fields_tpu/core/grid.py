@@ -27,31 +27,50 @@ __all__ = ["CartesianGrid", "CylindricalGrid"]
 
 @dataclasses.dataclass(frozen=True)
 class CartesianGrid:
-    """Uniform-spacing 3-D voxel grid (matches reference ``Grid3D`` semantics,
-    adi3d_numba_coeff.py:14-19, minus the embedded mask).
+    """3-D voxel grid (matches reference ``Grid3D`` semantics,
+    adi3d_numba_coeff.py:14-19, minus the embedded mask), extended with
+    optional ANISOTROPIC spacing — WAAM layers are typically thinner than
+    the lateral resolution (the reference supports cubic voxels only).
 
     Attributes
     ----------
     nx, ny, nz : int
         Cell counts along x, y, z.
     dx : float
-        Uniform cell size [m] (cubic voxels, as in the reference).
+        Cell size along x [m]; also the default for dy/dz (cubic voxels).
+    dy, dz : float, optional
+        Cell sizes along y and z [m]; default ``dx``.
     """
 
     nx: int
     ny: int
     nz: int
     dx: float
+    dy: float | None = None
+    dz: float | None = None
 
     def __post_init__(self):
         object.__setattr__(self, "nx", int(self.nx))
         object.__setattr__(self, "ny", int(self.ny))
         object.__setattr__(self, "nz", int(self.nz))
         object.__setattr__(self, "dx", float(self.dx))
+        object.__setattr__(self, "dy",
+                           float(self.dx if self.dy is None else self.dy))
+        object.__setattr__(self, "dz",
+                           float(self.dx if self.dz is None else self.dz))
 
     @property
     def shape(self) -> tuple[int, int, int]:
         return (self.nx, self.ny, self.nz)
+
+    @property
+    def spacing(self) -> tuple[float, float, float]:
+        """Per-axis cell sizes (dx, dy, dz) [m]."""
+        return (self.dx, self.dy, self.dz)
+
+    @property
+    def is_uniform(self) -> bool:
+        return self.dx == self.dy == self.dz
 
     @property
     def ncells(self) -> int:
@@ -59,11 +78,18 @@ class CartesianGrid:
 
     @property
     def cell_volume(self) -> float:
-        return self.dx ** 3
+        return self.dx * self.dy * self.dz
 
     @property
     def face_area(self) -> float:
+        """Face area for cubic voxels; per-axis use ``face_area_axis``."""
         return self.dx ** 2
+
+    def face_area_axis(self, axis: int) -> float:
+        """Area of the cell face NORMAL to ``axis`` [m^2]."""
+        d = self.spacing
+        a, b = (d[i] for i in range(3) if i != axis)
+        return a * b
 
 
 @dataclasses.dataclass(frozen=True)

@@ -79,7 +79,7 @@ def sharded_adi_step(grid: CartesianGrid, mat: Material, mesh: Mesh, *,
     inter-sweep resharding rides ICI all-to-alls."""
     a, b = mesh.axis_names
     kappa = mat.alpha
-    inv_dx2 = 1.0 / (grid.dx * grid.dx)
+    inv_d2 = [1.0 / (d * d) for d in grid.spacing]   # per-axis (anisotropic)
 
     def constrain(x, axis):
         return jax.lax.with_sharding_constraint(
@@ -88,27 +88,26 @@ def sharded_adi_step(grid: CartesianGrid, mat: Material, mesh: Mesh, *,
     @partial(jax.jit, static_argnames=())
     def step(T, mask, packs: CoeffPacks, dt, t_inf, source=None):
         mask = mask.astype(bool)
-        gam = kappa * dt * inv_dx2
-        theta_gam = theta * gam
+        tg = [theta * (kappa * dt * iv) for iv in inv_d2]
 
         T = constrain(T, 0)
         mask0 = constrain(mask, 0)
-        lap = (masked_laplacian_1d(T, mask0, 0, inv_dx2)
-               + masked_laplacian_1d(T, mask0, 1, inv_dx2)
-               + masked_laplacian_1d(T, mask0, 2, inv_dx2))
+        lap = (masked_laplacian_1d(T, mask0, 0, inv_d2[0])
+               + masked_laplacian_1d(T, mask0, 1, inv_d2[1])
+               + masked_laplacian_1d(T, mask0, 2, inv_d2[2]))
         R0 = T + dt * kappa * (1.0 - theta) * lap
         if source is not None:
             R0 = R0 + jnp.where(mask0, dt * source / (mat.rho * mat.cp), 0.0)
 
         x = implicit_sweep(constrain(R0, 0), mask0, packs.coeff[0],
                            packs.dir_mask, packs.dir_val, packs.qflux[0],
-                           theta_gam, dt, t_inf, axis=0)
+                           tg[0], dt, t_inf, axis=0)
         x = implicit_sweep(constrain(x, 1), constrain(mask, 1), packs.coeff[1],
                            packs.dir_mask, packs.dir_val, packs.qflux[1],
-                           theta_gam, dt, t_inf, axis=1)
+                           tg[1], dt, t_inf, axis=1)
         x = implicit_sweep(constrain(x, 2), constrain(mask, 2), packs.coeff[2],
                            packs.dir_mask, packs.dir_val, packs.qflux[2],
-                           theta_gam, dt, t_inf, axis=2)
+                           tg[2], dt, t_inf, axis=2)
         return x
 
     return step
@@ -132,7 +131,7 @@ def sharded_adi_step_longz(grid: CartesianGrid, mat: Material, mesh: Mesh, *,
         raise ValueError("longz decomposition expects a 1-D mesh")
     ax = mesh.axis_names[0]
     kappa = mat.alpha
-    inv_dx2 = 1.0 / (grid.dx * grid.dx)
+    inv_d2 = [1.0 / (d * d) for d in grid.spacing]
     spec = P(None, None, ax)
 
     def constrain(x):
@@ -141,24 +140,23 @@ def sharded_adi_step_longz(grid: CartesianGrid, mat: Material, mesh: Mesh, *,
     @jax.jit
     def step(T, mask, packs: CoeffPacks, dt, t_inf):
         mask = constrain(mask.astype(bool))
-        gam = kappa * dt * inv_dx2
-        theta_gam = theta * gam
+        tg = [theta * (kappa * dt * iv) for iv in inv_d2]
 
         T = constrain(T)
-        lap = (masked_laplacian_1d(T, mask, 0, inv_dx2)
-               + masked_laplacian_1d(T, mask, 1, inv_dx2)
-               + masked_laplacian_1d(T, mask, 2, inv_dx2))
+        lap = (masked_laplacian_1d(T, mask, 0, inv_d2[0])
+               + masked_laplacian_1d(T, mask, 1, inv_d2[1])
+               + masked_laplacian_1d(T, mask, 2, inv_d2[2]))
         R0 = constrain(T + dt * kappa * (1.0 - theta) * lap)
 
         x = implicit_sweep(R0, mask, packs.coeff[0], packs.dir_mask,
-                           packs.dir_val, packs.qflux[0], theta_gam, dt,
+                           packs.dir_val, packs.qflux[0], tg[0], dt,
                            t_inf, axis=0)
         x = implicit_sweep(constrain(x), mask, packs.coeff[1], packs.dir_mask,
-                           packs.dir_val, packs.qflux[1], theta_gam, dt,
+                           packs.dir_val, packs.qflux[1], tg[1], dt,
                            t_inf, axis=1)
         a, b, c, d = build_sweep_system(constrain(x), mask, packs.coeff[2],
                                         packs.dir_mask, packs.dir_val,
-                                        packs.qflux[2], theta_gam, dt, t_inf,
+                                        packs.qflux[2], tg[2], dt, t_inf,
                                         axis=2)
         mv = lambda t: jnp.moveaxis(t, 2, 0)
         xz = substructured_thomas(mv(a), mv(b), mv(c), mv(d), mesh, ax)

@@ -71,7 +71,7 @@ def sharded_adi_step_pallas(grid: CartesianGrid, mat: Material, mesh: Mesh, *,
     a, b = mesh.axis_names
     s = _specs(mesh)
     kappa = mat.alpha
-    inv_dx2 = 1.0 / (grid.dx * grid.dx)
+    inv_d2 = [1.0 / (d * d) for d in grid.spacing]   # per-axis (anisotropic)
 
     def constrain(x, spec):
         return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
@@ -128,34 +128,34 @@ def sharded_adi_step_pallas(grid: CartesianGrid, mat: Material, mesh: Mesh, *,
     def step(T, plan: SweepPlan, dt, source=None):
         mask = plan.mask
         dt = jnp.asarray(dt, T.dtype)
-        gam = kappa * dt * inv_dx2
-        tg = theta * gam
+        tg = [theta * (kappa * dt * iv) for iv in inv_d2]
 
         T = constrain(T, s[0])
-        lap = (masked_laplacian_1d(T, mask, 0, inv_dx2)
-               + masked_laplacian_1d(T, mask, 1, inv_dx2)
-               + masked_laplacian_1d(T, mask, 2, inv_dx2))
+        lap = (masked_laplacian_1d(T, mask, 0, inv_d2[0])
+               + masked_laplacian_1d(T, mask, 1, inv_d2[1])
+               + masked_laplacian_1d(T, mask, 2, inv_d2[2]))
         R0 = T + dt * kappa * (1.0 - theta) * lap
         if source is not None:
             R0 = R0 + jnp.where(mask, dt * source / (mat.rho * mat.cp), 0.0)
 
         if plan.coeffs is None:   # plan-lite: coeff derived from code bits
             rc = jnp.asarray(plan.rob_c, T.dtype)
+            rc = jnp.broadcast_to(rc, (3,))
             U = sweep_x_l(constrain(prefold(R0, plan, 0, dt), s[0]),
-                          plan.codes[0], tg, dt, rc)
+                          plan.codes[0], tg[0], dt, rc[0])
             V = sweep_y_l(constrain(prefold(U, plan, 1, dt), s[1]),
-                          plan.codes[1], tg, dt, rc)
+                          plan.codes[1], tg[1], dt, rc[1])
             Wz = sweep_z_l(constrain(prefold(jnp.transpose(V, (2, 0, 1)),
                                              plan, 2, dt), s[2]),
-                           plan.codes[2], tg, dt, rc)
+                           plan.codes[2], tg[2], dt, rc[2])
             return constrain(jnp.transpose(Wz, (1, 2, 0)), s[0])
         U = sweep_x(constrain(prefold(R0, plan, 0, dt), s[0]),
-                    plan.codes[0], coeff_of(plan, 0), tg, dt)
+                    plan.codes[0], coeff_of(plan, 0), tg[0], dt)
         V = sweep_y(constrain(prefold(U, plan, 1, dt), s[1]),
-                    plan.codes[1], coeff_of(plan, 1), tg, dt)
+                    plan.codes[1], coeff_of(plan, 1), tg[1], dt)
         Wz = sweep_z(constrain(prefold(jnp.transpose(V, (2, 0, 1)),
                                        plan, 2, dt), s[2]),
-                     plan.codes[2], coeff_of(plan, 2), tg, dt)
+                     plan.codes[2], coeff_of(plan, 2), tg[2], dt)
         return constrain(jnp.transpose(Wz, (1, 2, 0)), s[0])
 
     return step

@@ -238,14 +238,24 @@ def _theta_rhs_diff(interpret: bool):
         T, mask_i8, c, inv_dx2 = res
         dtype = T.dtype
         c = jnp.asarray(c, dtype)
-        inv_dx2 = jnp.asarray(inv_dx2, dtype)
+        inv3 = jnp.broadcast_to(jnp.asarray(inv_dx2, dtype), (3,))
         # (I + cL)^T = I + cL (L symmetric): pull back with the stencil
-        T_bar = theta_rhs(g, mask_i8, c, inv_dx2, interpret=interpret)
+        T_bar = theta_rhs(g, mask_i8, c, inv3, interpret=interpret)
         # c_bar = <g, L T>; recover L T with a unit-c stencil pass
-        lapT = theta_rhs(T, mask_i8, jnp.ones((), dtype), inv_dx2,
+        lapT = theta_rhs(T, mask_i8, jnp.ones((), dtype), inv3,
                          interpret=interpret) - T
         c_bar = jnp.vdot(g, lapT).astype(dtype)
-        inv_bar = (c_bar * c / inv_dx2).astype(dtype)  # L scales with inv_dx2
+        # d out / d inv_i = c * Lhat_i T (unit per-axis laplacian); one
+        # one-hot stencil pass per axis
+        one = jnp.ones((), dtype)
+        inv_bar = jnp.stack([
+            (c * jnp.vdot(g, theta_rhs(
+                T, mask_i8, one,
+                jnp.zeros((3,), dtype).at[ax].set(1.0),
+                interpret=interpret) - T)).astype(dtype)
+            for ax in range(3)])
+        if jnp.ndim(res[3]) == 0:      # scalar inv: aggregate cotangent
+            inv_bar = jnp.sum(inv_bar)
         return T_bar, _f0(mask_i8), c_bar, inv_bar
 
     f.defvjp(fwd, bwd)

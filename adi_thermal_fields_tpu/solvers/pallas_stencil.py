@@ -55,7 +55,9 @@ def _theta_rhs_kernel(scal_ref, seed_ref, T_ref, M_ref, out_ref, Tbuf,
     multiply-adds — no int compares or selects (0*T == 0 and 1*T == T
     exactly for the finite fields, so this is bitwise the XLA semantics)."""
     c = scal_ref[0]        # dt*kappa*(1-theta)
-    inv_dx2 = scal_ref[1]
+    iv_x = scal_ref[1]     # per-axis 1/d^2 (equal for cubic voxels)
+    iv_y = scal_ref[2]
+    iv_z = scal_ref[3]
     i = pl.program_id(0)
     f32 = scal_ref.dtype   # compute dtype (f32 for bf16 state)
     if seed_ref is not None:
@@ -82,13 +84,13 @@ def _theta_rhs_kernel(scal_ref, seed_ref, T_ref, M_ref, out_ref, Tbuf,
         # a staging scratch plane between axes to bound the live-temporary
         # VMEM (acc is f32 even when the state is bf16).
         sx = Ml_f * Tbuf[s_l].astype(f32) + Mhv * T_ref[0].astype(f32)
-        acc = (sx - (Ml_f + Mhv) * Tc) * inv_dx2
+        acc = (sx - (Ml_f + Mhv) * Tc) * iv_x
         # y (sublane) and z (lane) directions: in-plane shifts
-        for ax in (0, 1):
+        for ax, iv in ((0, iv_y), (1, iv_z)):
             ml = _shift_lo(Mc_f, ax)
             mh = _shift_hi(Mc_f, ax)
             s = ml * _shift_lo(Tc, ax) + mh * _shift_hi(Tc, ax)
-            acc = acc + (s - (ml + mh) * Tc) * inv_dx2
+            acc = acc + (s - (ml + mh) * Tc) * iv
 
         res = Tc + (c * Mc_f) * acc
         if seed_ref is not None:
@@ -114,12 +116,14 @@ def theta_rhs(T, mask_i8, c, inv_dx2, rng_seed=None, *,
               interpret: bool = False):
     """``R0 = T + c * (Lx+Ly+Lz) T`` with mask-aware Laplacians, one HBM pass.
 
-    ``c`` is the scalar ``dt*kappa*(1-theta)`` and ``inv_dx2 = 1/dx^2``
-    (kept separate to match the XLA reference's rounding order bit-for-bit);
-    ``mask_i8`` is the solid mask as int8 (nonzero = in-mask).  Void cells
-    return T unchanged."""
+    ``c`` is the scalar ``dt*kappa*(1-theta)`` and ``inv_dx2`` either the
+    scalar ``1/dx^2`` or a 3-sequence of per-axis ``1/d^2`` (anisotropic
+    voxels; kept separate to match the XLA reference's rounding order
+    bit-for-bit); ``mask_i8`` is the solid mask as int8 (nonzero =
+    in-mask).  Void cells return T unchanged."""
     nx, ny, nz = T.shape
     dtype = T.dtype
+    inv3 = jnp.broadcast_to(jnp.asarray(inv_dx2), (3,))
 
     p1 = _round_up(ny, 8) - ny
     p2 = _round_up(nz, 128) - nz
@@ -130,7 +134,8 @@ def theta_rhs(T, mask_i8, c, inv_dx2, rng_seed=None, *,
     Py, Pz = T.shape[1], T.shape[2]
 
     cdt = jnp.promote_types(dtype, jnp.float32)  # solve precision
-    scal = jnp.stack([jnp.asarray(c, cdt), jnp.asarray(inv_dx2, cdt)])
+    scal = jnp.concatenate([jnp.asarray(c, cdt).reshape(1),
+                            inv3.astype(cdt)])
     blk = (1, Py, Pz)
     in_idx = lambda i: (jnp.minimum(i, nx - 1), 0, 0)
     out_idx = lambda i: (jnp.maximum(i - 1, 0), 0, 0)

@@ -110,23 +110,24 @@ def adi_step(T: jax.Array, mask: jax.Array, packs: CoeffPacks,
     sources such as birth/heat_source.py's Goldak ellipsoid)."""
     mask = mask.astype(bool)
     kappa = mat.alpha
-    inv_dx2 = 1.0 / (grid.dx * grid.dx)
-    gam = kappa * dt * inv_dx2
-    theta_gam = theta * gam
+    # per-axis 1/d^2 and theta*gam (anisotropic voxels; identical values —
+    # and bitwise-identical results — for cubic ones)
+    inv_d2 = [1.0 / (d * d) for d in grid.spacing]
+    tg = [theta * (kappa * dt * iv) for iv in inv_d2]  # rounding order kept
 
-    lap = (masked_laplacian_1d(T, mask, 0, inv_dx2)
-           + masked_laplacian_1d(T, mask, 1, inv_dx2)
-           + masked_laplacian_1d(T, mask, 2, inv_dx2))
+    lap = (masked_laplacian_1d(T, mask, 0, inv_d2[0])
+           + masked_laplacian_1d(T, mask, 1, inv_d2[1])
+           + masked_laplacian_1d(T, mask, 2, inv_d2[2]))
     R0 = T + dt * kappa * (1.0 - theta) * lap
     if source is not None:
         R0 = R0 + jnp.where(mask, dt * source / (mat.rho * mat.cp), 0.0)
 
     U = implicit_sweep(R0, mask, packs.coeff[0], packs.dir_mask, packs.dir_val,
-                       packs.qflux[0], theta_gam, dt, t_inf, axis=0)
+                       packs.qflux[0], tg[0], dt, t_inf, axis=0)
     V = implicit_sweep(U, mask, packs.coeff[1], packs.dir_mask, packs.dir_val,
-                       packs.qflux[1], theta_gam, dt, t_inf, axis=1)
+                       packs.qflux[1], tg[1], dt, t_inf, axis=1)
     W = implicit_sweep(V, mask, packs.coeff[2], packs.dir_mask, packs.dir_val,
-                       packs.qflux[2], theta_gam, dt, t_inf, axis=2)
+                       packs.qflux[2], tg[2], dt, t_inf, axis=2)
     return W
 
 
@@ -137,9 +138,10 @@ def apply_surface_impulse(T: jax.Array, mask: jax.Array, grid: CartesianGrid,
     adi3d_numba_coeff.py:304-320).  Functional: returns the updated field."""
     from ..bc.faces import exposed_face
 
-    dT = Q / (mat.rho * mat.cp * grid.dx)
-    exp = exposed_face(mask.astype(bool), face)
     axis = {"x": 0, "y": 1, "z": 2}[face[0]]
+    # dT = Q * A_face / (rho cp V) = Q / (rho cp d_normal)
+    dT = Q / (mat.rho * mat.cp * grid.spacing[axis])
+    exp = exposed_face(mask.astype(bool), face)
     idx = 0 if face[1] == "-" else T.shape[axis] - 1
     slab = jnp.zeros_like(mask, dtype=bool)
     slab_idx = [slice(None)] * 3

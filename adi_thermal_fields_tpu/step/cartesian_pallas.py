@@ -110,7 +110,8 @@ def build_sweep_plan(mask: jax.Array, packs: CoeffPacks | None, *,
         for ax in range(3))
     if robin_const is not None:
         coeffs = None
-        rob_c = jnp.asarray(robin_const)
+        # per-axis h/(rho cp d_axis); a scalar (cubic voxels) broadcasts
+        rob_c = jnp.broadcast_to(jnp.asarray(robin_const), (3,))
     else:
         coeffs = tuple(tr(packs.coeff[ax], ax) for ax in range(3))
         rob_c = None
@@ -151,11 +152,12 @@ def adi_step_pallas(T: jax.Array, plan: SweepPlan, grid: CartesianGrid,
         lambda out: out[:crop[0], :crop[1], :crop[2]])
     mask = plan.mask
     kappa = mat.alpha
-    inv_dx2 = 1.0 / (grid.dx * grid.dx)
+    # per-axis 1/d^2 and theta*gam (anisotropic voxels; bitwise-identical
+    # to the uniform path for cubic ones — rounding order preserved)
+    inv_d2 = [1.0 / (d * d) for d in grid.spacing]
     # scalars at solve precision (f32 when the state is bf16)
     dt = jnp.asarray(dt, jnp.promote_types(T.dtype, jnp.float32))
-    gam = kappa * dt * inv_dx2
-    theta_gam = theta * gam
+    tg = [theta * (kappa * dt * iv) for iv in inv_d2]
 
     stochastic = (rng_seed is not None
                   and T.dtype != jnp.promote_types(T.dtype, jnp.float32))
@@ -166,14 +168,14 @@ def adi_step_pallas(T: jax.Array, plan: SweepPlan, grid: CartesianGrid,
             from ..solvers.pallas_stencil import theta_rhs
 
             R0 = theta_rhs(T, plan.mask_i8, dt * kappa * (1.0 - theta),
-                           inv_dx2, rng_seed, interpret=interpret)
+                           tuple(inv_d2), rng_seed, interpret=interpret)
         else:
             R0 = theta_rhs_diff(T, plan.mask_i8, dt * kappa * (1.0 - theta),
-                                inv_dx2, interpret=interpret)
+                                tuple(inv_d2), interpret=interpret)
     else:
-        lap = (masked_laplacian_1d(T, mask, 0, inv_dx2)
-               + masked_laplacian_1d(T, mask, 1, inv_dx2)
-               + masked_laplacian_1d(T, mask, 2, inv_dx2))
+        lap = (masked_laplacian_1d(T, mask, 0, inv_d2[0])
+               + masked_laplacian_1d(T, mask, 1, inv_d2[1])
+               + masked_laplacian_1d(T, mask, 2, inv_d2[2]))
         R0 = T + dt * kappa * (1.0 - theta) * lap
     if source is not None:
         R0 = R0 + jnp.where(mask, dt * source / (mat.rho * mat.cp), 0.0)
@@ -187,19 +189,19 @@ def adi_step_pallas(T: jax.Array, plan: SweepPlan, grid: CartesianGrid,
                                              fused_sweep_axis1_v2)
 
         cfs = (None, None, None) if lite else plan.coeffs
-        rc = plan.rob_c if lite else None
+        rc = plan.rob_c if lite else (None, None, None)
         U = fused_sweep_axis0_v2(R0, plan.codes[0], cfs[0],
-                                 theta_gam, dt, t_inf, qflux=q[0],
+                                 tg[0], dt, t_inf, qflux=q[0],
                                  dir_val=dv[0], rng_seed=rng_seed + 1,
-                                 rob_c=rc, interpret=interpret)
+                                 rob_c=rc[0], interpret=interpret)
         V = fused_sweep_axis1_v2(U, plan.codes[1], cfs[1],
-                                 theta_gam, dt, t_inf, qflux=q[1],
+                                 tg[1], dt, t_inf, qflux=q[1],
                                  dir_val=dv[1], rng_seed=rng_seed + 2,
-                                 rob_c=rc, interpret=interpret)
+                                 rob_c=rc[1], interpret=interpret)
         W = fused_sweep_axis0_v2(jnp.transpose(V, (2, 0, 1)), plan.codes[2],
-                                 cfs[2], theta_gam, dt, t_inf,
+                                 cfs[2], tg[2], dt, t_inf,
                                  qflux=q[2], dir_val=dv[2],
-                                 rng_seed=rng_seed + 3, rob_c=rc,
+                                 rng_seed=rng_seed + 3, rob_c=rc[2],
                                  interpret=interpret)
         return fin(jnp.transpose(W, (1, 2, 0)))
 
@@ -207,24 +209,24 @@ def adi_step_pallas(T: jax.Array, plan: SweepPlan, grid: CartesianGrid,
         from ..solvers.differentiable import sweep_solve_lite
 
         rc = plan.rob_c
-        U = sweep_solve_lite(R0, plan.codes[0], rc, theta_gam, dt, t_inf,
+        U = sweep_solve_lite(R0, plan.codes[0], rc[0], tg[0], dt, t_inf,
                              qflux=q[0], dir_val=dv[0], axis=0,
                              interpret=interpret)
-        V = sweep_solve_lite(U, plan.codes[1], rc, theta_gam, dt, t_inf,
+        V = sweep_solve_lite(U, plan.codes[1], rc[1], tg[1], dt, t_inf,
                              qflux=q[1], dir_val=dv[1], axis=1,
                              interpret=interpret)
-        W = sweep_solve_lite(jnp.transpose(V, (2, 0, 1)), plan.codes[2], rc,
-                             theta_gam, dt, t_inf, qflux=q[2], dir_val=dv[2],
-                             axis=0, interpret=interpret)
+        W = sweep_solve_lite(jnp.transpose(V, (2, 0, 1)), plan.codes[2],
+                             rc[2], tg[2], dt, t_inf, qflux=q[2],
+                             dir_val=dv[2], axis=0, interpret=interpret)
         return fin(jnp.transpose(W, (1, 2, 0)))
 
-    U = sweep_solve(R0, plan.codes[0], plan.coeffs[0], theta_gam, dt,
+    U = sweep_solve(R0, plan.codes[0], plan.coeffs[0], tg[0], dt,
                     t_inf, qflux=q[0], dir_val=dv[0], axis=0,
                     interpret=interpret)
-    V = sweep_solve(U, plan.codes[1], plan.coeffs[1], theta_gam,
+    V = sweep_solve(U, plan.codes[1], plan.coeffs[1], tg[1],
                     dt, t_inf, qflux=q[1], dir_val=dv[1], axis=1,
                     interpret=interpret)
     W = sweep_solve(jnp.transpose(V, (2, 0, 1)), plan.codes[2],
-                    plan.coeffs[2], theta_gam, dt, t_inf, qflux=q[2],
+                    plan.coeffs[2], tg[2], dt, t_inf, qflux=q[2],
                     dir_val=dv[2], axis=0, interpret=interpret)
     return fin(jnp.transpose(W, (1, 2, 0)))

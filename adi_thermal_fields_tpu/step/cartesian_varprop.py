@@ -135,7 +135,7 @@ def adi_step_varprop(T: jax.Array, mask: jax.Array, packs: CoeffPacks,
     mask = mask.astype(bool)
     dtype = T.dtype
     dt = jnp.asarray(dt, jnp.promote_types(dtype, jnp.float32))
-    inv_dx2 = 1.0 / (grid.dx * grid.dx)
+    inv_d2 = [1.0 / (d * d) for d in grid.spacing]   # per-axis (anisotropic)
 
     def k_of(tab):
         if tab is None:
@@ -157,8 +157,8 @@ def adi_step_varprop(T: jax.Array, mask: jax.Array, packs: CoeffPacks,
     # per-face implicit coupling factors g = dt*k_face/(rho cp_i dx^2)
     g = {}
     for ax in range(3):
-        g[(ax, -1)] = dt * _face_g(kfs[ax], ax, -1, mask) * inv_rc * inv_dx2
-        g[(ax, +1)] = dt * _face_g(kfs[ax], ax, +1, mask) * inv_rc * inv_dx2
+        g[(ax, -1)] = dt * _face_g(kfs[ax], ax, -1, mask) * inv_rc * inv_d2[ax]
+        g[(ax, +1)] = dt * _face_g(kfs[ax], ax, +1, mask) * inv_rc * inv_d2[ax]
 
     # explicit pass: R0 = T + dt*(1-theta)*sum_faces g*(T_nbr - T)/dt ...
     # (g already includes dt, so the explicit term is (1-theta)*sum g*dT)

@@ -1,0 +1,149 @@
+"""Anisotropic voxel spacing (dx, dy, dz) — beyond-reference capability.
+
+The reference supports cubic voxels only (Grid3D.dx, adi3d_numba_coeff.py:14);
+WAAM layers are typically thinner than the lateral resolution.  Checks:
+axis-permutation equivalence (a 1-D problem along z with spacing dz must
+evolve exactly like the same problem along x of a uniform dz-spaced grid),
+lumped Robin cooling with per-axis face areas, and pallas/XLA agreement.
+"""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from adi_thermal_fields_tpu import (CartesianGrid, Material,
+                                    adi_step_cartesian, build_coeff_packs)
+
+
+def test_grid_defaults_and_geometry():
+    g = CartesianGrid(4, 5, 6, 1e-3)
+    assert g.spacing == (1e-3, 1e-3, 1e-3) and g.is_uniform
+    ga = CartesianGrid(4, 5, 6, 1e-3, dy=2e-3, dz=0.5e-3)
+    assert ga.spacing == (1e-3, 2e-3, 0.5e-3) and not ga.is_uniform
+    np.testing.assert_allclose(ga.cell_volume, 1e-9)
+    np.testing.assert_allclose(ga.face_area_axis(0), 2e-3 * 0.5e-3)
+    np.testing.assert_allclose(ga.face_area_axis(1), 1e-3 * 0.5e-3)
+    np.testing.assert_allclose(ga.face_area_axis(2), 1e-3 * 2e-3)
+
+
+def test_axis_permutation_equivalence():
+    """A field varying only along z on a (dx, dy, dz)-grid must evolve
+    exactly as the same profile along x of a uniform grid with spacing dz
+    (adiabatic; constant-direction sweeps are exact passthroughs)."""
+    n = 24
+    mat = Material(7800.0, 490.0, 54.0)
+    prof = 100.0 + 80.0 * np.cos(np.pi * (np.arange(n) + 0.5) / n)
+
+    gz = CartesianGrid(4, 5, n, 1e-3, dy=1.5e-3, dz=2e-3)
+    Tz = jnp.asarray(np.broadcast_to(prof[None, None, :], gz.shape))
+    mz = jnp.ones(gz.shape, bool)
+    pz = build_coeff_packs(mz, gz, mat)
+
+    gx = CartesianGrid(n, 4, 5, 2e-3)
+    Tx = jnp.asarray(np.broadcast_to(prof[:, None, None], gx.shape))
+    mx = jnp.ones(gx.shape, bool)
+    px = build_coeff_packs(mx, gx, mat)
+
+    for _ in range(5):
+        Tz = adi_step_cartesian(Tz, mz, pz, gz, mat, dt=0.1, theta=0.5)
+        Tx = adi_step_cartesian(Tx, mx, px, gx, mat, dt=0.1, theta=0.5)
+    np.testing.assert_allclose(np.asarray(Tz)[0, 0, :],
+                               np.asarray(Tx)[:, 0, 0], rtol=1e-12)
+    # and the anisotropic run is NOT what a dz=dx run would give
+    gu = CartesianGrid(4, 5, n, 1e-3)
+    Tu = jnp.asarray(np.broadcast_to(prof[None, None, :], gu.shape))
+    pu = build_coeff_packs(jnp.ones(gu.shape, bool), gu, mat)
+    for _ in range(5):
+        Tu = adi_step_cartesian(Tu, mz, pu, gu, mat, dt=0.1, theta=0.5)
+    assert np.abs(np.asarray(Tu) - np.asarray(Tz)).max() > 1.0
+
+
+def test_lumped_robin_cooling_per_axis_areas():
+    """Whole-block Robin cooling: the decay rate is h*A_total/(rho cp V)
+    with the TRUE anisotropic surface area (per-axis A/V factors)."""
+    mat = Material(7800.0, 490.0, 200.0)    # high k -> lumped (Bi << 1)
+    nx, ny, nz = 6, 4, 3
+    dx, dy, dz = 1e-3, 2e-3, 4e-3
+    grid = CartesianGrid(nx, ny, nz, dx, dy=dy, dz=dz)
+    mask = jnp.ones(grid.shape, bool)
+    h, t_inf = 100.0, 20.0
+    packs = build_coeff_packs(mask, grid, mat, robin_h=h)
+
+    T = jnp.full(grid.shape, 520.0)
+    dt, steps = 0.05, 60
+    step = jax.jit(lambda T: adi_step_cartesian(T, mask, packs, grid, mat,
+                                                dt=dt, theta=0.5,
+                                                t_inf=t_inf))
+    for _ in range(steps):
+        T = step(T)
+    # lumped ODE: T(t) = T_inf + (T0 - T_inf) * exp(-h A / (rho cp V) t)
+    Lx, Ly, Lz = nx * dx, ny * dy, nz * dz
+    A = 2 * (Lx * Ly + Ly * Lz + Lz * Lx)
+    V = Lx * Ly * Lz
+    rate = h * A / (mat.rho * mat.cp * V)
+    T_ode = t_inf + (520.0 - t_inf) * np.exp(-rate * dt * steps)
+    np.testing.assert_allclose(float(jnp.mean(T)), T_ode, rtol=0.01)
+
+
+def test_pallas_matches_xla_anisotropic():
+    """Fused-kernel step == scan step on an anisotropic masked grid with
+    Robin + Neumann + Dirichlet (interpret mode), both plan flavors, and
+    with pad_to_tile."""
+    from adi_thermal_fields_tpu.step.cartesian_pallas import (adi_step_pallas,
+                                                              build_sweep_plan)
+
+    grid = CartesianGrid(12, 10, 14, 1e-3, dy=2e-3, dz=0.5e-3)
+    mat = Material(7800.0, 490.0, 54.0)
+    rng = np.random.default_rng(8)
+    mask = jnp.asarray(rng.random(grid.shape) > 0.25)
+    T = jnp.where(mask, 900.0, 20.0).astype(jnp.float32)
+    dm = jnp.zeros(grid.shape, bool).at[:, :, 0].set(True) & mask
+    packs = build_coeff_packs(mask, grid, mat, robin_h=150.0,
+                              neumann={"z+": 3e5}, dirichlet_mask=dm,
+                              dirichlet_value=300.0, dtype=jnp.float32)
+    ref = adi_step_cartesian(T, mask, packs, grid, mat, dt=0.05, theta=0.5,
+                             t_inf=20.0)
+
+    plan = build_sweep_plan(mask, packs)
+    got = adi_step_pallas(T, plan, grid, mat, dt=0.05, theta=0.5, t_inf=20.0,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6,
+                               atol=1e-4)
+
+    planp = build_sweep_plan(mask, packs, pad_to_tile=True)
+    gotp = adi_step_pallas(T, planp, grid, mat, dt=0.05, theta=0.5,
+                           t_inf=20.0, interpret=True)
+    np.testing.assert_array_equal(np.asarray(gotp), np.asarray(got))
+
+    # plan-lite with per-axis Robin constants (scalar-h, no Neu/Dir)
+    packs2 = build_coeff_packs(mask, grid, mat, robin_h=150.0,
+                               dtype=jnp.float32)
+    ref2 = adi_step_cartesian(T, mask, packs2, grid, mat, dt=0.05, theta=0.5,
+                              t_inf=20.0)
+    rc = tuple(150.0 / (mat.rho * mat.cp * d) for d in grid.spacing)
+    plan_l = build_sweep_plan(mask, None, has_neumann=False,
+                              has_dirichlet=False, robin_const=rc)
+    got_l = adi_step_pallas(T, plan_l, grid, mat, dt=0.05, theta=0.5,
+                            t_inf=20.0, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_l), np.asarray(ref2),
+                               rtol=1e-6, atol=1e-4)
+
+
+def test_engine_anisotropic_lite():
+    """The engine's plan-lite path derives per-axis Robin constants from the
+    grid spacing; xla and pallas-interpret engines agree on an anisotropic
+    grid."""
+    from adi_thermal_fields_tpu.apps.engine import make_cartesian_engine
+
+    grid = CartesianGrid(10, 8, 12, 1e-3, dy=1.5e-3, dz=0.5e-3)
+    mat = Material(7800.0, 490.0, 54.0)
+    active = jnp.ones(grid.shape, bool).at[:, :, -3:].set(False)
+    T = jnp.where(active, 800.0, 20.0).astype(jnp.float32)
+    outs = {}
+    for impl, kw in (("xla", {}), ("pallas", {"interpret": True})):
+        prep, adv = make_cartesian_engine(grid, mat, theta=0.5, t_inf=20.0,
+                                          robin_h=120.0, dtype=jnp.float32,
+                                          implementation=impl, **kw)
+        outs[impl] = np.asarray(adv(T, prep(active), jnp.float32(0.05),
+                                    jnp.int32(5)))
+    np.testing.assert_allclose(outs["pallas"], outs["xla"], rtol=1e-5)
