@@ -55,7 +55,10 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
     history_t_crit: enable per-voxel THERMAL-HISTORY tracking — the advance
     signature becomes ``advance(T, prep, dt, n_sub, t0, hist) -> (T, hist)``
     with ``hist = (T_peak, t_above)`` updated every sub-step: running peak
-    temperature and cumulative seconds above ``history_t_crit`` (the inputs
+    temperature and cumulative seconds above ``history_t_crit``.  A tuple of
+    thresholds tracks each: ``t_above`` then has a leading threshold axis,
+    e.g. ``(800.0, 500.0)`` yields the classic steel t8/5 cooling time as
+    ``t_above[1] - t_above[0]`` for monotone cooling (the inputs
     to microstructure/HAZ estimates in WAAM).  Elementwise updates fused
     into the sub-step loop; EventLoop(history=True) threads the state and
     RESETS a cell's history at its birth (pre-birth placeholder values are
@@ -185,23 +188,37 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
 
             return unpad(lax.fori_loop(0, n_sub, body, Tp), shape)
     else:
-        t_crit = float(history_t_crit)
+        multi = isinstance(history_t_crit, (tuple, list))
+        t_crits = tuple(float(t) for t in (history_t_crit if multi
+                                           else (history_t_crit,)))
 
         @jax.jit
         def advance(T, prep, dt, n_sub, t0=0.0, hist=None):
             shape = T.shape
             pk, ta = hist
-            carry = (padf(T), padf(pk), padf(ta))
+            # ta carries a leading threshold axis in multi mode
+            pad_ta = ((lambda x: jnp.stack([padf(x[i])
+                                            for i in range(len(t_crits))]))
+                      if multi else padf)
+            unpad_ta = ((lambda x, sh: jnp.stack(
+                [unpad(x[i], sh) for i in range(len(t_crits))]))
+                if multi else unpad)
+            tc = jnp.asarray(t_crits, jnp.promote_types(T.dtype, jnp.float32))
+            carry = (padf(T), padf(pk), pad_ta(ta))
 
             def body(i, carry):
                 Tp, pk, ta = carry
                 Tp = step1(Tp, prep, dt, jnp.asarray(t0, Tp.dtype) + i * dt)
                 pk = jnp.maximum(pk, Tp)
-                ta = ta + jnp.asarray(dt, ta.dtype) * (Tp > t_crit)
+                if multi:
+                    above = Tp[None] > tc[(slice(None),) + (None,) * Tp.ndim]
+                else:
+                    above = Tp > tc[0]
+                ta = ta + jnp.asarray(dt, ta.dtype) * above
                 return (Tp, pk, ta)
 
             Tp, pk, ta = lax.fori_loop(0, n_sub, body, carry)
-            return unpad(Tp, shape), (unpad(pk, shape), unpad(ta, shape))
+            return unpad(Tp, shape), (unpad(pk, shape), unpad_ta(ta, shape))
 
     return prepare, advance
 
@@ -304,6 +321,7 @@ class EventLoop:
     prepare: Callable | None = None
     history: bool = False
     history_state: Any = None
+    history_thresholds: tuple | None = None   # set for multi-threshold mode
     interpass_T: float | None = None
     interpass_dwell: float = 5.0
     interpass_max_dwell: float = 600.0
@@ -351,11 +369,16 @@ class EventLoop:
                                  "history_t_crit=...)")
             # t_above accumulates many small dt increments — keep it at
             # solve precision even for bf16 states (bf16's 8-bit mantissa
-            # absorbs increments after ~256 steps)
-            self.history_state = (history_state if history_state is not None
-                                  else (T, jnp.zeros(
-                                      T.shape, jnp.promote_types(
-                                          T.dtype, jnp.float32))))
+            # absorbs increments after ~256 steps).  With a tuple of
+            # thresholds it carries a leading threshold axis.
+            if history_state is not None:
+                self.history_state = history_state
+            else:
+                nth = (len(self.history_thresholds)
+                       if self.history_thresholds else None)
+                ta_shape = T.shape if nth is None else (nth,) + tuple(T.shape)
+                self.history_state = (T, jnp.zeros(
+                    ta_shape, jnp.promote_types(T.dtype, jnp.float32)))
         if t in frames and on_frame is not None:
             on_frame(t, T, jnp.broadcast_to(active, T.shape))
 
@@ -428,7 +451,7 @@ class EventLoop:
                     # rows, so anything accumulated pre-birth is bogus
                     pk, ta = self.history_state
                     pk = jnp.where(newborn, T, jnp.maximum(pk, T))
-                    ta = jnp.where(newborn, 0.0, ta)
+                    ta = jnp.where(newborn, 0.0, ta)  # broadcasts over axis 0
                     self.history_state = (pk, ta)
                 active = new_active
                 active_any = True          # a birth event implies new cells

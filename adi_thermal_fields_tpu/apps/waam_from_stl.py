@@ -68,6 +68,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="write a resume checkpoint at every frame")
     p.add_argument("--resume", type=str, default="",
                    help="resume from a checkpoint file")
+    p.add_argument("--t_hold_s", type=float, default=0.0,
+                   help="extra cool-down time simulated after the last "
+                        "layer finishes printing [s] (like single_track's "
+                        "--t_tail)")
     p.add_argument("--interpass_T", type=float, default=None,
                    help="interpass temperature control [C]: dwell (keep "
                         "cooling) before each layer until the part's max "
@@ -76,9 +80,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "/ --interpass_max_dwell_s")
     p.add_argument("--interpass_dwell_s", type=float, default=5.0)
     p.add_argument("--interpass_max_dwell_s", type=float, default=600.0)
-    p.add_argument("--history_t_crit", type=float, default=None,
+    p.add_argument("--history_t_crit", type=str, default=None,
                    help="track per-voxel thermal history: peak temperature "
-                        "and seconds above this critical temperature [C]; "
+                        "and seconds above the critical temperature(s) [C]; "
+                        "comma-separated list tracks each (e.g. '800,500' "
+                        "gives the steel t8/5 as t_above_500 - t_above_800); "
                         "written as T_peak / t_above fields in a final "
                         "history VTK (microstructure/HAZ inputs)")
     p.add_argument("--viewer", type=int, default=0)
@@ -183,9 +189,11 @@ def run(args) -> dict:
     births = layer_birth_times(mask_full, layers, dx,
                                args.bead_width_mm * 1e-3,
                                args.scan_speed_mm_s * 1e-3, args.eta_fill)
-    total_time = births[-1] if births else 0.0
+    total_time = (births[-1] if births else 0.0) + args.t_hold_s
     log(f"{len(layers)} layers, n_per_layer={n_per_layer}, "
-        f"total print time ~{total_time:.2f} s", tag="layers")
+        f"total print time ~{births[-1] if births else 0.0:.2f} s"
+        + (f" + {args.t_hold_s:g} s hold" if args.t_hold_s else ""),
+        tag="layers")
 
     # per-cell activation times: layer j's in-mask cells born at its START
     # time (the reference births layer j at its cumulative time then prints
@@ -215,10 +223,15 @@ def run(args) -> dict:
         mesh_dev = make_mesh(jax.devices()[:p_ * q_], shape=(p_, q_))
         log(f"sharding over {p_}x{q_} device mesh", tag="mesh")
 
+    hist_crits = None
+    if args.history_t_crit is not None:
+        vals = tuple(float(v) for v in str(args.history_t_crit).split(","))
+        hist_crits = vals if len(vals) > 1 else vals[0]
+
     # split engine: the pack/plan rebuild runs on birth events only
     prepare, advance = make_cartesian_engine(
         grid, mat, theta=args.theta, t_inf=args.T_inf, robin_h=robin_h,
-        mesh=mesh_dev, dtype=dtype, history_t_crit=args.history_t_crit)
+        mesh=mesh_dev, dtype=dtype, history_t_crit=hist_crits)
     dt_cap = args.cfl * dx * dx / mat.alpha
     log(f"alpha={mat.alpha:.3e} m^2/s, dt_cap={dt_cap:.3e} s (cfl={args.cfl})",
         tag="num")
@@ -284,6 +297,8 @@ def run(args) -> dict:
     loop = EventLoop(advance=advance, activation_times=act,
                      deposit_T=args.Ts, dt_cap=dt_cap, prepare=prepare,
                      history=args.history_t_crit is not None,
+                     history_thresholds=(hist_crits if isinstance(
+                         hist_crits, tuple) else None),
                      interpass_T=args.interpass_T,
                      interpass_dwell=args.interpass_dwell_s,
                      interpass_max_dwell=args.interpass_max_dwell_s)
@@ -306,17 +321,23 @@ def run(args) -> dict:
             fn = os.path.join(args.outdir, "waam_history.vtk")
             # never-born cells carry no meaningful history: mask them out
             pk_np = np.where(a_np, pk_np.astype(np.float32), 0.0)
-            ta_np = np.where(a_np, ta_np.astype(np.float32), 0.0)
+            fields = {"T_peak": pk_np.astype(np.float32)}
+            if isinstance(hist_crits, tuple):
+                for tc, ta_i in zip(hist_crits, ta_np):
+                    key = f"t_above_{tc:g}".replace(".", "p")
+                    fields[key] = np.where(a_np, ta_i.astype(np.float32), 0.0)
+            else:
+                fields["t_above"] = np.where(a_np, ta_np.astype(np.float32),
+                                             0.0)
+            fields["Mask"] = a_np.astype(np.float32)
             binary = (args.vtk_format == "binary"
                       or (args.vtk_format == "auto"
                           and grid.ncells > 2_000_000))
             write_vtk_structured_points(
-                fn, {"T_peak": pk_np.astype(np.float32),
-                     "t_above": ta_np.astype(np.float32),
-                     "Mask": a_np.astype(np.float32)},
+                fn, fields,
                 spacing=dx * 1e3, origin=tuple(np.asarray(origin) * 1e3),
                 binary=binary)
-            log(f"thermal history (T_crit={args.history_t_crit:g} C) -> {fn}",
+            log(f"thermal history (T_crit={args.history_t_crit}) -> {fn}",
                 tag="history")
 
     if args.viewer and frames_meta:

@@ -408,3 +408,38 @@ def test_engine_interpass_temperature_control():
     t_cap, loop_cap = final_T(interpass_T=25.0, interpass_dwell=2.0,
                               interpass_max_dwell=6.0)
     assert all(abs(d - 6.0) < 1e-9 for _, d in loop_cap.dwell_log)
+
+
+def test_engine_multi_threshold_history():
+    """history_t_crit as a tuple: per-threshold t_above with a leading axis;
+    each component equals the corresponding single-threshold run exactly,
+    and lower thresholds accumulate at least as much time."""
+    from adi_thermal_fields_tpu.apps.engine import make_cartesian_engine
+
+    grid = CartesianGrid(8, 8, 6, 1e-3)
+    mat = Material(7800.0, 490.0, 54.0)
+    mask = jnp.ones(grid.shape, bool)
+    T0 = (700.0 + 200.0 * jnp.sin(jnp.arange(8))[:, None, None]
+          * jnp.ones(grid.shape)).astype(jnp.float32)
+    kw = dict(theta=0.5, t_inf=20.0, robin_h=300.0, dtype=jnp.float32,
+              implementation="xla")
+
+    prep_m, adv_m = make_cartesian_engine(grid, mat,
+                                          history_t_crit=(800.0, 500.0), **kw)
+    prep = prep_m(mask)
+    hist0 = (T0, jnp.zeros((2,) + grid.shape, jnp.float32))
+    Tm, (pkm, tam) = adv_m(T0, prep, jnp.float32(0.05), jnp.int32(8), 0.0,
+                           hist0)
+    assert tam.shape == (2,) + grid.shape
+    assert float(jnp.min(tam[1] - tam[0])) >= 0.0   # 500-time >= 800-time
+    assert float(jnp.max(tam[1] - tam[0])) > 0.0    # some cells crossed
+
+    for i, tc in enumerate((800.0, 500.0)):
+        prep_s, adv_s = make_cartesian_engine(grid, mat, history_t_crit=tc,
+                                              **kw)
+        Ts, (pks, tas) = adv_s(T0, prep_s(mask), jnp.float32(0.05),
+                               jnp.int32(8), 0.0,
+                               (T0, jnp.zeros(grid.shape, jnp.float32)))
+        np.testing.assert_array_equal(np.asarray(tam[i]), np.asarray(tas))
+        np.testing.assert_array_equal(np.asarray(pkm), np.asarray(pks))
+    np.testing.assert_array_equal(np.asarray(Tm), np.asarray(Ts))

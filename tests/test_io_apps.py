@@ -242,3 +242,32 @@ def test_waam_app_thermal_history(tmp_path):
     assert pk2[f2["Mask"] > 0].max() >= 1500.0 - 1e-3
     np.testing.assert_allclose(pk2[f2["Mask"] > 0].max(),
                                pk[mask > 0].max(), rtol=1e-6)
+
+
+def test_waam_app_multi_threshold_history(tmp_path):
+    """--history_t_crit '800,500': per-threshold t_above fields; their
+    difference is the t8/5 cooling time — positive on deposited cells and
+    zero where the peak never reached 800."""
+    from adi_thermal_fields_tpu.apps.waam_from_stl import build_argparser, run
+    from adi_thermal_fields_tpu.geometry.primitives import box_mesh
+    from adi_thermal_fields_tpu.geometry.stl import save_stl_binary
+    from adi_thermal_fields_tpu.io.vtk import read_vtk_structured_points
+
+    stl = str(tmp_path / "cube_mm.stl")
+    save_stl_binary(stl, box_mesh(size=(6.0, 6.0, 8.0), center=(3, 3, 4)))
+    outdir = str(tmp_path / "out")
+    args = build_argparser().parse_args([
+        "--stl", stl, "--dx_mm", "1", "--nframes", "2", "--save_vtk", "0",
+        "--outdir", outdir, "--bead_height_mm", "2", "--h_side", "200",
+        "--t_hold_s", "120", "--history_t_crit", "800,500"])
+    run(args)
+    fields = read_vtk_structured_points(os.path.join(outdir,
+                                                     "waam_history.vtk"))
+    pk = fields["T_peak"]
+    ta8, ta5 = fields["t_above_800"], fields["t_above_500"]
+    mask = fields["Mask"] > 0
+    t85 = ta5 - ta8
+    assert (t85 >= -1e-9).all()                    # 500-time dominates
+    hot = mask & (pk >= 1500.0 - 1e-3)             # deposited cells
+    assert (t85[hot] > 0.0).all()                  # they cooled through 800->500
+    assert (ta8[pk < 800.0] == 0.0).all()
