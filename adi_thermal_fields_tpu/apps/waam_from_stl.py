@@ -27,6 +27,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="WAAM thermal simulation from STL")
     p.add_argument("--stl", type=str, required=True)
     p.add_argument("--dx_mm", type=float, default=1.0)
+    p.add_argument("--dz_mm", type=float, default=None,
+                   help="vertical (layer-direction) voxel size [mm]; "
+                        "default dx_mm.  Anisotropic voxels resolve thin "
+                        "layers without cubing the cell count")
     p.add_argument("--pad_mm", type=float, default=2.0)
     p.add_argument("--voxel_method", choices=["parity", "shell"], default="parity")
     p.add_argument("--auto_dx", type=int, default=1)
@@ -95,7 +99,8 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def load_voxels(args):
-    """STL -> solid voxel mask (+ origin, dx in meters, mesh)."""
+    """STL -> solid voxel mask (+ origin, per-axis spacing in meters,
+    mesh)."""
     from ..geometry.morphology import solidify_mask
     from ..geometry.stl import load_stl
     from ..geometry.voxelize import (auto_cell_size, grid_from_mesh,
@@ -110,17 +115,21 @@ def load_voxels(args):
             log(f"auto-dx: {dx * 1e3:.3g} -> {dx2 * 1e3:.3g} mm to fit "
                 f"{args.max_voxels} voxel budget", tag="vox")
             dx = dx2
+    dz = args.dz_mm * 1e-3 if args.dz_mm is not None else dx
+    d = (dx, dx, dz)
     pad = max(1, int(round(args.pad_mm * 1e-3 / dx)))
-    origin, dims = grid_from_mesh(mesh, dx, pad_cells=pad)
+    origin, dims = grid_from_mesh(mesh, d, pad_cells=pad)
     if args.voxel_method == "parity":
-        mask, _ = voxelize_solid(mesh, dx, origin=origin, dims=dims)
+        mask, _ = voxelize_solid(mesh, d, origin=origin, dims=dims)
     else:
-        mask, _ = voxelize_shell(mesh, dx, origin=origin, dims=dims)
+        mask, _ = voxelize_shell(mesh, d, origin=origin, dims=dims)
     mask = solidify_mask(mask, mode=args.solidify,
                          closing_iters=args.solid_close_iters)
-    log(f"grid {dims}, dx={dx * 1e3:.4g} mm, solid {int(mask.sum())} voxels "
+    log(f"grid {dims}, dx={dx * 1e3:.4g} mm"
+        + (f", dz={dz * 1e3:.4g} mm" if dz != dx else "")
+        + f", solid {int(mask.sum())} voxels "
         f"({mask.mean() * 100:.1f}%)", tag="vox")
-    return mesh, mask, origin, dx
+    return mesh, mask, origin, d
 
 
 def extract_layers(mask: np.ndarray, cells_per_layer: int):
@@ -173,9 +182,10 @@ def run(args) -> dict:
     from .engine import EventLoop, make_cartesian_engine
 
     os.makedirs(args.outdir, exist_ok=True)
-    mesh, mask_full, origin, dx = load_voxels(args)
+    mesh, mask_full, origin, d = load_voxels(args)
+    dx, _, dz = d
     nx, ny, nz = mask_full.shape
-    grid = CartesianGrid(nx, ny, nz, dx)
+    grid = CartesianGrid(nx, ny, nz, dx, dz=dz)
     mat = Material(args.rho, args.cp, args.k)
 
     dtype = {"float32": jnp.float32, "float64": jnp.float64,
@@ -184,7 +194,7 @@ def run(args) -> dict:
     log(f"field memory ~{fmt_bytes(bytes_T)} + mask {fmt_bytes(grid.ncells)}",
         tag="mem")
 
-    n_per_layer = max(1, int(round(args.bead_height_mm * 1e-3 / dx)))
+    n_per_layer = max(1, int(round(args.bead_height_mm * 1e-3 / dz)))
     layers = extract_layers(mask_full, n_per_layer)
     births = layer_birth_times(mask_full, layers, dx,
                                args.bead_width_mm * 1e-3,
@@ -206,6 +216,10 @@ def run(args) -> dict:
     act = jnp.asarray(act)
 
     robin_h = args.h_side
+    if args.corrected_bc and dz != dx:
+        raise SystemExit("--corrected_bc requires cubic voxels "
+                         "(omit --dz_mm); the STL projected-area corrector "
+                         "assumes a single face size")
     if args.corrected_bc:
         from ..geometry.bc_correction import corrected_robin_fields
         fields, _ = corrected_robin_fields(
@@ -232,7 +246,8 @@ def run(args) -> dict:
     prepare, advance = make_cartesian_engine(
         grid, mat, theta=args.theta, t_inf=args.T_inf, robin_h=robin_h,
         mesh=mesh_dev, dtype=dtype, history_t_crit=hist_crits)
-    dt_cap = args.cfl * dx * dx / mat.alpha
+    dmin = min(d)
+    dt_cap = args.cfl * dmin * dmin / mat.alpha
     log(f"alpha={mat.alpha:.3e} m^2/s, dt_cap={dt_cap:.3e} s (cfl={args.cfl})",
         tag="num")
 
@@ -281,7 +296,8 @@ def run(args) -> dict:
                       or (args.vtk_format == "auto" and grid.ncells > 2_000_000))
             write_vtk_structured_points(
                 fn, {"Temperature": T_np, "Mask": a_np.astype(np.float32)},
-                spacing=dx * 1e3, origin=tuple(np.asarray(origin) * 1e3),
+                spacing=tuple(v * 1e3 for v in d),
+                origin=tuple(np.asarray(origin) * 1e3),
                 binary=binary)
         if args.checkpoint:
             from ..io.checkpoint import RunState, save_checkpoint
@@ -335,7 +351,8 @@ def run(args) -> dict:
                           and grid.ncells > 2_000_000))
             write_vtk_structured_points(
                 fn, fields,
-                spacing=dx * 1e3, origin=tuple(np.asarray(origin) * 1e3),
+                spacing=tuple(v * 1e3 for v in d),
+                origin=tuple(np.asarray(origin) * 1e3),
                 binary=binary)
             log(f"thermal history (T_crit={args.history_t_crit}) -> {fn}",
                 tag="history")

@@ -40,32 +40,46 @@ def auto_cell_size(mesh: TriMesh, dx: float, max_voxels: int = 12_000_000
         dx *= (n / max_voxels) ** (1.0 / 3.0) * 1.0001
 
 
-def grid_from_mesh(mesh: TriMesh, dx: float, pad_cells: int = 1
+def _spacing3(dx) -> np.ndarray:
+    """Normalize a scalar or 3-sequence cell size to (dx, dy, dz)."""
+    d = np.broadcast_to(np.asarray(dx, float), (3,)).copy()
+    if (d <= 0).any():
+        raise ValueError(f"cell sizes must be positive, got {d}")
+    return d
+
+
+def grid_from_mesh(mesh: TriMesh, dx, pad_cells: int = 1
                    ) -> tuple[np.ndarray, tuple[int, int, int]]:
     """(origin, (nx, ny, nz)) covering the mesh bounds with padding; the
-    origin is the min corner of voxel (0,0,0)."""
+    origin is the min corner of voxel (0,0,0).  ``dx``: scalar or per-axis
+    (dx, dy, dz)."""
+    d = _spacing3(dx)
     lo, hi = mesh.bounds
-    origin = lo - pad_cells * dx
-    dims = np.ceil((hi - origin) / dx).astype(int) + pad_cells
+    origin = lo - pad_cells * d
+    dims = np.ceil((hi - origin) / d).astype(int) + pad_cells
     return origin, (int(dims[0]), int(dims[1]), int(dims[2]))
 
 
-def voxelize_solid(mesh: TriMesh, dx: float, origin=None, dims=None,
+def voxelize_solid(mesh: TriMesh, dx, origin=None, dims=None,
                    use_native: bool = True) -> tuple[np.ndarray, np.ndarray]:
     """Even-odd parity solid voxelization.  Returns (mask, origin).
 
-    Uses the native C++ kernel (native/geometry_native.cpp, same algorithm
-    and jitter constants) when available; numpy otherwise."""
+    ``dx``: scalar (cubic voxels) or per-axis (dx, dy, dz) — anisotropic
+    voxelization pairs with ``CartesianGrid(dy=…, dz=…)`` for layer-resolved
+    WAAM grids.  Uses the native C++ kernel (native/geometry_native.cpp,
+    same algorithm and jitter constants) when available; numpy otherwise."""
     if origin is None or dims is None:
         origin, dims = grid_from_mesh(mesh, dx)
+    d = _spacing3(dx)
     origin = np.asarray(origin, float)
     if use_native:
         from ..native.loader import voxelize_parity_native
 
-        native = voxelize_parity_native(mesh.triangles, origin, dx, dims)
+        native = voxelize_parity_native(mesh.triangles, origin, d, dims)
         if native is not None:
             return native, origin
     nx, ny, nz = dims
+    dx, dy, dz = d
     tri = mesh.triangles
     v0, v1, v2 = tri[:, 0], tri[:, 1], tri[:, 2]
 
@@ -75,10 +89,10 @@ def voxelize_solid(mesh: TriMesh, dx: float, origin=None, dims=None,
     # vertices (which would make the even-odd count ambiguous) — standard
     # ray-cast voxelizer practice; the sampling bias is ~1e-4 of a cell.
     jx = 1.1283791670955126e-4 * dx
-    jy = 0.7071067811865476e-4 * dx
+    jy = 0.7071067811865476e-4 * dy
     xc = origin[0] + (np.arange(nx) + 0.5) * dx + jx
-    yc = origin[1] + (np.arange(ny) + 0.5) * dx + jy
-    zc = origin[2] + (np.arange(nz) + 0.5) * dx
+    yc = origin[1] + (np.arange(ny) + 0.5) * dy + jy
+    zc = origin[2] + (np.arange(nz) + 0.5) * dz
 
     counts = np.zeros((nx, ny, nz), np.int64)
 
@@ -87,8 +101,8 @@ def voxelize_solid(mesh: TriMesh, dx: float, origin=None, dims=None,
         # candidate columns: xy-bbox of the triangle
         i0 = max(0, int(math.floor((min(a[0], b[0], c[0]) - origin[0]) / dx - 0.5)))
         i1 = min(nx - 1, int(math.ceil((max(a[0], b[0], c[0]) - origin[0]) / dx - 0.5)))
-        j0 = max(0, int(math.floor((min(a[1], b[1], c[1]) - origin[1]) / dx - 0.5)))
-        j1 = min(ny - 1, int(math.ceil((max(a[1], b[1], c[1]) - origin[1]) / dx - 0.5)))
+        j0 = max(0, int(math.floor((min(a[1], b[1], c[1]) - origin[1]) / dy - 0.5)))
+        j1 = min(ny - 1, int(math.ceil((max(a[1], b[1], c[1]) - origin[1]) / dy - 0.5)))
         if i1 < i0 or j1 < j0:
             continue
         X, Y = np.meshgrid(xc[i0:i1 + 1], yc[j0:j1 + 1], indexing="ij")
@@ -146,15 +160,17 @@ def subdivided_triangles(tri: np.ndarray, max_edge: float,
     return np.concatenate(out_t), np.concatenate(out_p)
 
 
-def voxelize_shell(mesh: TriMesh, dx: float, origin=None, dims=None
+def voxelize_shell(mesh: TriMesh, dx, origin=None, dims=None
                    ) -> tuple[np.ndarray, np.ndarray]:
-    """Mark voxels touched by the surface (subdivide + centroid binning)."""
+    """Mark voxels touched by the surface (subdivide + centroid binning).
+    ``dx``: scalar or per-axis (dx, dy, dz)."""
     if origin is None or dims is None:
         origin, dims = grid_from_mesh(mesh, dx)
+    d = _spacing3(dx)
     origin = np.asarray(origin, float)
-    sub, _ = subdivided_triangles(mesh.triangles, max_edge=0.5 * dx)
+    sub, _ = subdivided_triangles(mesh.triangles, max_edge=0.5 * float(d.min()))
     cent = sub.mean(axis=1)
-    idx = np.floor((cent - origin) / dx).astype(int)
+    idx = np.floor((cent - origin) / d).astype(int)
     ok = np.all((idx >= 0) & (idx < np.asarray(dims)), axis=1)
     idx = idx[ok]
     mask = np.zeros(dims, bool)

@@ -18,10 +18,11 @@ __all__ = ["write_vtk_structured_points", "read_vtk_structured_points"]
 
 
 def write_vtk_structured_points(path: str, fields: dict[str, np.ndarray], *,
-                                spacing: float, origin=(0.0, 0.0, 0.0),
+                                spacing, origin=(0.0, 0.0, 0.0),
                                 comment: str = "adi_thermal_fields_tpu",
                                 binary: bool = False) -> None:
-    """Write one or more same-shaped 3-D scalar fields."""
+    """Write one or more same-shaped 3-D scalar fields.  ``spacing``:
+    scalar or per-axis (sx, sy, sz)."""
     items = list(fields.items())
     if not items:
         raise ValueError("no fields to write")
@@ -36,7 +37,8 @@ def write_vtk_structured_points(path: str, fields: dict[str, np.ndarray], *,
         w("DATASET STRUCTURED_POINTS\n")
         w(f"DIMENSIONS {nx} {ny} {nz}\n")
         w(f"ORIGIN {ox:.9g} {oy:.9g} {oz:.9g}\n")
-        w(f"SPACING {spacing:.9g} {spacing:.9g} {spacing:.9g}\n")
+        sx, sy, sz = np.broadcast_to(np.asarray(spacing, float), (3,))
+        w(f"SPACING {sx:.9g} {sy:.9g} {sz:.9g}\n")
         w(f"POINT_DATA {nx * ny * nz}\n")
         for name, arr in items:
             arr = np.asarray(arr)

@@ -28,14 +28,16 @@ extern "C" {
 
 // tris: (ntri, 3, 3) float64 vertex coordinates
 // origin: (3,) float64 grid origin (min corner of voxel (0,0,0))
+// d: (3,) float64 per-axis cell sizes (dx, dy, dz) — anisotropic voxels
 // out_mask: (nx*ny*nz) uint8, C-order (x, y, z) — filled with 0/1
 int voxelize_parity(const double* tris, int64_t ntri, const double* origin,
-                    double dx, int64_t nx, int64_t ny, int64_t nz,
+                    const double* d, int64_t nx, int64_t ny, int64_t nz,
                     uint8_t* out_mask) {
   const double ox = origin[0], oy = origin[1], oz = origin[2];
+  const double dx = d[0], dy = d[1], dz = d[2];
   // jitter constants must match geometry/voxelize.py
   const double jx = 1.1283791670955126e-4 * dx;
-  const double jy = 0.7071067811865476e-4 * dx;
+  const double jy = 0.7071067811865476e-4 * dy;
 
   std::vector<int32_t> counts((size_t)nx * ny * nz, 0);
 
@@ -51,8 +53,8 @@ int voxelize_parity(const double* tris, int64_t ntri, const double* origin,
 
     int64_t i0 = (int64_t)std::floor((xmin - ox) / dx - 0.5);
     int64_t i1 = (int64_t)std::ceil((xmax - ox) / dx - 0.5);
-    int64_t j0 = (int64_t)std::floor((ymin - oy) / dx - 0.5);
-    int64_t j1 = (int64_t)std::ceil((ymax - oy) / dx - 0.5);
+    int64_t j0 = (int64_t)std::floor((ymin - oy) / dy - 0.5);
+    int64_t j1 = (int64_t)std::ceil((ymax - oy) / dy - 0.5);
     if (i0 < 0) i0 = 0;
     if (j0 < 0) j0 = 0;
     if (i1 > nx - 1) i1 = nx - 1;
@@ -66,14 +68,14 @@ int voxelize_parity(const double* tris, int64_t ntri, const double* origin,
     for (int64_t i = i0; i <= i1; ++i) {
       const double X = ox + (i + 0.5) * dx + jx;
       for (int64_t j = j0; j <= j1; ++j) {
-        const double Y = oy + (j + 0.5) * dx + jy;
+        const double Y = oy + (j + 0.5) * dy + jy;
         const double w0 = ((b[1] - c[1]) * (X - c[0]) + (c[0] - b[0]) * (Y - c[1])) * inv_d;
         const double w1 = ((c[1] - a[1]) * (X - c[0]) + (a[0] - c[0]) * (Y - c[1])) * inv_d;
         const double w2 = 1.0 - w0 - w1;
         if (w0 < 0.0 || w1 < 0.0 || w2 < 0.0) continue;
         const double z_hit = w0 * a[2] + w1 * b[2] + w2 * c[2];
         // first cell whose center z exceeds z_hit
-        int64_t k0 = (int64_t)std::floor((z_hit - oz) / dx - 0.5) + 1;
+        int64_t k0 = (int64_t)std::floor((z_hit - oz) / dz - 0.5) + 1;
         if (k0 < 0) k0 = 0;
         if (k0 >= nz) continue;
         counts[((size_t)i * ny + j) * nz + k0] += 1;

@@ -63,7 +63,8 @@ def get_library():
         lib.voxelize_parity.restype = ctypes.c_int
         lib.voxelize_parity.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_double), ctypes.c_double,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),   # (3,) per-axis cell sizes
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8),
         ]
@@ -81,21 +82,23 @@ def native_available() -> bool:
     return get_library() is not None
 
 
-def voxelize_parity_native(triangles: np.ndarray, origin, dx: float,
+def voxelize_parity_native(triangles: np.ndarray, origin, dx,
                            dims) -> np.ndarray | None:
-    """Native parity voxelization; None if the library is unavailable."""
+    """Native parity voxelization; None if the library is unavailable.
+    ``dx``: scalar or per-axis (dx, dy, dz)."""
     lib = get_library()
     if lib is None:
         return None
     tris = np.ascontiguousarray(triangles, np.float64)
     org = np.ascontiguousarray(origin, np.float64)
+    d = np.ascontiguousarray(np.broadcast_to(np.asarray(dx, np.float64), (3,)))
     nx, ny, nz = dims
     out = np.zeros(nx * ny * nz, np.uint8)
     rc = lib.voxelize_parity(
         tris.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         ctypes.c_int64(len(tris)),
         org.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        ctypes.c_double(dx),
+        d.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         ctypes.c_int64(nx), ctypes.c_int64(ny), ctypes.c_int64(nz),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     if rc != 0:
