@@ -220,6 +220,16 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
             Tp, pk, ta = lax.fori_loop(0, n_sub, body, carry)
             return unpad(Tp, shape), (unpad(pk, shape), unpad_ta(ta, shape))
 
+    if history_t_crit is not None:
+        _advance = advance
+
+        def advance(*a, **k):
+            return _advance(*a, **k)
+
+        # EventLoop reads this to size the t_above state — avoids having to
+        # specify the threshold tuple twice
+        advance.history_thresholds = t_crits if multi else None
+
     return prepare, advance
 
 
@@ -354,6 +364,9 @@ class EventLoop:
         frames = set(frame_times)
         final_event = events[-1] if events else None
 
+        if self.interpass_T is not None and self.interpass_dwell <= 0:
+            raise ValueError("interpass_dwell must be positive (a zero or "
+                             "negative increment would dwell forever)")
         t = start_t
         active = act <= t
         # layers whose birth time coincides with the start are deposited now
@@ -374,8 +387,10 @@ class EventLoop:
             if history_state is not None:
                 self.history_state = history_state
             else:
-                nth = (len(self.history_thresholds)
-                       if self.history_thresholds else None)
+                ths = (self.history_thresholds
+                       if self.history_thresholds is not None
+                       else getattr(self.advance, "history_thresholds", None))
+                nth = len(ths) if ths else None
                 ta_shape = T.shape if nth is None else (nth,) + tuple(T.shape)
                 self.history_state = (T, jnp.zeros(
                     ta_shape, jnp.promote_types(T.dtype, jnp.float32)))

@@ -109,15 +109,18 @@ def load_voxels(args):
 
     mesh = load_stl(args.stl, units="auto")
     dx = args.dx_mm * 1e-3
+    dz_fixed = args.dz_mm * 1e-3 if args.dz_mm is not None else None
     if args.auto_dx:
-        dx2 = auto_cell_size(mesh, dx, args.max_voxels)
+        dx2 = auto_cell_size(mesh, dx, args.max_voxels, dz=dz_fixed)
         if dx2 != dx:
             log(f"auto-dx: {dx * 1e3:.3g} -> {dx2 * 1e3:.3g} mm to fit "
                 f"{args.max_voxels} voxel budget", tag="vox")
             dx = dx2
-    dz = args.dz_mm * 1e-3 if args.dz_mm is not None else dx
+    dz = dz_fixed if dz_fixed is not None else dx
     d = (dx, dx, dz)
-    pad = max(1, int(round(args.pad_mm * 1e-3 / dx)))
+    # per-axis pad cell counts so --pad_mm means the same physical margin
+    # on every axis (dz-thin slabs need proportionally more cells)
+    pad = tuple(max(1, int(round(args.pad_mm * 1e-3 / dv))) for dv in d)
     origin, dims = grid_from_mesh(mesh, d, pad_cells=pad)
     if args.voxel_method == "parity":
         mask, _ = voxelize_solid(mesh, d, origin=origin, dims=dims)

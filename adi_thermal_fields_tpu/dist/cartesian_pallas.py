@@ -59,7 +59,7 @@ def shard_plan(plan: SweepPlan, mesh: Mesh, *, traced: bool = False) -> SweepPla
                else place(plan.mask_i8, NamedSharding(mesh, s[0])))
     return SweepPlan(mask, put(plan.codes), put(plan.coeffs),
                      put(plan.qfluxes), put(plan.dir_vals), mask_i8,
-                     plan.rob_c)  # scalar: replicated as-is
+                     plan.rob_c)  # (3,) per-axis consts: replicated as-is
 
 
 def sharded_adi_step_pallas(grid: CartesianGrid, mat: Material, mesh: Mesh, *,

@@ -28,16 +28,19 @@ __all__ = ["voxelize_solid", "voxelize_shell", "auto_cell_size",
            "grid_from_mesh", "subdivided_triangles"]
 
 
-def auto_cell_size(mesh: TriMesh, dx: float, max_voxels: int = 12_000_000
-                   ) -> float:
-    """Coarsen dx until the bounding-box voxel count fits the budget
-    (reference default budget 12e6, waam_from_stl_v7_mm.py:219)."""
+def auto_cell_size(mesh: TriMesh, dx: float, max_voxels: int = 12_000_000,
+                   dz: float | None = None) -> float:
+    """Coarsen the LATERAL dx until the bounding-box voxel count fits the
+    budget (reference default budget 12e6, waam_from_stl_v7_mm.py:219).
+    ``dz``: fixed vertical cell size of an anisotropic grid — the budget
+    then counts (ext/dx, ext/dx, ext/dz) voxels and only dx coarsens."""
     ext = mesh.extents
     while True:
-        n = int(np.prod(np.maximum(np.ceil(ext / dx), 1)))
+        d = np.array([dx, dx, dx if dz is None else dz])
+        n = int(np.prod(np.maximum(np.ceil(ext / d), 1)))
         if n <= max_voxels:
             return dx
-        dx *= (n / max_voxels) ** (1.0 / 3.0) * 1.0001
+        dx *= (n / max_voxels) ** (1.0 / (3.0 if dz is None else 2.0)) * 1.0001
 
 
 def _spacing3(dx) -> np.ndarray:
@@ -48,15 +51,16 @@ def _spacing3(dx) -> np.ndarray:
     return d
 
 
-def grid_from_mesh(mesh: TriMesh, dx, pad_cells: int = 1
+def grid_from_mesh(mesh: TriMesh, dx, pad_cells=1
                    ) -> tuple[np.ndarray, tuple[int, int, int]]:
     """(origin, (nx, ny, nz)) covering the mesh bounds with padding; the
     origin is the min corner of voxel (0,0,0).  ``dx``: scalar or per-axis
-    (dx, dy, dz)."""
+    (dx, dy, dz); ``pad_cells``: scalar or per-axis cell counts."""
     d = _spacing3(dx)
+    pad = np.broadcast_to(np.asarray(pad_cells, int), (3,))
     lo, hi = mesh.bounds
-    origin = lo - pad_cells * d
-    dims = np.ceil((hi - origin) / d).astype(int) + pad_cells
+    origin = lo - pad * d
+    dims = np.ceil((hi - origin) / d).astype(int) + pad
     return origin, (int(dims[0]), int(dims[1]), int(dims[2]))
 
 

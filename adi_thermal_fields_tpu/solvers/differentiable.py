@@ -213,7 +213,8 @@ def sweep_solve_lite(rhs, code, rob_c, tg, dt, t_inf, qflux=None,
                      dir_val=None, *, axis: int = 0,
                      interpret: bool = False):
     """Differentiable plan-lite fused sweep (no coefficient field; scalar
-    ``rob_c = h/(rho cp dx)``)."""
+    ``rob_c = h/(rho cp d_axis)`` for THIS sweep's axis — callers index a
+    per-axis triple)."""
     dtype = rhs.dtype
     has_q, has_d = qflux is not None, dir_val is not None
     zero = jnp.zeros((), dtype)
@@ -241,21 +242,26 @@ def _theta_rhs_diff(interpret: bool):
         inv3 = jnp.broadcast_to(jnp.asarray(inv_dx2, dtype), (3,))
         # (I + cL)^T = I + cL (L symmetric): pull back with the stencil
         T_bar = theta_rhs(g, mask_i8, c, inv3, interpret=interpret)
-        # c_bar = <g, L T>; recover L T with a unit-c stencil pass
-        lapT = theta_rhs(T, mask_i8, jnp.ones((), dtype), inv3,
-                         interpret=interpret) - T
-        c_bar = jnp.vdot(g, lapT).astype(dtype)
-        # d out / d inv_i = c * Lhat_i T (unit per-axis laplacian); one
-        # one-hot stencil pass per axis
         one = jnp.ones((), dtype)
-        inv_bar = jnp.stack([
-            (c * jnp.vdot(g, theta_rhs(
-                T, mask_i8, one,
-                jnp.zeros((3,), dtype).at[ax].set(1.0),
-                interpret=interpret) - T)).astype(dtype)
-            for ax in range(3)])
-        if jnp.ndim(res[3]) == 0:      # scalar inv: aggregate cotangent
-            inv_bar = jnp.sum(inv_bar)
+        if jnp.ndim(res[3]) == 0:
+            # scalar spacing (cubic voxels): the algebraic identity needs
+            # only ONE extra stencil pass — c_bar = <g, L T> and
+            # inv_bar = c_bar * c / inv (L scales linearly with inv)
+            lapT = theta_rhs(T, mask_i8, one, inv3,
+                             interpret=interpret) - T
+            c_bar = jnp.vdot(g, lapT).astype(dtype)
+            inv_bar = (c_bar * c / inv3[0]).astype(dtype)
+        else:
+            # per-axis spacing: d out/d inv_i = c * Lhat_i T via one-hot
+            # unit passes; c_bar = sum_i inv_i <g, Lhat_i T> reuses them
+            gi = jnp.stack([
+                jnp.vdot(g, theta_rhs(
+                    T, mask_i8, one,
+                    jnp.zeros((3,), dtype).at[ax].set(1.0),
+                    interpret=interpret) - T).astype(dtype)
+                for ax in range(3)])
+            inv_bar = (c * gi).astype(dtype)
+            c_bar = jnp.sum(inv3 * gi).astype(dtype)
         return T_bar, _f0(mask_i8), c_bar, inv_bar
 
     f.defvjp(fwd, bwd)

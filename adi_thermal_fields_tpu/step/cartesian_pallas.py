@@ -43,7 +43,7 @@ class SweepPlan(NamedTuple):
     qfluxes: tuple | None           # 3 arrays or None (no Neumann)
     dir_vals: tuple | None          # 3 arrays or None (no Dirichlet)
     mask_i8: jax.Array | None = None  # int8 mask for the fused stencil pass
-    rob_c: jax.Array | None = None  # scalar h/(rho cp dx) — plan-lite mode
+    rob_c: jax.Array | None = None  # (3,) per-axis h/(rho cp d_ax) — lite
 
 
 def padded_shape(shape: tuple) -> tuple:
