@@ -32,7 +32,8 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
                           dirichlet_mask=None, dirichlet_value=None,
                           source_fn=None, implementation: str = "auto",
                           mesh=None, dtype=None, interpret: bool = False,
-                          history_t_crit: float | None = None):
+                          history_t_crit: float | None = None,
+                          stochastic_rounding: bool = False):
     """Split engine: ``prepare(active) -> prep`` (jitted pack/plan rebuild,
     needed only when the mask changes — i.e. on birth events) and
     ``advance(T, prep, dt, n_sub[, t0]) -> T`` (jitted sub-step loop).
@@ -52,6 +53,12 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
     dtype: pack dtype (defaults to the field dtype at first advance; pass
     explicitly when preparing before the first advance with non-default
     precision).
+    stochastic_rounding: for bfloat16 states on the single-device pallas
+    path, stochastic-round every store (seeded per sub-step from the
+    simulation clock).  ESSENTIAL for long bf16 runs: round-to-nearest
+    silently drops per-step updates smaller than the bf16 quantum (~8 K
+    at 1500 C), freezing slow cooling entirely.  Not differentiable;
+    ignored on xla/mesh branches.
     history_t_crit: enable per-voxel THERMAL-HISTORY tracking — the advance
     signature becomes ``advance(T, prep, dt, n_sub, t0, hist) -> (T, hist)``
     with ``hist = (T_peak, t_above)`` updated every sub-step: running peak
@@ -137,6 +144,10 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
         from ..step.cartesian_pallas import (adi_step_pallas, build_sweep_plan,
                                              pad_domain)
 
+        if stochastic_rounding and interpret:
+            raise ValueError("stochastic_rounding needs the TPU PRNG "
+                             "(pltpu.prng does not lower in interpret mode)")
+
         @jax.jit
         def prepare(active):
             active = active.astype(bool)
@@ -152,8 +163,12 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
 
         def step1(Tp, prep, dt, t):
             src = None if source_fn is None else pad_domain(source_fn(t))
+            # per-sub-step seed from the simulation clock (distinct per
+            # global step index t/dt); only consulted for bf16 states
+            seed = (jnp.asarray(t / dt, jnp.int32)
+                    if stochastic_rounding else None)
             return adi_step_pallas(Tp, prep, grid, mat, dt=dt, theta=theta,
-                                   t_inf=t_inf, source=src,
+                                   t_inf=t_inf, source=src, rng_seed=seed,
                                    interpret=interpret)
         # pad once per event segment; the sub-step loop runs pad-free
         pad = pad_domain

@@ -248,7 +248,10 @@ def run(args) -> dict:
     # split engine: the pack/plan rebuild runs on birth events only
     prepare, advance = make_cartesian_engine(
         grid, mat, theta=args.theta, t_inf=args.T_inf, robin_h=robin_h,
-        mesh=mesh_dev, dtype=dtype, history_t_crit=hist_crits)
+        mesh=mesh_dev, dtype=dtype, history_t_crit=hist_crits,
+        # bf16 with round-to-nearest freezes slow cooling (sub-quantum
+        # update dropout); stochastic rounding is the documented fix
+        stochastic_rounding=args.precision == "bfloat16")
     dmin = min(d)
     dt_cap = args.cfl * dmin * dmin / mat.alpha
     log(f"alpha={mat.alpha:.3e} m^2/s, dt_cap={dt_cap:.3e} s (cfl={args.cfl})",
