@@ -443,3 +443,19 @@ def test_engine_multi_threshold_history():
         np.testing.assert_array_equal(np.asarray(tam[i]), np.asarray(tas))
         np.testing.assert_array_equal(np.asarray(pkm), np.asarray(pks))
     np.testing.assert_array_equal(np.asarray(Tm), np.asarray(Ts))
+
+
+def test_engine_stochastic_rounding_guard():
+    """stochastic rounding needs the TPU PRNG; interpret mode must refuse
+    with a clear error instead of failing deep in Mosaic lowering."""
+    from adi_thermal_fields_tpu.apps.engine import make_cartesian_engine
+
+    grid = CartesianGrid(8, 8, 6, 1e-3)
+    mat = Material(7800.0, 490.0, 54.0)
+    try:
+        make_cartesian_engine(grid, mat, robin_h=30.0, dtype=jnp.bfloat16,
+                              implementation="pallas", interpret=True,
+                              stochastic_rounding=True)
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "stochastic" in str(e)
