@@ -271,3 +271,30 @@ def test_waam_app_multi_threshold_history(tmp_path):
     hot = mask & (pk >= 1500.0 - 1e-3)             # deposited cells
     assert (t85[hot] > 0.0).all()                  # they cooled through 800->500
     assert (ta8[pk < 800.0] == 0.0).all()
+
+
+def test_waam_app_sharded_history_matches_single_device(tmp_path):
+    """Sharded WAAM (--mesh 2x4) with multi-threshold thermal history:
+    field AND history VTK bitwise-identical to the single-device run."""
+    from adi_thermal_fields_tpu.apps.waam_from_stl import build_argparser, run
+    from adi_thermal_fields_tpu.geometry.primitives import box_mesh
+    from adi_thermal_fields_tpu.geometry.stl import save_stl_binary
+    from adi_thermal_fields_tpu.io.vtk import read_vtk_structured_points
+
+    stl = str(tmp_path / "cube_mm.stl")
+    save_stl_binary(stl, box_mesh(size=(8.0, 8.0, 8.0), center=(4, 4, 4)))
+    outs = {}
+    for tag, mesh_args in (("single", []), ("sharded", ["--mesh", "2x4"])):
+        out = str(tmp_path / tag)
+        args = build_argparser().parse_args([
+            "--stl", stl, "--dx_mm", "1", "--nframes", "2", "--save_vtk",
+            "0", "--outdir", out, "--bead_height_mm", "2", "--t_hold_s",
+            "60", "--history_t_crit", "800,500"] + mesh_args)
+        res = run(args)
+        f = read_vtk_structured_points(os.path.join(out, "waam_history.vtk"))
+        outs[tag] = (np.asarray(res["T"]), f)
+    Ts, fs = outs["single"]
+    Tm, fm = outs["sharded"]
+    np.testing.assert_array_equal(Ts, Tm)
+    for k in ("T_peak", "t_above_800", "t_above_500"):
+        np.testing.assert_array_equal(fs[k], fm[k])
