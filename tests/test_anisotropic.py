@@ -193,3 +193,25 @@ def test_waam_app_anisotropic_dz(tmp_path):
     assert int(active.sum()) > 0
     T = np.asarray(res["T"])
     assert np.isfinite(T).all() and T.max() > 20.0
+
+
+def test_surface_impulse_uses_face_normal_spacing():
+    """apply_surface_impulse: dT = Q/(rho cp d_normal) — the energy added is
+    Q * A_face per exposed cell regardless of which axis the face faces."""
+    from adi_thermal_fields_tpu.step.cartesian import apply_surface_impulse
+
+    mat = Material(7800.0, 490.0, 54.0)
+    grid = CartesianGrid(6, 6, 6, 1e-3, dy=2e-3, dz=0.5e-3)
+    mask = jnp.ones(grid.shape, bool)
+    T0 = jnp.zeros(grid.shape)
+    Q = 1e6    # J/m^2 on the face
+    for face, axis in (("z-", 2), ("y+", 1), ("x-", 0)):
+        T = apply_surface_impulse(T0, mask, grid, mat, Q, face=face)
+        dT = float(jnp.max(T))
+        expect = Q / (mat.rho * mat.cp * grid.spacing[axis])
+        np.testing.assert_allclose(dT, expect, rtol=1e-12)
+        # energy check: sum(rho cp dT V) == Q * total face area
+        E = float(jnp.sum(T)) * mat.rho * mat.cp * grid.cell_volume
+        n_faces = {0: 36, 1: 36, 2: 36}[axis]
+        np.testing.assert_allclose(E, Q * n_faces * grid.face_area_axis(axis),
+                                   rtol=1e-12)
