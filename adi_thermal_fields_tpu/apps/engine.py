@@ -25,6 +25,13 @@ from ..step.cartesian import adi_step
 
 __all__ = ["make_cartesian_engine", "make_cartesian_advance", "EventLoop"]
 
+# host-readout reductions under jit: the reduced scalar is fully addressable
+# even for multi-process sharded fields (XLA inserts the collective), where
+# an eager jnp.max/isfinite on a multi-host array raises
+_masked_max = jax.jit(lambda T, m: jnp.max(jnp.where(m, T, -jnp.inf)))
+_masked_finite = jax.jit(
+    lambda T, m: jnp.isfinite(jnp.where(m, T, 0.0)).all())
+
 
 def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
                           theta: float = 0.5, t_inf: float = 20.0,
@@ -33,7 +40,8 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
                           source_fn=None, implementation: str = "auto",
                           mesh=None, dtype=None, interpret: bool = False,
                           history_t_crit: float | None = None,
-                          stochastic_rounding: bool = False):
+                          stochastic_rounding: bool = False,
+                          k_table=None, cp_table=None, emissivity=None):
     """Split engine: ``prepare(active) -> prep`` (jitted pack/plan rebuild,
     needed only when the mask changes — i.e. on birth events) and
     ``advance(T, prep, dt, n_sub[, t0]) -> T`` (jitted sub-step loop).
@@ -53,12 +61,13 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
     dtype: pack dtype (defaults to the field dtype at first advance; pass
     explicitly when preparing before the first advance with non-default
     precision).
-    stochastic_rounding: for bfloat16 states on the single-device pallas
-    path, stochastic-round every store (seeded per sub-step from the
-    simulation clock).  ESSENTIAL for long bf16 runs: round-to-nearest
-    silently drops per-step updates smaller than the bf16 quantum (~8 K
-    at 1500 C), freezing slow cooling entirely.  Not differentiable;
-    ignored on xla/mesh branches.
+    stochastic_rounding: for bfloat16 states on the pallas paths (single
+    device AND mesh), stochastic-round every store (seeded per sub-step
+    from an integer step counter).  ESSENTIAL for long bf16 runs:
+    round-to-nearest silently drops per-step updates smaller than the
+    bf16 quantum (~8 K at 1500 C), freezing slow cooling entirely.  Not
+    differentiable.  Raises on branches that cannot honor it (xla,
+    interpret) — a silently-ignored flag here is a correctness hazard.
     history_t_crit: enable per-voxel THERMAL-HISTORY tracking — the advance
     signature becomes ``advance(T, prep, dt, n_sub, t0, hist) -> (T, hist)``
     with ``hist = (T_peak, t_above)`` updated every sub-step: running peak
@@ -71,7 +80,26 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
     RESETS a cell's history at its birth (pre-birth placeholder values are
     meaningless).  NEVER-born cells still accumulate from their placeholder
     temperatures — consumers must mask by the final active state (the WAAM
-    app writes them as 0 in waam_history.vtk)."""
+    app writes them as 0 in waam_history.vtk).
+
+    VARIABLE-PROPERTY PHYSICS (the regime that dominates real WAAM at
+    1500 C; library: step/cartesian_varprop.py, bc/radiation.py):
+    k_table / cp_table: T-dependent conductivity / heat capacity
+    (PropertyTable, scalar, or a per-axis k 3-tuple).  Use
+    ``apparent_cp(...)`` for latent heat and ``melt_pool_enhanced_k(...)``
+    for the melt-pool convection proxy.
+    emissivity: enable the radiative boundary film
+    ``h_rad(T) = eps*sigma*(T+T_inf)(T^2+T_inf^2)`` in ADDITION to the
+    scalar convective ``robin_h`` (Picard-refreshed every SUB-STEP from the
+    live field — tighter than the per-segment refresh of
+    make_cartesian_advance(robin_h_fn=...)).
+    Any of these switches the engine onto the field-coefficient varprop
+    step: Picard coefficients k(T^n)/cp(T^n) are rebuilt in-jit each
+    sub-step (fused by XLA; fused_tridiag_fields kernels on TPU), composing
+    with history tracking and with ``mesh`` sharding (GSPMD-sharded scans).
+    Not compatible with stochastic_rounding, a dict/field robin_h when
+    emissivity is set, or implementation='pallas' plan kernels (the lite
+    plan assumes constant coefficients)."""
     import jax.numpy as jnp
 
     if implementation == "auto":
@@ -93,18 +121,80 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
     lite_c = None
     if robin_h is None or isinstance(robin_h, (int, float)):
         # per-axis h/(rho cp d_axis) — exposed-face A/V differs per axis on
-        # anisotropic voxels; a scalar h still needs no coefficient fields
-        lite_c = tuple(float(robin_h or 0.0) / (mat.rho * mat.cp * d)
+        # anisotropic voxels; a scalar h still needs no coefficient fields.
+        # Computed with the SAME op order as bc/packs.build_coeff_packs
+        # (dtype(h) * dtype(1/(rho cp d))) so the lite path is bitwise equal
+        # to the field path by construction, not by luck — h/(rho cp d) as
+        # one f64 divide differs by 1 ulp for many parameter choices.
+        # Solve precision (>= f32) even for bf16 states: the constant is a
+        # kernel scalar, not a streamed field.
+        lite_dtype = jnp.promote_types(pack_dtype, jnp.float32)
+        lite_c = tuple(jnp.asarray(float(robin_h or 0.0), lite_dtype)
+                       * jnp.asarray(1.0 / (mat.rho * mat.cp * d), lite_dtype)
                        for d in grid.spacing)
     # packs are still needed for Neumann sources / Dirichlet pins
     lite_needs_packs = neumann is not None or dirichlet_mask is not None
 
-    if mesh is not None and implementation == "pallas":
+    varprop = (k_table is not None or cp_table is not None
+               or emissivity is not None)
+    if varprop:
+        from ..bc.radiation import radiative_h
+        from ..step.cartesian_varprop import adi_step_varprop
+
+        if stochastic_rounding:
+            raise ValueError("stochastic_rounding is not supported on the "
+                             "varprop path (field-coefficient kernels carry "
+                             "no PRNG stores yet); run float32")
+        if emissivity is not None and robin_h is not None \
+                and not isinstance(robin_h, (int, float)):
+            raise ValueError("emissivity composes with a SCALAR convective "
+                             "robin_h only (the radiative film is built "
+                             "per-cell from the live field)")
+        impl_vp = "xla" if (interpret or mesh is not None) else implementation
+        h_conv = float(robin_h or 0.0) if emissivity is not None else None
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            am, bm = mesh.axis_names
+            sh0 = NamedSharding(mesh, P(None, am, bm))
+            constrain = (lambda x: jax.lax.with_sharding_constraint(x, sh0))
+        else:
+            constrain = (lambda x: x)
+
+        @jax.jit
+        def prepare(active):
+            active = active.astype(bool)
+            # radiation rebuilds packs per sub-step from the live field;
+            # otherwise they depend on the mask only
+            packs = None if emissivity is not None else _packs(active)
+            return (active, packs)
+
+        def step1(T, prep, dt, t, istep):
+            active, packs = prep
+            T = constrain(T)
+            if emissivity is not None:
+                h = radiative_h(T, emissivity, t_inf, h_conv=h_conv)
+                packs = build_coeff_packs(
+                    active, grid, mat, robin_h=h, neumann=neumann,
+                    dirichlet_mask=dirichlet_mask,
+                    dirichlet_value=dirichlet_value,
+                    dtype=jnp.promote_types(T.dtype, pack_dtype))
+            src = None if source_fn is None else source_fn(t)
+            return constrain(adi_step_varprop(
+                T, active, packs, grid, mat, k_table=k_table,
+                cp_table=cp_table, dt=dt, theta=theta, t_inf=t_inf,
+                source=src, implementation=impl_vp))
+        pad = None
+
+    elif mesh is not None and implementation == "pallas":
         from ..dist.cartesian_pallas import (shard_plan,
                                              sharded_adi_step_pallas)
         from ..step.cartesian_pallas import build_sweep_plan
 
         interpret = jax.default_backend() != "tpu"
+        if stochastic_rounding and interpret:
+            raise ValueError("stochastic_rounding needs the TPU PRNG "
+                             "(pltpu.prng does not lower in interpret mode)")
         inner = sharded_adi_step_pallas(grid, mat, mesh, theta=theta,
                                         t_inf=t_inf, interpret=interpret)
 
@@ -118,14 +208,19 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
                 has_dirichlet=dirichlet_mask is not None,
                 robin_const=lite_c), mesh, traced=True)
 
-        def step1(T, prep, dt, t):
+        def step1(T, prep, dt, t, istep):
             src = None if source_fn is None else source_fn(t)
-            return inner(T, prep, dt, src)
+            seed = istep if stochastic_rounding else None
+            return inner(T, prep, dt, src, rng_seed=seed)
         pad = None
 
     elif mesh is not None:
         from ..dist.cartesian import sharded_adi_step
 
+        if stochastic_rounding:
+            raise ValueError("stochastic_rounding is a pallas-kernel "
+                             "feature; the mesh+xla branch would silently "
+                             "round-to-nearest (bf16 cooling freeze hazard)")
         inner = sharded_adi_step(grid, mat, mesh, theta=theta)
 
         @jax.jit
@@ -133,7 +228,7 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
             active = active.astype(bool)
             return (active, _packs(active))
 
-        def step1(T, prep, dt, t):
+        def step1(T, prep, dt, t, istep):
             active, packs = prep
             src = None if source_fn is None else source_fn(t)
             return inner(T, active, packs, dt, jnp.asarray(t_inf, T.dtype),
@@ -161,12 +256,13 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
                                     has_dirichlet=dirichlet_mask is not None,
                                     robin_const=lite_c, pad_to_tile=True)
 
-        def step1(Tp, prep, dt, t):
+        def step1(Tp, prep, dt, t, istep):
             src = None if source_fn is None else pad_domain(source_fn(t))
-            # per-sub-step seed from the simulation clock (distinct per
-            # global step index t/dt); only consulted for bf16 states
-            seed = (jnp.asarray(t / dt, jnp.int32)
-                    if stochastic_rounding else None)
+            # per-sub-step seed from the INTEGER step counter; deriving it
+            # from t/dt in the state dtype re-correlated consecutive bf16
+            # sub-steps (8-bit mantissa: t/dt quantizes to ~64-step plateaus
+            # past step 256, reintroducing the rounding freeze)
+            seed = istep if stochastic_rounding else None
             return adi_step_pallas(Tp, prep, grid, mat, dt=dt, theta=theta,
                                    t_inf=t_inf, source=src, rng_seed=seed,
                                    interpret=interpret)
@@ -174,12 +270,17 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
         pad = pad_domain
 
     else:
+        if stochastic_rounding:
+            raise ValueError("stochastic_rounding is a pallas-kernel "
+                             "feature; the xla branch would silently "
+                             "round-to-nearest (bf16 cooling freeze hazard)")
+
         @jax.jit
         def prepare(active):
             active = active.astype(bool)
             return (active, _packs(active))
 
-        def step1(T, prep, dt, t):
+        def step1(T, prep, dt, t, istep):
             active, packs = prep
             src = None if source_fn is None else source_fn(t)
             return adi_step(T, active, packs, grid, mat, dt=dt,
@@ -192,14 +293,28 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
              if pad is not None else (lambda x, shape: x))
     padf = pad if pad is not None else (lambda x: x)
 
+    def _clock(state_dtype, dt, t0):
+        """Sub-step clock OUTSIDE the state dtype.  At bf16 (8-bit mantissa)
+        t, dt and i quantize: past step ~256 whole plateaus of sub-steps saw
+        the identical time — and the identical t/dt-derived rounding seed,
+        re-correlating the stochastic rounding the mode depends on.  Returns
+        ``i -> (t_i, istep_i)`` with t_i at >=f32 and istep_i an int32
+        counter offset by the segment's global step index."""
+        tdt = jnp.promote_types(state_dtype, jnp.float32)
+        t0f = jnp.asarray(t0, tdt)
+        dtf = jnp.asarray(dt, tdt)
+        base = jnp.asarray(jnp.round(t0f / dtf), jnp.int32)
+        return lambda i: (t0f + i * dtf, base + i)
+
     if history_t_crit is None:
         @jax.jit
         def advance(T, prep, dt, n_sub, t0=0.0):
             shape = T.shape
             Tp = padf(T)
+            clock = _clock(T.dtype, dt, t0)
 
             def body(i, Tp):
-                return step1(Tp, prep, dt, jnp.asarray(t0, Tp.dtype) + i * dt)
+                return step1(Tp, prep, dt, *clock(i))
 
             return unpad(lax.fori_loop(0, n_sub, body, Tp), shape)
     else:
@@ -220,10 +335,11 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
                 if multi else unpad)
             tc = jnp.asarray(t_crits, jnp.promote_types(T.dtype, jnp.float32))
             carry = (padf(T), padf(pk), pad_ta(ta))
+            clock = _clock(T.dtype, dt, t0)
 
             def body(i, carry):
                 Tp, pk, ta = carry
-                Tp = step1(Tp, prep, dt, jnp.asarray(t0, Tp.dtype) + i * dt)
+                Tp = step1(Tp, prep, dt, *clock(i))
                 pk = jnp.maximum(pk, Tp)
                 if multi:
                     above = Tp[None] > tc[(slice(None),) + (None,) * Tp.ndim]
@@ -235,15 +351,20 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
             Tp, pk, ta = lax.fori_loop(0, n_sub, body, carry)
             return unpad(Tp, shape), (unpad(pk, shape), unpad_ta(ta, shape))
 
-    if history_t_crit is not None:
-        _advance = advance
+    # plain-function wrapper so EventLoop can introspect the engine's
+    # configuration (jitted callables reject attribute assignment)
+    _advance = advance
 
-        def advance(*a, **k):
-            return _advance(*a, **k)
+    def advance(*a, **k):
+        return _advance(*a, **k)
 
-        # EventLoop reads this to size the t_above state — avoids having to
-        # specify the threshold tuple twice
-        advance.history_thresholds = t_crits if multi else None
+    # EventLoop reads this to size the t_above state — avoids having to
+    # specify the threshold tuple twice
+    advance.history_thresholds = (t_crits if history_t_crit is not None
+                                  and multi else None)
+    # EventLoop(interpass_T=...) refuses engines with a continuous source:
+    # the torch would keep burning at the frozen schedule time during dwell
+    advance.has_source = source_fn is not None
 
     return prepare, advance
 
@@ -331,11 +452,10 @@ class EventLoop:
         inserted ON TOP of the print schedule (the schedule clock and
         activation times are unchanged); per-layer dwells are recorded in
         ``self.dwell_log`` as (event_time, dwell_seconds).  One
-        device->host sync per dwell check per layer.  NOTE: meant for
-        deposition-driven heating — an engine built with a continuous
-        ``source_fn`` keeps evaluating it at the frozen schedule time
-        during the dwell (the torch does not switch off), so pair
-        interpass control with birth-deposit heating only.
+        device->host sync per dwell check per layer.  Meant for
+        deposition-driven heating only: ``run`` raises when the advance
+        was built with a continuous ``source_fn`` (the torch would keep
+        burning at the frozen schedule time during the dwell).
     """
 
     advance: Callable
@@ -382,6 +502,15 @@ class EventLoop:
         if self.interpass_T is not None and self.interpass_dwell <= 0:
             raise ValueError("interpass_dwell must be positive (a zero or "
                              "negative increment would dwell forever)")
+        if self.interpass_T is not None and getattr(self.advance,
+                                                    "has_source", False):
+            raise ValueError(
+                "interpass_T cannot be combined with a continuous source_fn: "
+                "during the dwell the engine keeps evaluating the source at "
+                "the frozen schedule time (the torch never switches off), so "
+                "the part may never cool to the threshold.  Model deposition "
+                "heating via birth deposits (deposit_T) when using interpass "
+                "control")
         t = start_t
         active = act <= t
         # layers whose birth time coincides with the start are deposited now
@@ -413,8 +542,7 @@ class EventLoop:
             on_frame(t, T, jnp.broadcast_to(active, T.shape))
 
         def check(t):
-            if not bool(jnp.isfinite(
-                    jnp.where(jnp.broadcast_to(active, T.shape), T, 0.0)).all()):
+            if not bool(_masked_finite(T, jnp.broadcast_to(active, T.shape))):
                 raise FloatingPointError(
                     f"non-finite temperature detected at t={t:.6g} s "
                     f"(dt_cap={self.dt_cap:.3g}; check material/BC magnitudes)")
@@ -449,7 +577,7 @@ class EventLoop:
                     dt_dw = self.interpass_dwell / n_dw
                     act_b = jnp.broadcast_to(active, T.shape)
                     while dwell < self.interpass_max_dwell:
-                        tmax = float(jnp.max(jnp.where(act_b, T, -jnp.inf)))
+                        tmax = float(_masked_max(T, act_b))
                         if tmax <= self.interpass_T:
                             break
                         if self.history:

@@ -53,6 +53,25 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--Ts", type=float, default=1500.0)
     p.add_argument("--corrected_bc", type=int, default=0,
                    help="1: STL projected-area Robin correction")
+    p.add_argument("--emissivity", type=float, default=0.0,
+                   help="surface emissivity: adds the radiative film "
+                        "h_rad(T) = eps*sigma*(T+T_inf)(T^2+T_inf^2) on top "
+                        "of --h_side, Picard-refreshed every sub-step.  At "
+                        "WAAM deposit temperatures radiation dominates "
+                        "convection (0.3-0.8 for steel/Ti)")
+    # variable-property physics (step/cartesian_varprop.py)
+    p.add_argument("--latent_J_kg", type=float, default=0.0,
+                   help="latent heat of fusion [J/kg] via the apparent-cp "
+                        "enthalpy method over --solidus_C..--liquidus_C "
+                        "(steel ~2.7e5)")
+    p.add_argument("--solidus_C", type=float, default=1420.0)
+    p.add_argument("--liquidus_C", type=float, default=1470.0)
+    p.add_argument("--cp_liquid", type=float, default=None,
+                   help="liquid-phase cp [J/kg/K]; default = --cp")
+    p.add_argument("--melt_k_factor", type=float, default=1.0,
+                   help="melt-pool convection proxy: conductivity "
+                        "enhancement above the liquidus (2-10x typical; 1 "
+                        "disables)")
     # numerics
     p.add_argument("--theta", type=float, default=0.5)
     p.add_argument("--cfl", type=float, default=2.0)
@@ -219,14 +238,12 @@ def run(args) -> dict:
     act = jnp.asarray(act)
 
     robin_h = args.h_side
-    if args.corrected_bc and dz != dx:
-        raise SystemExit("--corrected_bc requires cubic voxels "
-                         "(omit --dz_mm); the STL projected-area corrector "
-                         "assumes a single face size")
     if args.corrected_bc:
+        # per-axis spacing: the corrector normalizes by each direction's
+        # true voxel-face area (dy*dz / dx*dz / dx*dy), so --dz_mm composes
         from ..geometry.bc_correction import corrected_robin_fields
         fields, _ = corrected_robin_fields(
-            mesh, mask_full, origin, dx,
+            mesh, mask_full, origin, d,
             {f: args.h_side for f in ("x-", "x+", "y-", "y+", "z-", "z+")})
         robin_h = {f: jnp.asarray(v, dtype) for f, v in fields.items()}
         log("using STL projected-area corrected Robin fields", tag="bc")
@@ -245,13 +262,59 @@ def run(args) -> dict:
         vals = tuple(float(v) for v in str(args.history_t_crit).split(","))
         hist_crits = vals if len(vals) > 1 else vals[0]
 
+    # bf16 with round-to-nearest freezes slow cooling (sub-quantum update
+    # dropout); stochastic rounding is the documented fix.  It needs the
+    # TPU PRNG (single-device AND mesh pallas branches support it); a bf16
+    # run on any other backend would get round-to-nearest, so warn loudly.
+    import jax
+    want_sr = args.precision == "bfloat16"
+    use_sr = want_sr and jax.default_backend() == "tpu"
+    if want_sr and not use_sr:
+        log("bfloat16 WITHOUT stochastic rounding (non-TPU backend): "
+            "round-to-nearest drops sub-quantum updates — slow cooling may "
+            "freeze entirely; use float32 for trustworthy results here",
+            tag="warn")
+
+    # variable-property physics: latent heat (apparent cp), melt-pool
+    # convection proxy, radiation — the terms that dominate at 1500 C
+    k_table = cp_table = None
+    emissivity = args.emissivity if args.emissivity > 0 else None
+    if args.latent_J_kg > 0:
+        from ..step.cartesian_varprop import apparent_cp
+        cp_table = apparent_cp(args.cp, args.cp_liquid or args.cp,
+                               args.latent_J_kg, args.solidus_C,
+                               args.liquidus_C)
+        log(f"latent heat {args.latent_J_kg:.3g} J/kg over "
+            f"{args.solidus_C:g}-{args.liquidus_C:g} C (apparent cp)",
+            tag="phys")
+    if args.melt_k_factor != 1.0:
+        from ..step.cartesian_varprop import melt_pool_enhanced_k
+        k_table = melt_pool_enhanced_k(args.k, args.solidus_C,
+                                       args.liquidus_C,
+                                       enhancement=args.melt_k_factor)
+        log(f"melt-pool k proxy: {args.melt_k_factor:g}x above "
+            f"{args.liquidus_C:g} C", tag="phys")
+    if emissivity is not None:
+        if args.corrected_bc:
+            raise SystemExit("--emissivity + --corrected_bc is not "
+                             "supported: the radiative film is built "
+                             "per-cell from the live field and composes "
+                             "with a scalar --h_side only")
+        log(f"radiative film, emissivity {emissivity:g}", tag="phys")
+    varprop = (k_table is not None or cp_table is not None
+               or emissivity is not None)
+    if varprop and use_sr:
+        log("bfloat16 varprop runs without stochastic rounding "
+            "(unsupported); prefer float32 for production varprop",
+            tag="warn")
+        use_sr = False
+
     # split engine: the pack/plan rebuild runs on birth events only
     prepare, advance = make_cartesian_engine(
         grid, mat, theta=args.theta, t_inf=args.T_inf, robin_h=robin_h,
         mesh=mesh_dev, dtype=dtype, history_t_crit=hist_crits,
-        # bf16 with round-to-nearest freezes slow cooling (sub-quantum
-        # update dropout); stochastic rounding is the documented fix
-        stochastic_rounding=args.precision == "bfloat16")
+        stochastic_rounding=use_sr,
+        k_table=k_table, cp_table=cp_table, emissivity=emissivity)
     dmin = min(d)
     dt_cap = args.cfl * dmin * dmin / mat.alpha
     log(f"alpha={mat.alpha:.3e} m^2/s, dt_cap={dt_cap:.3e} s (cfl={args.cfl})",
@@ -270,9 +333,24 @@ def run(args) -> dict:
         start_t = st.t
         if args.history_t_crit is not None and st.meta \
                 and "history_peak" in st.meta:
+            ha = st.meta["history_above"]
+            # t_above's leading threshold axis must match the CURRENT
+            # --history_t_crit — a silent mismatch would crash deep inside
+            # the jitted advance with an opaque shape error
+            nth = len(hist_crits) if isinstance(hist_crits, tuple) else None
+            want = (grid.shape if nth is None
+                    else (nth,) + tuple(grid.shape))
+            if tuple(ha.shape) != tuple(want):
+                raise SystemExit(
+                    f"checkpoint thermal-history shape {tuple(ha.shape)} does "
+                    f"not match --history_t_crit {args.history_t_crit} "
+                    f"(expected {want}); resume with the same threshold list "
+                    "the checkpoint was written with")
+            # t_above accumulates at solve precision (>= f32) in-run; a f32
+            # restore would silently downgrade float64 runs
             resume_history = (
                 jnp.asarray(st.meta["history_peak"], dtype),
-                jnp.asarray(st.meta["history_above"], jnp.float32))
+                jnp.asarray(ha, jnp.promote_types(dtype, jnp.float32)))
             log("resumed thermal-history state from checkpoint", tag="ckpt")
         log(f"resumed from {args.resume} at t={start_t:.3f} s", tag="ckpt")
 

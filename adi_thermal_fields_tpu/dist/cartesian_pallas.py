@@ -27,6 +27,21 @@ from ..step.cartesian_pallas import SweepPlan
 __all__ = ["sharded_adi_step_pallas", "shard_plan"]
 
 
+def _stoch_round_bf16(x, seed):
+    """Unbiased f32 -> bf16 rounding in plain XLA: add 16 uniform random low
+    bits to the f32 bit pattern, truncate.  The sweep kernels stochastically
+    round their own stores (pltpu PRNG); this covers the explicit stencil
+    pass, which must stay in global XLA for its cross-shard halo exchange.
+    Round-to-nearest here would silently drop sub-quantum updates (~8 K at
+    1500 C) and freeze slow cooling — see NOTES.md (bf16 production
+    hazard)."""
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    r = jax.random.bits(jax.random.key(seed), bits.shape, jnp.uint32)
+    bits = bits + (r & jnp.uint32(0xFFFF))
+    return jax.lax.bitcast_convert_type(
+        (bits >> 16).astype(jnp.uint16), jnp.bfloat16)
+
+
 def _specs(mesh: Mesh):
     a, b = mesh.axis_names
     return {
@@ -92,6 +107,36 @@ def sharded_adi_step_pallas(grid: CartesianGrid, mat: Material, mesh: Mesh, *,
         return fused_sweep_axis1_v2(rhs, code, None, tg, dt, t_inf,
                                     rob_c=rc, interpret=interpret)
 
+    # stochastic (bf16) variants: per-shard decorrelated kernel seeds — the
+    # kernel itself strides its PRNG by program id, so shards stride by a
+    # constant far above any per-shard program count
+    nb = mesh.shape[b]
+
+    def _shard_seed(seed):
+        idx = jax.lax.axis_index(a) * nb + jax.lax.axis_index(b)
+        return (jnp.asarray(seed, jnp.int32)
+                + (idx + 1).astype(jnp.int32) * jnp.int32(1_000_003))
+
+    def local0_s(rhs, code, coeff, tg, dt, seed):
+        return fused_sweep_axis0_v2(rhs, code, coeff, tg, dt, t_inf,
+                                    rng_seed=_shard_seed(seed),
+                                    interpret=interpret)
+
+    def local1_s(rhs, code, coeff, tg, dt, seed):
+        return fused_sweep_axis1_v2(rhs, code, coeff, tg, dt, t_inf,
+                                    rng_seed=_shard_seed(seed),
+                                    interpret=interpret)
+
+    def local0_lite_s(rhs, code, tg, dt, rc, seed):
+        return fused_sweep_axis0_v2(rhs, code, None, tg, dt, t_inf,
+                                    rob_c=rc, rng_seed=_shard_seed(seed),
+                                    interpret=interpret)
+
+    def local1_lite_s(rhs, code, tg, dt, rc, seed):
+        return fused_sweep_axis1_v2(rhs, code, None, tg, dt, t_inf,
+                                    rob_c=rc, rng_seed=_shard_seed(seed),
+                                    interpret=interpret)
+
     sweep_x = shard_map(local0, mesh=mesh,
                         in_specs=(s[0], s[0], s[0], P(), P()),
                         out_specs=s[0], check_vma=False)
@@ -108,6 +153,20 @@ def sharded_adi_step_pallas(grid: CartesianGrid, mat: Material, mesh: Mesh, *,
                           out_specs=s[1], check_vma=False)
     sweep_z_l = shard_map(local0_lite, mesh=mesh, in_specs=lspec(2),
                           out_specs=s[2], check_vma=False)
+    sspec = (lambda i: (s[i], s[i], s[i], P(), P(), P()))
+    sweep_x_s = shard_map(local0_s, mesh=mesh, in_specs=sspec(0),
+                          out_specs=s[0], check_vma=False)
+    sweep_y_s = shard_map(local1_s, mesh=mesh, in_specs=sspec(1),
+                          out_specs=s[1], check_vma=False)
+    sweep_z_s = shard_map(local0_s, mesh=mesh, in_specs=sspec(2),
+                          out_specs=s[2], check_vma=False)
+    lsspec = (lambda i: (s[i], s[i], P(), P(), P(), P()))
+    sweep_x_ls = shard_map(local0_lite_s, mesh=mesh, in_specs=lsspec(0),
+                           out_specs=s[0], check_vma=False)
+    sweep_y_ls = shard_map(local1_lite_s, mesh=mesh, in_specs=lsspec(1),
+                           out_specs=s[1], check_vma=False)
+    sweep_z_ls = shard_map(local0_lite_s, mesh=mesh, in_specs=lsspec(2),
+                           out_specs=s[2], check_vma=False)
 
     def prefold(rhs, plan, ax, dt):
         """Fold Neumann sources / Dirichlet pins into the sweep RHS in global
@@ -125,8 +184,62 @@ def sharded_adi_step_pallas(grid: CartesianGrid, mat: Material, mesh: Mesh, *,
         return jnp.where((plan.codes[ax] & 4) > 0, 0.0, plan.coeffs[ax])
 
     @jax.jit
-    def step(T, plan: SweepPlan, dt, source=None):
+    def step(T, plan: SweepPlan, dt, source=None, rng_seed=None):
         mask = plan.mask
+        stoch = rng_seed is not None and T.dtype == jnp.bfloat16
+        if stoch:
+            # bf16 production mode: all arithmetic in f32, every bf16 store
+            # stochastically rounded — the stencil pass via the XLA-side bit
+            # trick (it needs global halos), the sweeps via the kernels'
+            # pltpu-PRNG stores with per-shard decorrelated seeds
+            dtf = jnp.asarray(dt, jnp.float32)
+            tgs = [theta * (kappa * dtf * iv) for iv in inv_d2]
+            Tf = constrain(T, s[0]).astype(jnp.float32)
+            lap = (masked_laplacian_1d(Tf, mask, 0, inv_d2[0])
+                   + masked_laplacian_1d(Tf, mask, 1, inv_d2[1])
+                   + masked_laplacian_1d(Tf, mask, 2, inv_d2[2]))
+            R0f = Tf + dtf * kappa * (1.0 - theta) * lap
+            if source is not None:
+                R0f = R0f + jnp.where(mask, dtf * source / (mat.rho * mat.cp),
+                                      0.0)
+            R0 = _stoch_round_bf16(constrain(R0f, s[0]), rng_seed)
+
+            def prefold_s(rhs, ax, seed):
+                # sources folded at f32 + one stochastic re-round; Dirichlet
+                # pins are exact overwrites (no rounding concern)
+                if plan.qfluxes is not None:
+                    rhs = _stoch_round_bf16(
+                        rhs.astype(jnp.float32) + dtf * plan.qfluxes[ax],
+                        seed)
+                if plan.dir_vals is not None:
+                    pin = (plan.codes[ax] & 4) > 0
+                    rhs = jnp.where(pin, plan.dir_vals[ax].astype(rhs.dtype),
+                                    rhs)
+                return rhs
+
+            sd = jnp.asarray(rng_seed, jnp.int32)
+            if plan.coeffs is None:
+                rc = jnp.broadcast_to(
+                    jnp.asarray(plan.rob_c, jnp.float32), (3,))
+                U = sweep_x_ls(constrain(prefold_s(R0, 0, sd + 10), s[0]),
+                               plan.codes[0], tgs[0], dtf, rc[0], sd + 1)
+                V = sweep_y_ls(constrain(prefold_s(U, 1, sd + 20), s[1]),
+                               plan.codes[1], tgs[1], dtf, rc[1], sd + 2)
+                Wz = sweep_z_ls(constrain(prefold_s(
+                    jnp.transpose(V, (2, 0, 1)), 2, sd + 30), s[2]),
+                    plan.codes[2], tgs[2], dtf, rc[2], sd + 3)
+                return constrain(jnp.transpose(Wz, (1, 2, 0)), s[0])
+            U = sweep_x_s(constrain(prefold_s(R0, 0, sd + 10), s[0]),
+                          plan.codes[0], coeff_of(plan, 0), tgs[0], dtf,
+                          sd + 1)
+            V = sweep_y_s(constrain(prefold_s(U, 1, sd + 20), s[1]),
+                          plan.codes[1], coeff_of(plan, 1), tgs[1], dtf,
+                          sd + 2)
+            Wz = sweep_z_s(constrain(prefold_s(
+                jnp.transpose(V, (2, 0, 1)), 2, sd + 30), s[2]),
+                plan.codes[2], coeff_of(plan, 2), tgs[2], dtf, sd + 3)
+            return constrain(jnp.transpose(Wz, (1, 2, 0)), s[0])
+
         dt = jnp.asarray(dt, T.dtype)
         tg = [theta * (kappa * dt * iv) for iv in inv_d2]
 

@@ -19,10 +19,13 @@ __all__ = ["RunState", "save_checkpoint", "load_checkpoint",
 
 @dataclasses.dataclass
 class RunState:
+    """Resume is by simulation time: ``EventLoop.run(start_t=t)`` replays the
+    schedule from ``t`` (births strictly before it are already in ``active``),
+    so no event-cursor state is stored."""
+
     T: Any                   # (nx, ny, nz) temperature field
     active: Any              # activation state (bool field or times array)
     t: float                 # simulation time [s]
-    event_index: int = 0     # cursor into the event schedule
     meta: dict | None = None
 
 
@@ -32,7 +35,6 @@ def save_checkpoint(path: str, state: RunState) -> None:
         T=np.asarray(state.T),
         active=np.asarray(state.active),
         t=np.float64(state.t),
-        event_index=np.int64(state.event_index),
         **{f"meta_{k}": np.asarray(v) for k, v in (state.meta or {}).items()},
     )
 
@@ -41,7 +43,7 @@ def load_checkpoint(path: str) -> RunState:
     with np.load(path) as z:
         meta = {k[5:]: z[k] for k in z.files if k.startswith("meta_")}
         return RunState(T=z["T"], active=z["active"], t=float(z["t"]),
-                        event_index=int(z["event_index"]), meta=meta or None)
+                        meta=meta or None)
 
 
 def save_checkpoint_orbax(path: str, state: RunState) -> None:
@@ -52,7 +54,6 @@ def save_checkpoint_orbax(path: str, state: RunState) -> None:
     ckptr.save(os.path.abspath(path), {
         "T": state.T, "active": state.active,
         "t": np.float64(state.t),
-        "event_index": np.int64(state.event_index),
     }, force=True)
     ckptr.wait_until_finished()
 
@@ -62,5 +63,4 @@ def load_checkpoint_orbax(path: str, template: dict | None = None) -> RunState:
 
     ckptr = ocp.StandardCheckpointer()
     tree = ckptr.restore(os.path.abspath(path), template)
-    return RunState(T=tree["T"], active=tree["active"], t=float(tree["t"]),
-                    event_index=int(tree["event_index"]))
+    return RunState(T=tree["T"], active=tree["active"], t=float(tree["t"]))

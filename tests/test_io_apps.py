@@ -28,13 +28,13 @@ def test_vtk_roundtrip(tmp_path):
 def test_checkpoint_roundtrip(tmp_path):
     rng = np.random.default_rng(1)
     st = RunState(T=rng.random((3, 4, 5)), active=rng.random((3, 4, 5)) > 0.5,
-                  t=12.5, event_index=7)
+                  t=12.5)
     path = str(tmp_path / "ck.npz")
     save_checkpoint(path, st)
     st2 = load_checkpoint(path)
     np.testing.assert_allclose(st2.T, st.T)
     np.testing.assert_array_equal(st2.active, st.active)
-    assert st2.t == 12.5 and st2.event_index == 7
+    assert st2.t == 12.5
 
 
 def test_single_track_app_smoke(tmp_path):

@@ -128,16 +128,14 @@ def test_orbax_checkpoint_preserves_sharding(tmp_path):
     T = jax.device_put(jnp.asarray(rng.random((8, 8, 8))), sh)
     active = jax.device_put(jnp.asarray(rng.random((8, 8, 8)) > 0.5), sh)
     path = str(tmp_path / "ck_orbax")
-    save_checkpoint_orbax(path, RunState(T=T, active=active, t=3.5,
-                                         event_index=4))
+    save_checkpoint_orbax(path, RunState(T=T, active=active, t=3.5))
 
     template = {"T": jax.ShapeDtypeStruct(T.shape, T.dtype, sharding=sh),
                 "active": jax.ShapeDtypeStruct(active.shape, active.dtype,
                                                sharding=sh),
-                "t": np.zeros((), np.float64),
-                "event_index": np.zeros((), np.int64)}
+                "t": np.zeros((), np.float64)}
     st = load_checkpoint_orbax(path, template)
-    assert st.t == 3.5 and st.event_index == 4
+    assert st.t == 3.5
     assert len(st.T.sharding.device_set) == 8
     np.testing.assert_allclose(np.asarray(st.T), np.asarray(T))
     np.testing.assert_array_equal(np.asarray(st.active), np.asarray(active))
