@@ -30,7 +30,8 @@ import numpy as np
 
 from .thomas import thomas
 
-__all__ = ["sweep_solve", "sweep_solve_lite", "theta_rhs_diff"]
+__all__ = ["sweep_solve", "sweep_solve_lite", "theta_rhs_diff",
+           "fused_theta_solve_lite"]
 
 
 def _f0(x):
@@ -222,6 +223,84 @@ def sweep_solve_lite(rhs, code, rob_c, tg, dt, t_inf, qflux=None,
         rhs, code, jnp.asarray(rob_c, dtype), jnp.asarray(tg, dtype),
         jnp.asarray(dt, dtype), jnp.asarray(t_inf, dtype),
         qflux if has_q else zero, dir_val if has_d else zero)
+
+
+@functools.cache
+def _fused_theta_solve_lite(interpret: bool):
+    """Differentiable fused theta+x-sweep (solvers/pallas_theta_sweep.py):
+    ``x = A^{-1} d`` with ``d = (I + c_exp L) T + dt*cf*t_inf`` and A the
+    plan-lite masked tridiagonal along axis 0.  Pullback: transposed solve
+    ``A^T y = g`` then the symmetric stencil for ``T_bar = (I + c_exp L) y``;
+    scalar cotangents follow _sweep_solve_lite plus the stencil's c/inv
+    terms (per-axis unit-Laplacian passes)."""
+    from .pallas_stencil import theta_rhs
+    from .pallas_theta_sweep import fused_theta_sweep_axis0
+
+    @jax.custom_vjp
+    def solve(T, code, c_exp, inv_d2, rob_c, tg, dt, t_inf):
+        return fused_theta_sweep_axis0(T, code, c_exp, inv_d2, tg, dt,
+                                       t_inf, rob_c, interpret=interpret)
+
+    def fwd(T, code, c_exp, inv_d2, rob_c, tg, dt, t_inf):
+        x = solve(T, code, c_exp, inv_d2, rob_c, tg, dt, t_inf)
+        return x, (x, T, code, c_exp, inv_d2, rob_c, tg, dt, t_inf)
+
+    def bwd(res, g):
+        x, T, code, c_exp, inv_d2, rob_c, tg, dt, t_inf = res
+        dtype = x.dtype
+        cdt = jnp.promote_types(dtype, jnp.float32)
+        code_f = code.astype(jnp.int32)
+        low = (code_f & 1) > 0
+        high = (code_f & 2) > 0
+        lowf = low.astype(dtype)
+        highf = high.astype(dtype)
+        inm = (code_f & 8) > 0
+        nfaces = (2.0 - lowf - highf) * inm.astype(dtype)
+        cf = (rob_c * nfaces).astype(dtype)
+        a = jnp.where(low, -tg, 0.0).astype(dtype)
+        c = jnp.where(high, -tg, 0.0).astype(dtype)
+        b = (1.0 + tg * (lowf + highf) + dt * cf).astype(dtype)
+
+        y = thomas(_shift_dn(c), b, _shift_up(a), g)    # A^T y = g
+
+        mask_i8 = inm.astype(jnp.int8)
+        inv3 = jnp.broadcast_to(jnp.asarray(inv_d2, cdt), (3,))
+        # d(T) = (I + c_exp L) T with L the symmetric masked Laplacian
+        T_bar = theta_rhs(y.astype(dtype), mask_i8, jnp.asarray(c_exp, cdt),
+                          inv3, interpret=interpret)
+        rob_c_bar = jnp.sum(dt * y * (t_inf - x) * nfaces).astype(cdt)
+        x_lo = _shift_dn(x)
+        x_hi = _shift_up(x)
+        tg_bar = -jnp.sum(
+            y * ((lowf + highf) * x - lowf * x_lo - highf * x_hi)).astype(cdt)
+        dt_bar = jnp.sum(y * cf * (t_inf - x)).astype(cdt)
+        t_inf_bar = jnp.sum(y * dt * cf).astype(cdt)
+        # c_exp / inv_d2 cotangents via per-axis unit-Laplacian passes
+        one = jnp.ones((), cdt)
+        gi = jnp.stack([
+            jnp.vdot(y, theta_rhs(
+                T, mask_i8, one,
+                jnp.zeros((3,), cdt).at[ax].set(1.0),
+                interpret=interpret) - T).astype(cdt)
+            for ax in range(3)])
+        inv_bar = (jnp.asarray(c_exp, cdt) * gi).astype(cdt)
+        c_bar = jnp.sum(inv3 * gi).astype(cdt)
+        return (T_bar, _f0(code), c_bar, inv_bar, rob_c_bar, tg_bar,
+                dt_bar, t_inf_bar)
+
+    solve.defvjp(fwd, bwd)
+    return solve
+
+
+def fused_theta_solve_lite(T, code, c_exp, inv_d2, rob_c, tg, dt, t_inf, *,
+                           interpret: bool = False):
+    """Differentiable fused explicit-theta-pass + plan-lite x-sweep."""
+    cdt = jnp.promote_types(T.dtype, jnp.float32)
+    return _fused_theta_solve_lite(interpret)(
+        T, code, jnp.asarray(c_exp, cdt),
+        jnp.broadcast_to(jnp.asarray(inv_d2, cdt), (3,)),
+        jnp.asarray(rob_c, cdt), jnp.asarray(tg, cdt), jnp.asarray(dt, cdt),
+        jnp.asarray(t_inf, cdt))
 
 
 @functools.cache

@@ -45,7 +45,8 @@ __all__ = ["sweep_code", "fused_sweep", "fused_sweep_axis0",
 _LOW, _HIGH, _PIN, _INMASK = np.int8(1), np.int8(2), np.int8(4), np.int8(8)
 
 
-def sweep_code(mask: jax.Array, dir_mask: jax.Array | None, axis: int) -> jax.Array:
+def sweep_code(mask: jax.Array, dir_mask: jax.Array | None, axis: int, *,
+               stencil_bits: bool = False) -> jax.Array:
     """int8 per-cell sweep code for ``axis``, in the (axis-first) layout.
 
     Bits: 1 = coupling to the i-1 neighbor, 2 = coupling to i+1,
@@ -56,12 +57,37 @@ def sweep_code(mask: jax.Array, dir_mask: jax.Array | None, axis: int) -> jax.Ar
     cells (bc/packs.build_coeff_packs semantics; reference
     adi3d_numba_coeff.py:93-99) — so no coefficient field is streamed.
     Pinned rows carry ONLY bit 4 (their Robin sink is folded away, matching
-    the field path's ``coeff = where(pin, 0, coeff)``)."""
+    the field path's ``coeff = where(pin, 0, coeff)``).
+
+    ``stencil_bits`` (axis-0 codes only): also pack the OTHER two axes'
+    neighbor couplings — bits 16/32 = coupling to the (axis+1)∓1 neighbor,
+    bits 64/128 = coupling to the (axis+2)∓1 neighbor — so the fused
+    theta+sweep kernel (solvers/pallas_theta_sweep.py) derives every
+    mask-aware Laplacian term of the explicit pass from this one byte, with
+    no mask array or code halos streamed.  Bit 128 is the int8 sign bit:
+    the byte is assembled in uint8 and bitcast (kernels sign-extend to
+    int32, where ``& 128`` still isolates the bit).  Consumers of the plain
+    4-bit code ignore the high bits."""
     from ..bc.faces import shift_in
 
     mask = mask.astype(bool)
     low = mask & shift_in(mask, axis, -1, fill=False)
     high = mask & shift_in(mask, axis, +1, fill=False)
+    if stencil_bits:
+        u8 = jnp.uint8
+        code = (low.astype(u8) * u8(1) | high.astype(u8) * u8(2)
+                | mask.astype(u8) * u8(8))
+        for nth, bit_lo, bit_hi in (((axis + 1) % 3, 16, 32),
+                                    ((axis + 2) % 3, 64, 128)):
+            nlo = mask & shift_in(mask, nth, -1, fill=False)
+            nhi = mask & shift_in(mask, nth, +1, fill=False)
+            code = code | nlo.astype(u8) * u8(bit_lo) \
+                | nhi.astype(u8) * u8(bit_hi)
+        if dir_mask is not None:
+            pin = dir_mask.astype(bool) & mask
+            code = jnp.where(pin, u8(4), code)
+        code = jax.lax.bitcast_convert_type(code, jnp.int8)
+        return jnp.moveaxis(code, axis, 0)
     code = ((low.astype(jnp.int8) * _LOW) | (high.astype(jnp.int8) * _HIGH)
             | (mask.astype(jnp.int8) * _INMASK))
     if dir_mask is not None:

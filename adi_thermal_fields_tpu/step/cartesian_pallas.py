@@ -103,10 +103,14 @@ def build_sweep_plan(mask: jax.Array, packs: CoeffPacks | None, *,
     padf = pad_domain if pad_to_tile else (lambda a: a)
     dirm = padf(packs.dir_mask) if has_dirichlet else None
     tr = lambda arr, ax: jnp.transpose(padf(arr), _PERM[ax])
-    # sweep_code returns axis-first; re-lay into each sweep's kernel layout
+    # sweep_code returns axis-first; re-lay into each sweep's kernel layout.
+    # The axis-0 code carries the full 8-bit stencil neighbor set so the
+    # fused theta+x-sweep kernel needs no mask array or halo codes
+    # (solvers/pallas_theta_sweep.py); 4-bit consumers ignore the high bits.
     codes = tuple(
-        jnp.transpose(jnp.moveaxis(sweep_code(mask, dirm, ax), 0, ax),
-                      _PERM[ax])
+        jnp.transpose(jnp.moveaxis(
+            sweep_code(mask, dirm, ax, stencil_bits=ax == 0), 0, ax),
+            _PERM[ax])
         for ax in range(3))
     if robin_const is not None:
         coeffs = None
@@ -161,6 +165,48 @@ def adi_step_pallas(T: jax.Array, plan: SweepPlan, grid: CartesianGrid,
 
     stochastic = (rng_seed is not None
                   and T.dtype != jnp.promote_types(T.dtype, jnp.float32))
+    lite = plan.coeffs is None
+    q = plan.qfluxes or (None, None, None)
+    dv = plan.dir_vals or (None, None, None)
+
+    if (lite and source is None and plan.qfluxes is None
+            and plan.dir_vals is None and plan.mask_i8 is not None):
+        # FUSED theta+x-sweep fast path (the flagship WAAM configuration):
+        # the explicit pass is computed in-registers inside the x-sweep
+        # kernel — no R0 HBM round trip (8 B/cell) and one launch fewer.
+        # Bitwise identical to the unfused chain (tests/test_theta_sweep.py).
+        rc = plan.rob_c
+        c_exp = dt * kappa * (1.0 - theta)
+        if stochastic:
+            from ..solvers.pallas_sweeps import (fused_sweep_axis0_v2,
+                                                 fused_sweep_axis1_v2)
+            from ..solvers.pallas_theta_sweep import fused_theta_sweep_axis0
+
+            U = fused_theta_sweep_axis0(T, plan.codes[0], c_exp,
+                                        tuple(inv_d2), tg[0], dt, t_inf,
+                                        rc[0], rng_seed=rng_seed + 1,
+                                        interpret=interpret)
+            V = fused_sweep_axis1_v2(U, plan.codes[1], None, tg[1], dt,
+                                     t_inf, rng_seed=rng_seed + 2,
+                                     rob_c=rc[1], interpret=interpret)
+            W = fused_sweep_axis0_v2(jnp.transpose(V, (2, 0, 1)),
+                                     plan.codes[2], None, tg[2], dt, t_inf,
+                                     rng_seed=rng_seed + 3, rob_c=rc[2],
+                                     interpret=interpret)
+            return fin(jnp.transpose(W, (1, 2, 0)))
+        from ..solvers.differentiable import (fused_theta_solve_lite,
+                                              sweep_solve_lite)
+
+        U = fused_theta_solve_lite(T, plan.codes[0], c_exp, tuple(inv_d2),
+                                   rc[0], tg[0], dt, t_inf,
+                                   interpret=interpret)
+        V = sweep_solve_lite(U, plan.codes[1], rc[1], tg[1], dt, t_inf,
+                             axis=1, interpret=interpret)
+        W = sweep_solve_lite(jnp.transpose(V, (2, 0, 1)), plan.codes[2],
+                             rc[2], tg[2], dt, t_inf, axis=0,
+                             interpret=interpret)
+        return fin(jnp.transpose(W, (1, 2, 0)))
+
     if plan.mask_i8 is not None:
         # fused stencil kernel: one HBM pass instead of XLA's ~3
         # (differentiable: L is symmetric, pullback is the stencil itself)
@@ -179,10 +225,6 @@ def adi_step_pallas(T: jax.Array, plan: SweepPlan, grid: CartesianGrid,
         R0 = T + dt * kappa * (1.0 - theta) * lap
     if source is not None:
         R0 = R0 + jnp.where(mask, dt * source / (mat.rho * mat.cp), 0.0)
-
-    q = plan.qfluxes or (None, None, None)
-    dv = plan.dir_vals or (None, None, None)
-    lite = plan.coeffs is None
 
     if stochastic:
         from ..solvers.pallas_sweeps import (fused_sweep_axis0_v2,
