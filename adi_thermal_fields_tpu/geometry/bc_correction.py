@@ -35,15 +35,21 @@ _FACE_AXIS = {"x-": 0, "x+": 0, "y-": 1, "y+": 1, "z-": 2, "z+": 2}
 _FACE_SIGN = {"x-": -1, "x+": +1, "y-": -1, "y+": +1, "z-": -1, "z+": +1}
 
 
-def voxel_projected_areas(mesh: TriMesh, mask: np.ndarray, origin, dx: float,
+def voxel_projected_areas(mesh: TriMesh, mask: np.ndarray, origin, dx,
                           max_level: int = 6) -> dict[str, np.ndarray]:
     """Per-face-direction 3-D arrays of true boundary area projected onto
-    each voxel's faces [m^2]; only in-mask voxels accumulate."""
+    each voxel's faces [m^2]; only in-mask voxels accumulate.
+
+    ``dx``: scalar voxel pitch or per-axis (dx, dy, dz) — anisotropic
+    voxels (the WAAM ``--dz_mm`` mode) bin by per-axis pitch and subdivide
+    to the smallest pitch."""
     mask = np.asarray(mask, bool)
     origin = np.asarray(origin, float)
     dims = np.asarray(mask.shape)
+    d3 = np.broadcast_to(np.asarray(dx, float), (3,)).astype(float)
 
-    sub, parent = subdivided_triangles(mesh.triangles, max_edge=0.9 * dx,
+    sub, parent = subdivided_triangles(mesh.triangles,
+                                       max_edge=0.9 * float(d3.min()),
                                        max_level=max_level)
     # sub-triangle areas and (parent) normals
     e1 = sub[:, 1] - sub[:, 0]
@@ -62,7 +68,7 @@ def voxel_projected_areas(mesh: TriMesh, mask: np.ndarray, origin, dx: float,
     unit_n = np.where(nrm > 1e-300, area_n / np.maximum(nrm, 1e-300), 0.0)
 
     def bin_ok(points):
-        idx = np.floor((points - origin) / dx).astype(int)
+        idx = np.floor((points - origin) / d3).astype(int)
         inb = np.all((idx >= 0) & (idx < dims), axis=1)
         idx_c = np.clip(idx, 0, dims - 1)
         return idx, inb & mask[idx_c[:, 0], idx_c[:, 1], idx_c[:, 2]]
@@ -72,7 +78,7 @@ def voxel_projected_areas(mesh: TriMesh, mask: np.ndarray, origin, dx: float,
         miss = ~ok
         if not miss.any():
             break
-        idx2, ok2 = bin_ok(cent[miss] - step * dx * unit_n[miss])
+        idx2, ok2 = bin_ok(cent[miss] - step * d3 * unit_n[miss])
         idx[miss] = np.where(ok2[:, None], idx2, idx[miss])
         ok[miss] = ok2
     idx = idx[ok]
@@ -90,28 +96,32 @@ def voxel_projected_areas(mesh: TriMesh, mask: np.ndarray, origin, dx: float,
     return out
 
 
-def corrected_robin_fields(mesh: TriMesh, mask: np.ndarray, origin, dx: float,
+def corrected_robin_fields(mesh: TriMesh, mask: np.ndarray, origin, dx,
                            base_h: dict[str, float],
                            fallback_to_base: bool = True,
                            max_level: int = 6
                            ) -> tuple[dict[str, np.ndarray], dict[str, np.ndarray]]:
     """(robin_h_fields, area_scale_fields) keyed by face direction.
 
-    ``h_face[cell] = base_h[face] * projected_area / dx^2`` on cells the mesh
-    touches; exposed cells with no projected area fall back to ``base_h``
-    (reference voxel_bc_correction.py:110-167).
+    ``h_face[cell] = base_h[face] * projected_area / A_face`` on cells the
+    mesh touches, with the PER-FACE voxel area ``A_face`` (dy*dz for x
+    faces, dx*dz for y, dx*dy for z — the reference's single ``dx^2``,
+    voxel_bc_correction.py:170-182, generalized to anisotropic voxels);
+    exposed cells with no projected area fall back to ``base_h``
+    (voxel_bc_correction.py:110-167).
     """
     import jax.numpy as jnp
 
     from ..bc.faces import exposed_face
 
-    projected = voxel_projected_areas(mesh, mask, origin, dx,
+    d3 = np.broadcast_to(np.asarray(dx, float), (3,)).astype(float)
+    projected = voxel_projected_areas(mesh, mask, origin, d3,
                                       max_level=max_level)
-    face_area = dx * dx
+    face_area = {0: d3[1] * d3[2], 1: d3[0] * d3[2], 2: d3[0] * d3[1]}
     robin, scale = {}, {}
     mask_j = jnp.asarray(np.asarray(mask, bool))
     for f, h0 in base_h.items():
-        scl = projected[f] / face_area
+        scl = projected[f] / face_area[_FACE_AXIS[f]]
         h = float(h0) * scl
         if fallback_to_base and h0 != 0.0:
             exp = np.asarray(exposed_face(mask_j, f))

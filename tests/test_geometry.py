@@ -248,3 +248,92 @@ def test_corrected_projections_tilted_cone_converge():
     assert errs[0] < 0.08, errs
     assert errs[1] < 0.05, errs
     assert errs[1] <= errs[0] + 0.005  # converging
+
+
+def test_corrected_projections_anisotropic_voxels():
+    """Anisotropic (dz != dx) voxels: per-direction projected-area sums
+    still converge to the triangle-exact projections, and the h scaling
+    normalizes by each direction's TRUE voxel-face area (dy*dz / dx*dz /
+    dx*dy) — the reference's single dx^2 (voxel_bc_correction.py:170-182)
+    generalized so --corrected_bc composes with --dz_mm."""
+    mesh = _cone_mesh()
+    n = mesh.face_normals
+    A = mesh.face_areas
+    exact = {}
+    for f, (ax, sg) in {"x-": (0, -1), "x+": (0, 1), "y-": (1, -1),
+                        "y+": (1, 1), "z-": (2, -1), "z+": (2, 1)}.items():
+        exact[f] = float(np.sum(np.maximum(sg * n[:, ax], 0.0) * A))
+    d = (1e-3, 1e-3, 0.5e-3)
+    mask, origin = voxelize_solid(mesh, d)
+    proj = voxel_projected_areas(mesh, mask, origin, d)
+    err = max(abs(proj[f].sum() - exact[f]) / max(exact[f], 1e-12)
+              for f in exact)
+    assert err < 0.06, err
+
+    # flat box: summed scale * per-face voxel area must recover each flat
+    # face's true area — with the old dx^2 normalization the x/y sums would
+    # be off by exactly dz/dx = 0.5
+    L = (0.02, 0.016, 0.012)
+    box = box_mesh(size=L, center=tuple(v / 2 for v in L))
+    maskb, ob = voxelize_solid(box, d)
+    base_h = {f: 1.0 for f in ("x-", "x+", "y-", "y+", "z-", "z+")}
+    _, scale = corrected_robin_fields(box, maskb, ob, d, base_h,
+                                      fallback_to_base=False)
+    areas = {"x+": (L[1] * L[2], d[1] * d[2]),
+             "y+": (L[0] * L[2], d[0] * d[2]),
+             "z+": (L[0] * L[1], d[0] * d[1])}
+    for f, (true_area, face_area) in areas.items():
+        np.testing.assert_allclose(scale[f].sum() * face_area, true_area,
+                                   rtol=0.02, err_msg=f)
+
+
+@pytest.mark.slow
+def test_corrected_robin_gridconv_nxr32():
+    """Reference-breadth grid convergence (quick_compare_robin_correction_
+    gridconv.py:143-200): cylinder resolution sweep to nxr=32 — corrected
+    per-direction area sums converge to the exact lateral projections
+    (4 R H per x/y pair) with monotonically improving error."""
+    R, H = 0.02, 0.04
+    mesh = cylinder_mesh(R, H, center=(0, 0, H / 2), n_phi=256)
+    errs = []
+    for nxr in (8, 16, 32):
+        dx = R / nxr
+        mask, origin = voxelize_solid(mesh, dx)
+        base_h = {f: 1.0 for f in ("x-", "x+", "y-", "y+")}
+        robin, _ = corrected_robin_fields(mesh, mask, origin, dx, base_h,
+                                          fallback_to_base=False)
+        err = max(
+            abs((robin[p0].sum() + robin[p1].sum()) * dx * dx - 4 * R * H)
+            / (4 * R * H)
+            for p0, p1 in (("x-", "x+"), ("y-", "y+")))
+        errs.append(err)
+    assert errs[-1] < 0.03, errs
+    assert errs[2] <= errs[0] + 0.005, errs
+
+
+@pytest.mark.slow
+def test_corrected_projections_arbitrary_stl_dx_sweep(tmp_path):
+    """Reference-breadth check (quick_compare_robin_correction_surface_
+    complex.py:335-407): an ARBITRARY body loaded from an STL file, voxel
+    pitch sweep — per-direction projected-area sums converge to the
+    triangle-exact projections."""
+    from adi_thermal_fields_tpu.geometry.stl import load_stl, save_stl_binary
+
+    path = str(tmp_path / "blob_mm.stl")
+    cone = _cone_mesh(R=0.02, H=0.05, tilt=0.4)
+    save_stl_binary(path, type(cone)(cone.triangles * 1e3))  # mm units
+    mesh = load_stl(path, units="auto")                      # -> meters
+    n = mesh.face_normals
+    A = mesh.face_areas
+    exact = {}
+    for f, (ax, sg) in {"x-": (0, -1), "x+": (0, 1), "y-": (1, -1),
+                        "y+": (1, 1), "z-": (2, -1), "z+": (2, 1)}.items():
+        exact[f] = float(np.sum(np.maximum(sg * n[:, ax], 0.0) * A))
+    errs = []
+    for dx in (2e-3, 1e-3, 0.5e-3):
+        mask, origin = voxelize_solid(mesh, dx)
+        proj = voxel_projected_areas(mesh, mask, origin, dx)
+        errs.append(max(abs(proj[f].sum() - exact[f]) / max(exact[f], 1e-12)
+                        for f in exact))
+    assert errs[-1] < 0.03, errs
+    assert errs[2] <= errs[0] + 0.005, errs
