@@ -26,6 +26,45 @@ TRAFFIC_B_PER_CELL = 48.0    # see module docstring
 SOL_CELLS_PER_S = HBM_BYTES_PER_S / TRAFFIC_B_PER_CELL
 
 
+def probe_compile_service():
+    """One tiny fresh compile, timed: the remote compile service has
+    degraded windows (~180+ s per trivial program, NOTES.md) during which
+    wall-clock results are polluted by compile time.  Kernel *steady-state*
+    timing below excludes compiles, but a degraded service also correlates
+    with tunnel contention — record the probe so every BENCH number carries
+    its environment health."""
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+    x = jnp.full((64, 64, 64), 1.5, jnp.float32)
+    t0 = _t.perf_counter()
+    f = jax.jit(lambda x: jnp.tanh(x) @ jnp.swapaxes(x, 1, 2) + 0.5)
+    float(f(x).sum())
+    el = _t.perf_counter() - t0
+    print(f"[bench] compile probe {el:.1f} s "
+          f"({'HEALTHY' if el < 30 else 'DEGRADED — timings suspect'})",
+          file=sys.stderr)
+    return el
+
+
+def _timed_median(step_loop, steps, repeats=3):
+    """Median-of-``repeats`` per-step time.  Run-to-run variance over the
+    axon tunnel is 10-15% (NOTES.md); single-sample gate numbers made
+    round-over-round comparisons noise-dominated (VERDICT r2 #6)."""
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        step_loop(steps)
+        times.append((time.perf_counter() - t0) / steps)
+    med = sorted(times)[len(times) // 2]
+    print(f"[bench] repeats: {', '.join(f'{t * 1e3:.2f}' for t in times)} "
+          f"ms/step -> median {med * 1e3:.2f} "
+          f"(spread {(max(times) - min(times)) / med * 100:.0f}%)",
+          file=sys.stderr)
+    return med
+
+
 def build_case(n, dtype, lite=False):
     import jax.numpy as jnp
 
@@ -96,12 +135,14 @@ def run(n, steps=20, dtype=None, implementation="pallas"):
     dt = jnp.asarray(0.05, dtype)
     T = step(T, mask, packs, dt)
     float(probe(T))  # compile + warm-up both programs
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        T = step(T, mask, packs, dt)
-    float(probe(T))
-    el = (time.perf_counter() - t0) / steps
-    assert bool(jnp.isfinite(T).all()), "non-finite field in benchmark run"
+
+    def loop(k, T=T):
+        for _ in range(k):
+            T = step(T, mask, packs, dt)
+        float(probe(T))
+        assert bool(jnp.isfinite(T).all()), "non-finite field in bench run"
+
+    el = _timed_median(loop, steps)
     return grid.ncells / el, el
 
 
@@ -130,17 +171,19 @@ def run_cylindrical(shape=(128, 512, 512), steps=20, dtype=None):
     dt = jnp.asarray(0.02, dtype)
     T = step(T, dt)
     float(probe(T))
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        T = step(T, dt)
-    float(probe(T))
-    el = (time.perf_counter() - t0) / steps
-    assert bool(jnp.isfinite(T).all())
-    ncells = nr * nphi * nz
-    return ncells / el, el
+
+    def loop(k, T=T):
+        for _ in range(k):
+            T = step(T, dt)
+        float(probe(T))
+        assert bool(jnp.isfinite(T).all())
+
+    el = _timed_median(loop, steps)
+    return nr * nphi * nz / el, el
 
 
 def main_cylindrical():
+    probe_compile_service()
     # cylindrical-step traffic model: r/z fused const-coeff sweeps are
     # 8 B/cell each (read rhs + write x), the cyclic phi solve 8 B/cell +
     # fac read ~0: ~24 B/cell/step
@@ -169,6 +212,7 @@ def main_cylindrical():
 
 def main_bf16():
     """bf16-state / f32-solve bandwidth mode (opt-in; ~24 B/cell/step)."""
+    probe_compile_service()
     import jax.numpy as jnp
 
     sol = HBM_BYTES_PER_S / 24.0
@@ -227,16 +271,19 @@ def run_masked_cylindrical(shape=(64, 512, 256), steps=10, dtype=None):
     dt = jnp.asarray(0.02, dtype)
     T = step(T, active, dt)
     float(probe(T))
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        T = step(T, active, dt)
-    float(probe(T))
-    el = (time.perf_counter() - t0) / steps
-    assert bool(jnp.isfinite(T).all())
+
+    def loop(k, T=T):
+        for _ in range(k):
+            T = step(T, active, dt)
+        float(probe(T))
+        assert bool(jnp.isfinite(T).all())
+
+    el = _timed_median(loop, steps)
     return nr * nphi * nz / el, el
 
 
 def main_masked():
+    probe_compile_service()
     # traffic model (compressed masked kernels): per sweep a prefold pass
     # (read rhs + sink_rhs + masks, write d ~ 14 B) + the kernel
     # (read d + code + sink, write x = 13 B); phi/z add a layout-change
@@ -264,7 +311,70 @@ def main_masked():
     }))
 
 
+def run_varprop(n, steps=10, dtype=None):
+    """Variable-property step (latent heat via apparent cp + melt-pool
+    enhanced k + radiative film): the physics WAAM actually runs at
+    1500 C, through the engine's varprop branch."""
+    import jax
+    import jax.numpy as jnp
+
+    from adi_thermal_fields_tpu.apps.engine import make_cartesian_engine
+    from adi_thermal_fields_tpu.step.cartesian_varprop import (
+        apparent_cp, melt_pool_enhanced_k)
+
+    dtype = dtype or jnp.float32
+    grid, mat, T, mask, _ = build_case(n, dtype, lite=True)
+    kt = melt_pool_enhanced_k(mat.k, 1420.0, 1470.0, enhancement=4.0)
+    ct = apparent_cp(mat.cp, mat.cp, 2.7e5, 1420.0, 1470.0)
+    prepare, advance = make_cartesian_engine(
+        grid, mat, robin_h=15.0, t_inf=20.0, dtype=dtype, emissivity=0.5,
+        k_table=kt, cp_table=ct)
+    prep = prepare(mask)
+    probe = jax.jit(lambda x: jnp.sum(x[::64, ::64, ::64]))
+    dt = jnp.asarray(0.02, dtype)
+    T = advance(T, prep, dt, jnp.int32(1), 0.0)
+    float(probe(T))
+
+    def loop(k, T=T):
+        T2 = advance(T, prep, dt, jnp.int32(k), 0.0)
+        float(probe(T2))
+        assert bool(jnp.isfinite(T2).all())
+
+    el = _timed_median(loop, steps)
+    return grid.ncells / el, el
+
+
+def main_varprop():
+    probe_compile_service()
+    # traffic model (documented honest estimate, field-coefficient path):
+    # per step ~6 coupling-field builds (k/cp interp reads + 24 B writes) +
+    # 3 sweeps of materialized a/b/c/d (16 B read + 16 B write + x 4 B) +
+    # radiative pack rebuild ~ roughly 150 B/cell/step after XLA fusion
+    sol = HBM_BYTES_PER_S / 150.0
+    value = None
+    for n in (384, 256, 128):
+        for attempt in range(3):
+            try:
+                value, per_step = run_varprop(n)
+                print(f"[bench] varprop {n}^3: {per_step * 1e3:.2f} ms/step "
+                      f"-> {value / 1e9:.3f} Gcell/s", file=sys.stderr)
+                break
+            except Exception as e:
+                print(f"[bench] varprop {n}^3 attempt {attempt}: "
+                      f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+                value = None
+        if value is not None:
+            break
+    print(json.dumps({
+        "metric": f"varprop_cell_updates_per_s_per_chip_{n}^3_f32",
+        "value": value or 0.0,
+        "unit": "cell/s",
+        "vs_baseline": (value or 0.0) / sol,
+    }))
+
+
 def main():
+    probe_compile_service()
     value = None
     for n in (512, 384, 256, 128):
         # the remote compile service is occasionally flaky — retry per size
@@ -299,5 +409,7 @@ if __name__ == "__main__":
         main_bf16()
     elif "--case" in sys.argv and "masked" in sys.argv:
         main_masked()
+    elif "--case" in sys.argv and "varprop" in sys.argv:
+        main_varprop()
     else:
         main()

@@ -214,3 +214,116 @@ def test_melt_pool_enhanced_k_convection_proxy():
                          k_table=PropertyTable((0.0, 2000.0), (30.0, 30.0)),
                          dt=0.05, theta=1.0)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+
+
+def test_engine_varprop_constant_tables_match_plain_engine():
+    """make_cartesian_engine(k_table=, cp_table=) with constant tables must
+    reproduce the plain constant-coefficient engine (VERDICT r2 #3: varprop
+    wired into the flagship engine)."""
+    from adi_thermal_fields_tpu.apps.engine import make_cartesian_engine
+
+    grid = CartesianGrid(10, 9, 8, 1e-3)
+    mat = Material(7800.0, 490.0, 54.0)
+    rng = np.random.default_rng(1)
+    mask = jnp.asarray(rng.random(grid.shape) > 0.3)
+    T0 = jnp.asarray(np.where(np.asarray(mask),
+                              20 + 880 * rng.random(grid.shape), 20.0))
+    kt = PropertyTable((0.0, 2000.0), (54.0, 54.0))
+    ct = PropertyTable((0.0, 2000.0), (490.0, 490.0))
+
+    p0, a0 = make_cartesian_engine(grid, mat, robin_h=250.0,
+                                   implementation="xla")
+    pv, av = make_cartesian_engine(grid, mat, robin_h=250.0,
+                                   implementation="xla",
+                                   k_table=kt, cp_table=ct)
+    ref = a0(T0, p0(mask), 0.05, jnp.int32(4), 0.0)
+    got = av(T0, pv(mask), 0.05, jnp.int32(4), 0.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-10,
+                               atol=1e-9)
+
+
+def test_engine_radiation_matches_advance_robin_h_fn():
+    """Engine emissivity= (per-sub-step Picard) vs the round-2 library path
+    make_cartesian_advance(robin_h_fn=radiative_h): identical for n_sub=1
+    segments (same refresh point)."""
+    from adi_thermal_fields_tpu.apps.engine import (make_cartesian_advance,
+                                                    make_cartesian_engine)
+    from adi_thermal_fields_tpu.bc.radiation import radiative_h
+
+    grid = CartesianGrid(10, 9, 8, 1e-3)
+    mat = Material(7800.0, 490.0, 54.0)
+    mask = jnp.ones(grid.shape, bool)
+    T0 = jnp.full(grid.shape, 1200.0, jnp.float64)
+
+    pe, ae = make_cartesian_engine(grid, mat, t_inf=20.0, robin_h=15.0,
+                                   implementation="xla", emissivity=0.6)
+    adv = make_cartesian_advance(
+        grid, mat, t_inf=20.0, implementation="xla",
+        robin_h_fn=lambda T: radiative_h(T, 0.6, 20.0, h_conv=15.0))
+    Ta = T0
+    Tb = T0
+    prep = pe(mask)
+    for i in range(3):
+        Ta = ae(Ta, prep, 0.05, jnp.int32(1), 0.0)
+        Tb = adv(Tb, mask, 0.05, jnp.int32(1), 0.0)
+    np.testing.assert_allclose(np.asarray(Ta), np.asarray(Tb), rtol=1e-12)
+    # physics: 1200 C body radiates strongly; must cool faster than
+    # convection-only
+    pc, ac = make_cartesian_engine(grid, mat, t_inf=20.0, robin_h=15.0,
+                                   implementation="xla")
+    Tc = ac(T0, pc(mask), 0.05, jnp.int32(3), 0.0)
+    assert float(Ta.mean()) < float(Tc.mean()) - 1.0
+
+
+def test_engine_varprop_sharded_matches_single_device():
+    """Varprop (latent heat + melt-pool k + radiation) through the engine on
+    an 8-device mesh vs single device (GSPMD-sharded Picard coefficients)."""
+    from adi_thermal_fields_tpu.apps.engine import make_cartesian_engine
+    from adi_thermal_fields_tpu.dist.cartesian import make_mesh, shard_field
+    from adi_thermal_fields_tpu.step.cartesian_varprop import (
+        melt_pool_enhanced_k)
+
+    grid = CartesianGrid(12, 8, 8, 1e-3)
+    mat = Material(7800.0, 490.0, 54.0)
+    rng = np.random.default_rng(2)
+    mask_np = rng.random(grid.shape) > 0.2
+    mask = jnp.asarray(mask_np)
+    T0 = jnp.asarray(np.where(mask_np, 20 + 1600 * rng.random(grid.shape),
+                              20.0))
+    kt = melt_pool_enhanced_k(54.0, 1420.0, 1470.0, enhancement=4.0)
+    ct = apparent_cp(490.0, 520.0, 2.7e5, 1420.0, 1470.0)
+
+    p1, a1 = make_cartesian_engine(grid, mat, robin_h=15.0, emissivity=0.5,
+                                   k_table=kt, cp_table=ct,
+                                   implementation="xla")
+    ref = a1(T0, p1(mask), 0.02, jnp.int32(3), 0.0)
+
+    mesh = make_mesh()
+    pm, am = make_cartesian_engine(grid, mat, robin_h=15.0, emissivity=0.5,
+                                   k_table=kt, cp_table=ct, mesh=mesh,
+                                   implementation="xla")
+    Ts = shard_field(T0, mesh, 0)
+    ms = shard_field(mask, mesh, 0)
+    got = am(Ts, pm(ms), 0.02, jnp.int32(3), 0.0)
+    assert len(got.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=0,
+                               atol=1e-12)
+
+
+def test_engine_varprop_with_history():
+    """Varprop composes with fused thermal-history tracking."""
+    from adi_thermal_fields_tpu.apps.engine import make_cartesian_engine
+
+    grid = CartesianGrid(8, 8, 6, 1e-3)
+    mat = Material(7800.0, 490.0, 54.0)
+    mask = jnp.ones(grid.shape, bool)
+    T0 = jnp.full(grid.shape, 900.0, jnp.float64)
+    kt = PropertyTable((0.0, 2000.0), (40.0, 60.0))
+    pv, av = make_cartesian_engine(grid, mat, robin_h=200.0, k_table=kt,
+                                   implementation="xla",
+                                   history_t_crit=(800.0, 500.0))
+    hist0 = (T0, jnp.zeros((2,) + grid.shape, jnp.float64))
+    T, (pk, ta) = av(T0, pv(mask), 0.05, jnp.int32(5), 0.0, hist0)
+    assert ta.shape == (2,) + grid.shape
+    assert float(pk.min()) >= float(T.min())
+    assert float(ta[1].max()) >= float(ta[0].max())  # longer above 500 C
