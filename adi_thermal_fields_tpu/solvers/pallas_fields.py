@@ -492,12 +492,146 @@ def _masked_sweep_kernel(scal_ref, glo_ref, ghi_ref, d_hbm, code_hbm,
         out_dma(k).wait()
 
 
+def _masked_sweep_pipe_kernel(scal_ref, glo_ref, ghi_ref, d_hbm, code_hbm,
+                              sink_hbm, srhs_hbm, out_hbm, xbuf, dpbuf, dbuf,
+                              cbuf, sbuf, rbuf, obuf, in_sem, out_sem, *,
+                              n, b1, b2, nt1, nt2):
+    """Cross-grid-step PIPELINED variant of _masked_sweep_kernel for short
+    lines (whole line = one chunk).  The per-program chunk streaming of the
+    base kernel degenerates to wait-DMA -> compute -> wait-out with ZERO
+    overlap when nchunks == 1, which measured ~80 GB/s on the masked
+    cylindrical shapes (r lines of 64, z lines of 256).  Here the TPU
+    grid's sequential execution pipelines across batch tiles instead: the
+    whole input tile q+1 is prefetched while tile q computes
+    (double-buffered, parity-indexed VMEM slots; ONE load in flight so a
+    single semaphore per stream suffices), and the output DMA of tile q-1
+    drains during the forward pass of tile q.  Same math as the base
+    kernel, folded-prefold mode only."""
+    fac = scal_ref[0]
+    ambient = scal_ref[1]
+    f32 = xbuf.dtype
+    G = 8
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    q = i * nt2 + j
+    ntiles = nt1 * nt2
+    slot = q % 2
+
+    def coords(t):
+        return (t // nt2) * b1, (t % nt2) * b2
+
+    def in_dmas(t):
+        r0, c0 = coords(t)
+        sl = t % 2
+        src = lambda ref: ref.at[:, pl.ds(r0, b1), pl.ds(c0, b2)]
+        return (
+            pltpu.make_async_copy(src(d_hbm), dbuf.at[sl], in_sem.at[0]),
+            pltpu.make_async_copy(src(code_hbm), cbuf.at[sl], in_sem.at[1]),
+            pltpu.make_async_copy(src(sink_hbm), sbuf.at[sl], in_sem.at[2]),
+            pltpu.make_async_copy(src(srhs_hbm), rbuf.at[sl], in_sem.at[3]),
+        )
+
+    def out_dma(t):
+        r0, c0 = coords(t)
+        return pltpu.make_async_copy(
+            obuf, out_hbm.at[:, pl.ds(r0, b1), pl.ds(c0, b2)], out_sem)
+
+    @pl.when(q == 0)
+    def _first():
+        for dma in in_dmas(0):
+            dma.start()
+
+    for dma in in_dmas(q):
+        dma.wait()
+
+    @pl.when(q + 1 < ntiles)
+    def _prefetch():
+        for dma in in_dmas(q + 1):
+            dma.start()
+
+    one = jnp.ones((), f32)
+    zero_s = jnp.zeros((), f32)
+    zero = jnp.zeros((b1, b2), f32)
+
+    # the compute body is emitted twice under parity guards so the hot
+    # per-group buffer reads use STATIC slot indices (a traced slot makes
+    # every group load dynamically addressed — measured ~20% slower)
+    def forward(sl):
+        def grp(g, carry):
+            cp_prev, dp_prev = carry
+            s = pl.multiple_of(g * G, G)
+            code_g = cbuf[sl, pl.ds(s, G)].astype(jnp.int32)
+            low = jnp.where((code_g & 1) > 0, one, zero_s)
+            high = jnp.where((code_g & 2) > 0, one, zero_s)
+            sink_g = sbuf[sl, pl.ds(s, G)].astype(f32)
+            d_g = dbuf[sl, pl.ds(s, G)].astype(f32)
+            srhs_g = rbuf[sl, pl.ds(s, G)].astype(f32)
+            pin = (code_g & 4) > 0
+            inm = (code_g & 8) > 0
+            d_g = jnp.where(pin, srhs_g,
+                            jnp.where(inm, d_g + fac * srhs_g, ambient))
+            cps, dps = [], []
+            for r in range(G):
+                glo = glo_ref[s + r]
+                ghi = ghi_ref[s + r]
+                al = glo * low[r]
+                ch = ghi * high[r]
+                a_r = -fac * al
+                c_r = -fac * ch
+                b_r = 1.0 + fac * (al + ch + sink_g[r])
+                inv = 1.0 / (b_r - a_r * cp_prev)
+                cp_prev = c_r * inv
+                dp_prev = (d_g[r] - a_r * dp_prev) * inv
+                cps.append(cp_prev)
+                dps.append(dp_prev)
+            xbuf[pl.ds(s, G)] = jnp.stack(cps)
+            dpbuf[pl.ds(s, G)] = jnp.stack(dps)
+            return cp_prev, dp_prev
+
+        lax.fori_loop(0, n // G, grp, (zero, zero))
+
+    @pl.when(slot == 0)
+    def _fwd0():
+        forward(0)
+
+    @pl.when(slot == 1)
+    def _fwd1():
+        forward(1)
+
+    # the previous tile's output must be fully drained before obuf is
+    # restaged; waiting here keeps that DMA overlapped with this tile's
+    # whole forward pass
+    @pl.when(q >= 1)
+    def _drain_prev():
+        out_dma(q - 1).wait()
+
+    def grp_b(gg, x_next):
+        s = pl.multiple_of((n // G - 1 - gg) * G, G)
+        cp_g = xbuf[pl.ds(s, G)]
+        dp_g = dpbuf[pl.ds(s, G)]
+        xs = [None] * G
+        for r in range(G - 1, -1, -1):
+            x_next = dp_g[r] - cp_g[r] * x_next
+            xs[r] = x_next
+        obuf[pl.ds(s, G)] = jnp.stack(xs)
+        return x_next
+
+    lax.fori_loop(0, n // G, grp_b, zero)
+    out_dma(q).start()
+
+    @pl.when(q == ntiles - 1)
+    def _drain_last():
+        out_dma(q).wait()
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "block_b1",
-                                             "block_b2", "chunk"))
+                                             "block_b2", "chunk",
+                                             "pipelined"))
 def fused_masked_sweep(rhs, code, sink, geo_lo, geo_hi, fac, srhs=None,
                        ambient=None, *,
                        interpret: bool = False, block_b1: int = 8,
-                       block_b2: int = 256, chunk: int = 64):
+                       block_b2: int = 256, chunk: int = 64,
+                       pipelined: bool | None = None):
     """Masked implicit sweep along axis 0 of (n, B1, B2) arrays with
     per-row geometry (geo_lo/geo_hi: (n,) vectors) and a per-cell Robin
     sink field (step/cylindrical_masked.py row structure).
@@ -532,6 +666,58 @@ def fused_masked_sweep(rhs, code, sink, geo_lo, geo_hi, fac, srhs=None,
     grid = (P1 // block_b1, P2 // block_b2)
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    # cross-grid-step pipelined variant whenever the whole-line tile
+    # buffers fit (the streaming kernel has zero DMA/compute overlap once
+    # the line is a single chunk — measured 80 GB/s vs the pipelined
+    # formulation's continuous stream)
+    itemsz = jnp.dtype(dtype).itemsize
+    tile_bytes = n_pad * block_b1 * block_b2 * (
+        2 * (3 * itemsz + 1)          # 2 slots x (d + sink + srhs + code)
+        + 2 * jnp.dtype(cdt).itemsize  # cp/dp line buffers
+        + itemsz)                      # obuf
+    if pipelined is None:
+        pipelined = folded and tile_bytes <= 48 * 1024 * 1024
+    if pipelined:
+        assert folded, "pipelined masked sweep requires the folded mode"
+
+        scratch = [
+            pltpu.VMEM((n_pad, block_b1, block_b2), cdt),        # x / cp
+            pltpu.VMEM((n_pad, block_b1, block_b2), cdt),        # dp
+            pltpu.VMEM((2, n_pad, block_b1, block_b2), dtype),   # rhs tiles
+            pltpu.VMEM((2, n_pad, block_b1, block_b2), jnp.int8),
+            pltpu.VMEM((2, n_pad, block_b1, block_b2), dtype),   # sink tiles
+            pltpu.VMEM((2, n_pad, block_b1, block_b2), dtype),   # srhs tiles
+            pltpu.VMEM((n_pad, block_b1, block_b2), dtype),      # out stage
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA,
+        ]
+
+        def body(*refs):
+            (scal_, glo_, ghi_, d_, c_, s_, r_, o_, xb, dp, db, cb, sb, rb,
+             ob, isem, osem) = refs
+            return _masked_sweep_pipe_kernel(
+                scal_, glo_, ghi_, d_, c_, s_, r_, o_, xb, dp, db, cb, sb,
+                rb, ob, isem, osem, n=n_pad, b1=block_b1, b2=block_b2,
+                nt1=P1 // block_b1, nt2=P2 // block_b2)
+
+        out = pl.pallas_call(
+            body,
+            grid=grid,
+            in_specs=[sspec, sspec, sspec, hbm, hbm, hbm, hbm],
+            out_specs=hbm,
+            out_shape=jax.ShapeDtypeStruct((n_pad, P1, P2), dtype),
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(scal, geo_lo.astype(cdt), geo_hi.astype(cdt), rhs, code, sink,
+          srhs)
+        if p1 or p2 or pn:
+            out = out[:n, :b1, :b2]
+        return out
+
     scratch = [
         pltpu.VMEM((n_pad, block_b1, block_b2), cdt),       # x / cp
         pltpu.VMEM((n_pad, block_b1, block_b2), cdt),       # dp
