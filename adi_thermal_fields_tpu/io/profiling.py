@@ -41,13 +41,26 @@ class StepTimer:
         return float(self._probe(x))
 
     def time_steps(self, step_fn, x0, n_steps: int = 20, warmup: int = 1):
-        """Returns (seconds_per_step, final_state)."""
+        """Returns (seconds_per_step, final_state).
+
+        Measured as the SLOPE between a short (n/4) and a full (n) loop:
+        on remote-tunnel platforms every synchronized timing carries a
+        fixed ~25-30 ms round trip regardless of the program, so naive
+        T/n inflates per-step time by ~30ms/n (bench.py carries the
+        measurement; this cancelled it exactly)."""
         x = x0
         for _ in range(warmup):
             x = step_fn(x)
         self.sync(x)
+        k_small = max(1, n_steps // 4)
+        t0 = time.perf_counter()
+        for _ in range(k_small):
+            x = step_fn(x)
+        self.sync(x)
+        t_small = time.perf_counter() - t0
         t0 = time.perf_counter()
         for _ in range(n_steps):
             x = step_fn(x)
         self.sync(x)
-        return (time.perf_counter() - t0) / n_steps, x
+        t_big = time.perf_counter() - t0
+        return (t_big - t_small) / (n_steps - k_small), x

@@ -50,18 +50,38 @@ def probe_compile_service():
 
 
 def _timed_median(step_loop, steps, repeats=3):
-    """Median-of-``repeats`` per-step time.  Run-to-run variance over the
-    axon tunnel is 10-15% (NOTES.md); single-sample gate numbers made
-    round-over-round comparisons noise-dominated (VERDICT r2 #6)."""
+    """Median-of-``repeats`` per-step time, measured as the SLOPE between a
+    short and a long loop.
+
+    The axon tunnel adds a fixed ~25-30 ms round trip to every synchronized
+    timing (dispatch + final scalar fetch), independent of the program: a
+    40-step x+1.0 loop on 8.4M cells and a 10-step one both complete in
+    ~30 ms wall (measured round 3).  Naive T/steps therefore inflates every
+    per-step number by ~30ms/steps — at steps=10 that overstated the masked
+    cylindrical step by ~3 ms/step and led round 3 to misdiagnose
+    DMA-bound kernels as issue-bound.  The slope (T(steps) - T(steps/4)) /
+    (steps - steps/4) cancels any fixed offset exactly.  Median-of-repeats
+    on the slope; run-to-run tunnel variance is 10-15% (NOTES.md)."""
+    k_small = max(1, steps // 4)
+    step_loop(k_small)   # warm-up: the first timed loop otherwise carries
+    # residual compile/donation setup (observed as a negative first slope)
     times = []
+    offs = []
     for _ in range(repeats):
         t0 = time.perf_counter()
+        step_loop(k_small)
+        t_small = time.perf_counter() - t0
+        t0 = time.perf_counter()
         step_loop(steps)
-        times.append((time.perf_counter() - t0) / steps)
+        t_big = time.perf_counter() - t0
+        times.append((t_big - t_small) / (steps - k_small))
+        offs.append(t_small - k_small * times[-1])
     med = sorted(times)[len(times) // 2]
-    print(f"[bench] repeats: {', '.join(f'{t * 1e3:.2f}' for t in times)} "
-          f"ms/step -> median {med * 1e3:.2f} "
-          f"(spread {(max(times) - min(times)) / med * 100:.0f}%)",
+    print(f"[bench] slope repeats: "
+          f"{', '.join(f'{t * 1e3:.2f}' for t in times)} ms/step -> "
+          f"median {med * 1e3:.2f} "
+          f"(spread {(max(times) - min(times)) / med * 100:.0f}%, "
+          f"fixed tunnel offset ~{sorted(offs)[len(offs) // 2] * 1e3:.0f} ms)",
           file=sys.stderr)
     return med
 
@@ -153,7 +173,7 @@ def run(n, steps=20, dtype=None, implementation="pallas"):
     return grid.ncells / el, el
 
 
-def run_cylindrical(shape=(128, 512, 512), steps=20, dtype=None):
+def run_cylindrical(shape=(128, 512, 512), steps=40, dtype=None):
     """Cylindrical BE step throughput (pallas r/z sweeps + cyclic phi)."""
     import jax
     import jax.numpy as jnp
@@ -245,7 +265,7 @@ def main_bf16():
     }))
 
 
-def run_masked_cylindrical(shape=(64, 512, 256), steps=10, dtype=None):
+def run_masked_cylindrical(shape=(64, 512, 256), steps=60, dtype=None):
     """Masked-Robin cylindrical step (element birth; field-coefficient
     fused kernels) on a part-deposited geometry."""
     import jax
@@ -324,7 +344,7 @@ def main_masked():
     }))
 
 
-def run_varprop(n, steps=10, dtype=None):
+def run_varprop(n, steps=40, dtype=None):
     """Variable-property step (latent heat via apparent cp + melt-pool
     enhanced k + radiative film): the physics WAAM actually runs at
     1500 C, through the engine's varprop branch."""

@@ -298,3 +298,25 @@ def test_waam_app_sharded_history_matches_single_device(tmp_path):
     np.testing.assert_array_equal(Ts, Tm)
     for k in ("T_peak", "t_above_800", "t_above_500"):
         np.testing.assert_array_equal(fs[k], fm[k])
+
+
+def test_step_timer_slope_counts_steps():
+    """StepTimer.time_steps measures the slope between a short and a full
+    loop (cancels the remote tunnel's fixed per-sync round trip, NOTES.md
+    round 3) and returns the state after warmup + n//4 + n steps."""
+    import jax.numpy as jnp
+
+    from adi_thermal_fields_tpu.io.profiling import StepTimer
+
+    timer = StepTimer()
+    calls = []
+    def step(x):
+        calls.append(1)
+        return x + 1.0
+    per_step, out = timer.time_steps(step, jnp.zeros(()), n_steps=8,
+                                     warmup=1)
+    # per_step is a slope of two noisy sub-ms timings: on CPU with a
+    # trivial step it can come out slightly negative; only sanity-check it
+    assert abs(per_step) < 10.0
+    assert len(calls) == 1 + 2 + 8
+    assert float(out) == float(len(calls))
