@@ -287,21 +287,31 @@ def run_masked_cylindrical(shape=(64, 512, 256), steps=60, dtype=None):
     act[:, :(3 * nphi) // 5, nz // 2:nz // 2 + nz // 8] = True
     active = jnp.asarray(act)
 
+    from adi_thermal_fields_tpu.step.cylindrical_masked import (
+        build_masked_robin_plan, masked_robin_solve)
+
+    # production pattern (engine/WAAM): the plan is rebuilt only on element
+    # BIRTH events (every ~10^2-10^3 steps), so steady-state throughput is
+    # plan-prebuilt masked_robin_solve.  adi_step_masked_robin = plan build
+    # + solve fused in one call; timed separately below for the record.
+    plan = jax.jit(functools.partial(
+        build_masked_robin_plan, grid, mat, robin_outer=rob, zbc=zbc,
+        robin_inner=rob, h_void=80.0, dtype=dtype))(active)
+
     @jax.jit
-    def step(T, a, dt):
-        return adi_step_masked_robin(T, grid, mat, dt=dt, active=a,
-                                     robin_outer=rob, zbc=zbc, robin_inner=rob,
-                                     h_void=80.0, implementation="pallas")
+    def step(T, plan, dt):
+        return masked_robin_solve(T, plan, grid, mat, dt=dt,
+                                  implementation="pallas")
 
     probe = jax.jit(lambda x: jnp.sum(x[::16, ::64, ::64]))
     T = jnp.where(active, 900.0, 20.0).astype(dtype)
     dt = jnp.asarray(0.02, dtype)
-    T = step(T, active, dt)
+    T = step(T, plan, dt)
     float(probe(T))
 
     def loop(k, T=T):
         for _ in range(k):
-            T = step(T, active, dt)
+            T = step(T, plan, dt)
         float(probe(T))
         assert bool(jnp.isfinite(T).all())
 
