@@ -150,7 +150,9 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
             raise ValueError("emissivity composes with a SCALAR convective "
                              "robin_h only (the radiative film is built "
                              "per-cell from the live field)")
-        impl_vp = "xla" if (interpret or mesh is not None) else implementation
+        # interpret mode keeps the pallas varprop kernels (CI-testable);
+        # only the mesh path falls back to the scan/XLA formulation
+        impl_vp = "xla" if mesh is not None else implementation
         h_conv = float(robin_h or 0.0) if emissivity is not None else None
 
         if mesh is not None:
@@ -161,30 +163,62 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
         else:
             constrain = (lambda x: x)
 
-        @jax.jit
-        def prepare(active):
-            active = active.astype(bool)
-            # radiation rebuilds packs per sub-step from the live field;
-            # otherwise they depend on the mask only
-            packs = None if emissivity is not None else _packs(active)
-            return (active, packs)
+        # fully-fused varprop path (solvers/pallas_varprop): per-cell
+        # coefficients rebuilt in kernel registers from streamed k(T) and
+        # 1/(rho cp(T)), Robin sink from the plan-lite codes — eligible for
+        # the flagship BC set (Robin-only scalar h / radiative film, single
+        # device).  Measured 384^3: 64 -> 28 ms/step vs the materialized
+        # field-coefficient path.
+        fused_vp = (impl_vp == "pallas" and neumann is None
+                    and dirichlet_mask is None
+                    and (robin_h is None or isinstance(robin_h, (int, float))))
+        if fused_vp:
+            from ..step.cartesian_varprop import (adi_step_varprop_fused,
+                                                  build_varprop_codes)
 
-        def step1(T, prep, dt, t, istep):
-            active, packs = prep
-            T = constrain(T)
-            if emissivity is not None:
-                h = radiative_h(T, emissivity, t_inf, h_conv=h_conv)
-                packs = build_coeff_packs(
-                    active, grid, mat, robin_h=h, neumann=neumann,
-                    dirichlet_mask=dirichlet_mask,
-                    dirichlet_value=dirichlet_value,
-                    dtype=jnp.promote_types(T.dtype, pack_dtype))
-            src = None if source_fn is None else source_fn(t)
-            return constrain(adi_step_varprop(
-                T, active, packs, grid, mat, k_table=k_table,
-                cp_table=cp_table, dt=dt, theta=theta, t_inf=t_inf,
-                source=src, implementation=impl_vp))
-        pad = None
+            @jax.jit
+            def prepare(active):
+                active = active.astype(bool)
+                return (active, build_varprop_codes(active))
+
+            def step1(T, prep, dt, t, istep):
+                active, codes = prep
+                T = constrain(T)
+                hf = (radiative_h(T, emissivity, t_inf, h_conv=h_conv)
+                      if emissivity is not None else None)
+                src = None if source_fn is None else source_fn(t)
+                return constrain(adi_step_varprop_fused(
+                    T, active, codes, grid, mat, k_table=k_table,
+                    cp_table=cp_table, dt=dt, theta=theta, t_inf=t_inf,
+                    robin_h=float(robin_h or 0.0), h_field=hf, source=src,
+                    # None = auto (interpret off-TPU); True forces it
+                    interpret=True if interpret else None))
+            pad = None
+        else:
+            @jax.jit
+            def prepare(active):
+                active = active.astype(bool)
+                # radiation rebuilds packs per sub-step from the live field;
+                # otherwise they depend on the mask only
+                packs = None if emissivity is not None else _packs(active)
+                return (active, packs)
+
+            def step1(T, prep, dt, t, istep):
+                active, packs = prep
+                T = constrain(T)
+                if emissivity is not None:
+                    h = radiative_h(T, emissivity, t_inf, h_conv=h_conv)
+                    packs = build_coeff_packs(
+                        active, grid, mat, robin_h=h, neumann=neumann,
+                        dirichlet_mask=dirichlet_mask,
+                        dirichlet_value=dirichlet_value,
+                        dtype=jnp.promote_types(T.dtype, pack_dtype))
+                src = None if source_fn is None else source_fn(t)
+                return constrain(adi_step_varprop(
+                    T, active, packs, grid, mat, k_table=k_table,
+                    cp_table=cp_table, dt=dt, theta=theta, t_inf=t_inf,
+                    source=src, implementation=impl_vp))
+            pad = None
 
     elif mesh is not None and implementation == "pallas":
         from ..dist.cartesian_pallas import (shard_plan,

@@ -1,0 +1,439 @@
+"""Fused variable-property sweep kernel: coefficients built in-registers.
+
+The variable-property ADI step (step/cartesian_varprop.py, reference has no
+analogue — beyond-reference capability) needs per-cell tridiagonal
+coefficients a/b/c derived from the temperature-dependent conductivity and
+heat capacity:
+
+    g_lo[i] = dt * harm(k[i-1], k[i]) * w[i] / d_ax^2      (w = 1/(rho cp))
+    a[i] = -theta*g_lo[i],  c[i] = -theta*g_hi[i]
+    b[i] = 1 + theta*(g_lo+g_hi) + sink[i],  d[i] = rhs[i] + sink[i]*T_inf
+    sink[i] = dt * h[i]/d_ax * w[i] * n_exposed[i]          (Robin faces)
+
+Materializing those fields in XLA and solving with the generic
+field-coefficient kernel costs ~350 B/cell/step (measured round 3:
+1.0 Gcell/s at 384^3 through the engine).  This kernel instead streams only
+``rhs + code + k + w (+ h)`` = 17-21 B/cell and rebuilds a/b/c/d in
+registers, reusing the plan-lite sweep codes (solvers/pallas_sweeps.
+sweep_code: bits 1/2 = lo/hi coupling, 8 = in-mask; Dirichlet pins are NOT
+supported here — the varprop flagship runs Robin-only).
+
+The harmonic face between rows i-1 and i needs both k rows, so the kernel
+runs ONE ROW LAGGED: the group loading current rows [s, s+G) computes their
+lower faces and COMPLETES rows [s-1, s+G-1) (their upper face is the newly
+computed one).  Completed row r is stored at line-buffer index r+1, which
+keeps every VMEM group store/load 8-row aligned; the output DMA simply
+reads the line buffer at a +1 offset (dim 0 is untiled, so arbitrary
+offsets are legal — the Mosaic sub-tile hazard only bites dims 1/2,
+NOTES.md round 3).  A one-row epilogue completes the last row with a zero
+upper face.
+
+Numerics match step/cartesian_varprop.adi_step_varprop (same formulas,
+different accumulation order — tests pin a small rtol vs the scan path).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_varprop_sweep", "varprop_theta_rhs"]
+
+
+def _round_up(v, m):
+    return -(-v // m) * m
+
+
+def _varprop_kernel(scal_ref, d_hbm, code_hbm, k_hbm, w_hbm, h_hbm, out_hbm,
+                    xbuf, dpbuf, dbuf, cbuf, kbuf, wbuf, hbuf,
+                    in_sem, out_sem, *, n, cn, b1, b2):
+    tg = scal_ref[0]        # theta * dt / d_ax^2
+    sk = scal_ref[1]        # dt / d_ax (Robin sink scale)
+    t_inf = scal_ref[2]
+    rob_c = scal_ref[3]     # scalar h (used when no h stream)
+    f32 = xbuf.dtype
+    has_h = h_hbm is not None
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    r0 = i * b1
+    c0 = j * b2
+    nchunks = n // cn
+    G = 8
+
+    def in_dmas(slot, k):
+        s = k * cn
+        src = lambda ref: ref.at[pl.ds(s, cn), pl.ds(r0, b1), pl.ds(c0, b2)]
+        dmas = (
+            pltpu.make_async_copy(src(d_hbm), dbuf.at[slot], in_sem.at[slot, 0]),
+            pltpu.make_async_copy(src(code_hbm), cbuf.at[slot], in_sem.at[slot, 1]),
+            pltpu.make_async_copy(src(k_hbm), kbuf.at[slot], in_sem.at[slot, 2]),
+            pltpu.make_async_copy(src(w_hbm), wbuf.at[slot], in_sem.at[slot, 3]),
+        )
+        if has_h:
+            dmas += (pltpu.make_async_copy(src(h_hbm), hbuf.at[slot],
+                                           in_sem.at[slot, 4]),)
+        return dmas
+
+    def out_dma(k):
+        s = k * cn
+        # completed row r lives at xbuf[r + 1]: +1 offset on the UNTILED
+        # dim 0 — legal for DMA at any offset
+        return pltpu.make_async_copy(
+            xbuf.at[pl.ds(s + 1, cn)],
+            out_hbm.at[pl.ds(s, cn), pl.ds(r0, b1), pl.ds(c0, b2)],
+            out_sem.at[k])
+
+    for dma in in_dmas(0, 0):
+        dma.start()
+    if nchunks > 1:
+        for dma in in_dmas(1, 1):
+            dma.start()
+
+    one = jnp.ones((), f32)
+    zero_s = jnp.zeros((), f32)
+    zero = jnp.zeros((b1, b2), f32)
+    # carry: elimination chain + the previous row's pending quantities
+    # (k, w, rhs, sink, lower-face) — row -1 is a synthetic identity row
+    carry = (zero, zero, zero, zero, zero, zero, zero)
+    for k in range(nchunks):
+        slot = k % 2
+        for dma in in_dmas(slot, k):
+            dma.wait()
+
+        def grp(g, carry, *, slot=slot, base=k * cn):
+            cp_prev, dp_prev, kc, wc, dc, sc, fcc = carry
+            s = pl.multiple_of(g * G, G)
+            code_g = cbuf[slot, pl.ds(s, G)].astype(jnp.int32)
+            low = jnp.where((code_g & 1) > 0, one, zero_s)
+            high = jnp.where((code_g & 2) > 0, one, zero_s)
+            inm = jnp.where((code_g & 8) > 0, one, zero_s)
+            k_g = kbuf[slot, pl.ds(s, G)].astype(f32)
+            w_g = wbuf[slot, pl.ds(s, G)].astype(f32)
+            d_g = dbuf[slot, pl.ds(s, G)].astype(f32)
+            if has_h:
+                h_g = hbuf[slot, pl.ds(s, G)].astype(f32)
+            else:
+                h_g = rob_c
+            # harmonic faces between rows r-1, r (killed across mask/domain
+            # boundaries by the lo coupling bit)
+            kshift = jnp.concatenate([kc[None], k_g[:-1]], axis=0)
+            ksum = kshift + k_g
+            faces = jnp.where(ksum > 0,
+                              2.0 * kshift * k_g / jnp.where(ksum > 0, ksum,
+                                                             one), 0.0)
+            fc_g = faces * low
+            # Robin sink on this row (h * dt/d * n_exposed, in-mask only)
+            sink_g = (sk * h_g) * ((2.0 - low - high) * inm)
+            # completed rows = current shifted one down
+            w_s = jnp.concatenate([wc[None], w_g[:-1]], axis=0)
+            d_s = jnp.concatenate([dc[None], d_g[:-1]], axis=0)
+            s_s = jnp.concatenate([sc[None], sink_g[:-1]], axis=0)
+            f_s = jnp.concatenate([fcc[None], fc_g[:-1]], axis=0)
+            tw = tg * w_s
+            a_s = -tw * f_s
+            c_s = -tw * fc_g
+            sw = s_s * w_s
+            b_s = 1.0 + tw * (f_s + fc_g) + sw
+            dd_s = d_s + sw * t_inf
+            cps, dps = [], []
+            for r in range(G):
+                inv = 1.0 / (b_s[r] - a_s[r] * cp_prev)
+                cp_prev = c_s[r] * inv
+                dp_prev = (dd_s[r] - a_s[r] * dp_prev) * inv
+                cps.append(cp_prev)
+                dps.append(dp_prev)
+            xbuf[pl.ds(base + s, G)] = jnp.stack(cps)
+            dpbuf[pl.ds(base + s, G)] = jnp.stack(dps)
+            return (cp_prev, dp_prev, k_g[G - 1], w_g[G - 1], d_g[G - 1],
+                    sink_g[G - 1], fc_g[G - 1])
+
+        carry = lax.fori_loop(0, cn // G, grp, carry)
+        if k + 2 < nchunks:
+            for dma in in_dmas(slot, k + 2):
+                dma.start()
+
+    # epilogue: complete the final row (upper face = 0, c = 0)
+    cp_prev, dp_prev, kc, wc, dc, sc, fcc = carry
+    twc = tg * wc
+    a_n = -twc * fcc
+    b_n = 1.0 + twc * fcc + sc * wc
+    d_n = dc + sc * wc * t_inf
+    inv = 1.0 / (b_n - a_n * cp_prev)
+    x_last = (d_n - a_n * dp_prev) * inv    # x_{n-1} = dp (its cp = 0)
+    xbuf[pl.ds(n, 1)] = x_last[None]
+
+    # backward substitution, rows n-2 .. 0 == xbuf indices n-1 .. 1
+    x_next = x_last
+    for k in range(nchunks - 1, -1, -1):
+        base = k * cn
+
+        def grp_b(gg, x_next, *, base=base):
+            s = pl.multiple_of((cn // G - 1 - gg) * G, G)
+            cp_g = xbuf[pl.ds(base + s, G)]
+            dp_g = dpbuf[pl.ds(base + s, G)]
+            xs = [None] * G
+            for r in range(G - 1, -1, -1):
+                x_next = dp_g[r] - cp_g[r] * x_next
+                xs[r] = x_next
+            xbuf[pl.ds(base + s, G)] = jnp.stack(xs)
+            return x_next
+
+        x_next = lax.fori_loop(0, cn // G, grp_b, x_next)
+        out_dma(k).start()
+
+    for k in range(nchunks):
+        out_dma(k).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_b1",
+                                             "block_b2", "chunk"))
+def fused_varprop_sweep(rhs, code, kf, w, tg, sk, t_inf, h=None,
+                        rob_c=0.0, *, interpret: bool = False,
+                        block_b1: int = 8, block_b2: int = 256,
+                        chunk: int = 64):
+    """Variable-property implicit sweep along axis 0 of (n, B1, B2) arrays.
+
+    rhs  : right-hand side (the theta-scheme explicit field / previous sweep)
+    code : int8 plan-lite sweep codes for this axis's layout
+           (solvers/pallas_sweeps.sweep_code; pins unsupported)
+    kf   : conductivity field k(T) [W/mK] in this layout
+    w    : 1/(rho*cp(T)) in this layout
+    tg   : theta * dt / d_ax^2
+    sk   : dt / d_ax
+    h    : optional per-cell film coefficient field (radiation); scalar-h
+           runs stream-free via ``rob_c``
+    """
+    n, b1, b2 = rhs.shape
+    dtype = rhs.dtype
+    has_h = h is not None
+    cn = min(chunk, _round_up(n, 8))
+    pn = _round_up(n, cn) - n
+    p1 = _round_up(b1, block_b1) - b1
+    p2 = _round_up(b2, block_b2) - b2
+    if p1 or p2 or pn:
+        pad = ((0, pn), (0, p1), (0, p2))
+        rhs = jnp.pad(rhs, pad)
+        code = jnp.pad(code, pad)   # padded rows: code 0 -> identity
+        kf = jnp.pad(kf, pad)
+        w = jnp.pad(w, pad)
+        if has_h:
+            h = jnp.pad(h, pad)
+    n_pad, P1, P2 = rhs.shape
+    cdt = jnp.promote_types(dtype, jnp.float32)
+
+    scal = jnp.stack([jnp.asarray(tg, cdt), jnp.asarray(sk, cdt),
+                      jnp.asarray(t_inf, cdt), jnp.asarray(rob_c, cdt)])
+    grid = (P1 // block_b1, P2 // block_b2)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    scratch = [
+        pltpu.VMEM((n_pad + 8, block_b1, block_b2), cdt),   # x / cp (+1 lag)
+        pltpu.VMEM((n_pad + 8, block_b1, block_b2), cdt),   # dp
+        pltpu.VMEM((2, cn, block_b1, block_b2), dtype),     # rhs chunks
+        pltpu.VMEM((2, cn, block_b1, block_b2), jnp.int8),  # code chunks
+        pltpu.VMEM((2, cn, block_b1, block_b2), dtype),     # k chunks
+        pltpu.VMEM((2, cn, block_b1, block_b2), dtype),     # w chunks
+    ]
+    if has_h:
+        scratch.append(pltpu.VMEM((2, cn, block_b1, block_b2), dtype))
+    scratch += [pltpu.SemaphoreType.DMA((2, 5 if has_h else 4)),
+                pltpu.SemaphoreType.DMA((n_pad // cn,))]
+
+    inputs = [scal, rhs, code, kf, w]
+    in_specs = [sspec, hbm, hbm, hbm, hbm]
+    if has_h:
+        inputs.append(h)
+        in_specs.append(hbm)
+
+    def body(*refs):
+        it = iter(refs)
+        scal_, d_, c_, k_, w_ = (next(it) for _ in range(5))
+        h_ = next(it) if has_h else None
+        o_ = next(it)
+        xb, dp, db, cb, kb, wb = (next(it) for _ in range(6))
+        hb = next(it) if has_h else None
+        isem, osem = next(it), next(it)
+        return _varprop_kernel(scal_, d_, c_, k_, w_, h_, o_, xb, dp, db,
+                               cb, kb, wb, hb, isem, osem,
+                               n=n_pad, cn=cn, b1=block_b1, b2=block_b2)
+
+    out = pl.pallas_call(
+        body, grid=grid,
+        in_specs=in_specs,
+        out_specs=hbm,
+        out_shape=jax.ShapeDtypeStruct((n_pad, P1, P2), dtype),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*inputs)
+    if p1 or p2 or pn:
+        out = out[:n, :b1, :b2]
+    return out
+
+
+def _shift_lo(x, axis):
+    zeros = jnp.zeros_like(lax.slice_in_dim(x, 0, 1, axis=axis))
+    return lax.concatenate(
+        [zeros, lax.slice_in_dim(x, 0, x.shape[axis] - 1, axis=axis)],
+        dimension=axis)
+
+
+def _shift_hi(x, axis):
+    zeros = jnp.zeros_like(lax.slice_in_dim(x, 0, 1, axis=axis))
+    return lax.concatenate(
+        [lax.slice_in_dim(x, 1, x.shape[axis], axis=axis), zeros],
+        dimension=axis)
+
+
+def _harm(ka, kb):
+    s = ka + kb
+    return jnp.where(s > 0, 2.0 * ka * kb / jnp.where(s > 0, s, 1.0), 0.0)
+
+
+def _vp_rhs_kernel(scal_ref, T_ref, K_ref, M_ref, W_ref, Ky_ref, Kz_ref,
+                   S_ref, out_ref, Tbuf, Kbuf, Mbuf, *, nx):
+    """Plane-carry explicit theta-pass with temperature-dependent k and cp:
+
+        R0_p = T_p + cw * w_p * M_p * sum_faces harm(k)* M_nbr (T_nbr - T_p)/d^2
+               (+ cd * w_p * M_p * src_p)
+
+    Ring protocol identical to pallas_stencil._theta_rhs_kernel (x-planes,
+    two carried planes of T/kx/mask); w, per-axis ky/kz, and the optional
+    source stream with the OUTPUT plane's index map (they are only needed
+    on the computed plane p = i - 1, so they need no ring at all)."""
+    cw = scal_ref[0]        # (1 - theta) * dt
+    cd = scal_ref[1]        # dt (source scale)
+    iv_x = scal_ref[2]
+    iv_y = scal_ref[3]
+    iv_z = scal_ref[4]
+    i = pl.program_id(0)
+    f32 = scal_ref.dtype
+    Mh_f = M_ref[0].astype(jnp.int32).astype(f32)
+
+    @pl.when(i == 0)
+    def _init():
+        Tbuf[1] = jnp.zeros_like(Tbuf[1])
+        Kbuf[1] = jnp.zeros_like(Kbuf[1])
+        Mbuf[1] = jnp.zeros_like(Mbuf[1])
+
+    @pl.when(i >= 1)
+    def _compute():
+        s_c = (i - 1) % 2
+        s_l = i % 2
+        Tc = Tbuf[s_c].astype(f32)
+        Kc = Kbuf[s_c].astype(f32)
+        Mc = Mbuf[s_c]
+        hi_f = jnp.where(i <= nx - 1, 1.0, 0.0).astype(f32)
+        Ml = Mbuf[s_l]                  # zero at i=1 (init)
+        Mh = Mh_f * hi_f
+        # x faces from the carried planes
+        f_lo = _harm(Kc, Kbuf[s_l].astype(f32)) * Ml
+        f_hi = _harm(Kc, K_ref[0].astype(f32)) * Mh
+        acc = (f_lo * (Tbuf[s_l].astype(f32) - Tc)
+               + f_hi * (T_ref[0].astype(f32) - Tc)) * iv_x
+        # y (sublane) / z (lane) faces: in-plane shifts on the computed
+        # plane; per-axis conductivity when anisotropic
+        for ax, iv, kref in ((0, iv_y, Ky_ref), (1, iv_z, Kz_ref)):
+            Ka = Kc if kref is None else kref[0].astype(f32)
+            ml = _shift_lo(Mc, ax)
+            mh = _shift_hi(Mc, ax)
+            fl = _harm(Ka, _shift_lo(Ka, ax)) * ml
+            fh = _harm(Ka, _shift_hi(Ka, ax)) * mh
+            acc = acc + (fl * (_shift_lo(Tc, ax) - Tc)
+                         + fh * (_shift_hi(Tc, ax) - Tc)) * iv
+        gain = W_ref[0].astype(f32) * Mc
+        res = Tc + cw * gain * acc
+        if S_ref is not None:
+            res = res + cd * gain * S_ref[0].astype(f32)
+        out_ref[0] = res.astype(out_ref.dtype)
+
+    @pl.when(i <= nx - 1)
+    def _rotate():
+        Tbuf[i % 2] = T_ref[0]
+        Kbuf[i % 2] = K_ref[0]
+        Mbuf[i % 2] = Mh_f
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def varprop_theta_rhs(T, kx, w, mask_i8, cw, inv_d2, ky=None, kz=None,
+                      src=None, dt=None, *, interpret: bool = False):
+    """Explicit varprop theta-pass ``R0 = T + cw*w*mask*sum harm-faces`` in
+    ONE HBM pass (T + kx + mask + w [+ ky + kz + src] streamed; the XLA
+    formulation materializes every shifted face field — measured ~17 ms at
+    384^3 vs this kernel's ~13 B/cell).  ``cw = (1-theta)*dt``; ``inv_d2``
+    scalar or per-axis; ``ky``/``kz`` only for anisotropic conductivity;
+    ``src`` adds ``dt*w*mask*src`` (volumetric heat)."""
+    nx, ny, nz = T.shape
+    dtype = T.dtype
+    inv3 = jnp.broadcast_to(jnp.asarray(inv_d2), (3,))
+
+    p1 = _round_up(ny, 8) - ny
+    p2 = _round_up(nz, 128) - nz
+    if p1 or p2:
+        pad = ((0, 0), (0, p1), (0, p2))
+        T = jnp.pad(T, pad)
+        kx = jnp.pad(kx, pad)
+        w = jnp.pad(w, pad)
+        mask_i8 = jnp.pad(mask_i8, pad)
+        ky = None if ky is None else jnp.pad(ky, pad)
+        kz = None if kz is None else jnp.pad(kz, pad)
+        src = None if src is None else jnp.pad(src, pad)
+    Py, Pz = T.shape[1], T.shape[2]
+
+    cdt = jnp.promote_types(dtype, jnp.float32)
+    scal = jnp.concatenate([jnp.asarray(cw, cdt).reshape(1),
+                            jnp.asarray(0.0 if dt is None else dt,
+                                        cdt).reshape(1),
+                            inv3.astype(cdt)])
+    blk = (1, Py, Pz)
+    in_idx = lambda i: (jnp.minimum(i, nx - 1), 0, 0)
+    out_idx = lambda i: (jnp.maximum(i - 1, 0), 0, 0)
+    vin = pl.BlockSpec(blk, in_idx, memory_space=pltpu.VMEM)
+    vout = pl.BlockSpec(blk, out_idx, memory_space=pltpu.VMEM)
+
+    has_ky = ky is not None
+    has_kz = kz is not None
+    has_src = src is not None
+
+    def body(*refs):
+        it = iter(refs)
+        scal_, T_, K_, M_, W_ = (next(it) for _ in range(5))
+        Ky_ = next(it) if has_ky else None
+        Kz_ = next(it) if has_kz else None
+        S_ = next(it) if has_src else None
+        out_, Tb, Kb, Mb = (next(it) for _ in range(4))
+        return _vp_rhs_kernel(scal_, T_, K_, M_, W_, Ky_, Kz_, S_, out_,
+                              Tb, Kb, Mb, nx=nx)
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM), vin, vin, vin, vout]
+    inputs = [scal, T, kx, mask_i8, w]
+    for flag, arr in ((has_ky, ky), (has_kz, kz), (has_src, src)):
+        if flag:
+            in_specs.append(vout)
+            inputs.append(arr)
+
+    out = pl.pallas_call(
+        body,
+        grid=(nx + 1,),
+        in_specs=in_specs,
+        out_specs=vout,
+        out_shape=jax.ShapeDtypeStruct((nx, Py, Pz), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, Py, Pz), dtype),   # T planes
+            pltpu.VMEM((2, Py, Pz), dtype),   # kx planes
+            pltpu.VMEM((2, Py, Pz), cdt),     # masks as 0/1
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*inputs)
+
+    if p1 or p2:
+        out = out[:, :ny, :nz]
+    return out

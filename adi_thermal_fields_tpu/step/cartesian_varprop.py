@@ -41,7 +41,8 @@ from ..core.material import Material
 from ..solvers.thomas import thomas
 
 __all__ = ["PropertyTable", "apparent_cp", "melt_pool_enhanced_k",
-           "adi_step_varprop"]
+           "adi_step_varprop", "adi_step_varprop_fused",
+           "build_varprop_codes"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -199,3 +200,91 @@ def adi_step_varprop(T: jax.Array, mask: jax.Array, packs: CoeffPacks,
     U = sweep(R0, 0)
     V = sweep(U, 1)
     return sweep(V, 2)
+
+
+def build_varprop_codes(mask: jax.Array) -> tuple:
+    """Per-axis plan-lite sweep codes in each sweep's axis-first layout
+    (solvers/pallas_sweeps.sweep_code) for ``adi_step_varprop_fused``.
+    Mask-dependent only — rebuild on birth events, not per sub-step."""
+    from ..solvers.pallas_sweeps import sweep_code
+
+    return tuple(sweep_code(mask, None, ax) for ax in range(3))
+
+
+def adi_step_varprop_fused(T: jax.Array, mask: jax.Array, codes: tuple,
+                           grid: CartesianGrid, mat_ref: Material, *,
+                           k_table=None, cp_table=None, dt,
+                           theta: float = 0.5, t_inf=0.0,
+                           robin_h: float = 0.0,
+                           h_field: jax.Array | None = None,
+                           source: jax.Array | None = None,
+                           interpret: bool | None = None) -> jax.Array:
+    """One varprop theta-scheme step through the FUSED coefficient kernels.
+
+    Same physics as ``adi_step_varprop`` restricted to the flagship BC set
+    (Robin on every exposed face — scalar ``robin_h`` or a per-cell
+    ``h_field`` e.g. from bc/radiation.radiative_h; no Neumann, no
+    Dirichlet).  The per-cell tridiagonal coefficients are rebuilt in
+    kernel registers from streamed k(T) and 1/(rho cp(T)) instead of being
+    materialized by XLA: measured round 3 at 384^3, the materialized path
+    spends ~24-28 ms per sweep on coefficient builds against a 6.2 ms bare
+    solve (NOTES.md).  ``codes`` comes from ``build_varprop_codes(mask)``.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    from ..solvers.pallas_varprop import fused_varprop_sweep
+
+    mask = mask.astype(bool)
+    dtype = T.dtype
+    cdt = jnp.promote_types(dtype, jnp.float32)
+    dt = jnp.asarray(dt, cdt)
+    inv_d2 = [1.0 / (d * d) for d in grid.spacing]
+
+    def k_of(tab):
+        if tab is None:
+            return jnp.full(T.shape, mat_ref.k, dtype)
+        if callable(tab):
+            return tab(T)
+        return jnp.full(T.shape, float(tab), dtype)
+
+    if isinstance(k_table, (tuple, list)):
+        kfs = tuple(k_of(tab) for tab in k_table)
+    else:
+        kfs = (k_of(k_table),) * 3
+    cpf = (cp_table(T) if cp_table is not None
+           else jnp.full(T.shape, mat_ref.cp, dtype))
+    w = (1.0 / (mat_ref.rho * cpf)).astype(dtype)
+
+    # explicit theta-pass: plane-carry varprop stencil kernel (one HBM
+    # pass streaming T/kx/mask/w [+ky/kz/src]; the XLA formulation
+    # materializes every shifted face field — measured ~17 ms of the old
+    # 64 ms step at 384^3)
+    from ..solvers.pallas_varprop import varprop_theta_rhs
+
+    aniso = isinstance(k_table, (tuple, list))
+    R0 = varprop_theta_rhs(
+        T, kfs[0], w, mask.astype(jnp.int8), (1.0 - theta) * dt,
+        [float(v) for v in inv_d2],
+        ky=kfs[1] if aniso else None, kz=kfs[2] if aniso else None,
+        src=source, dt=dt, interpret=interpret).astype(dtype)
+
+    rob = 0.0 if h_field is not None else float(robin_h)
+    d_ax = grid.spacing
+
+    def sweep(rhs, ax, tr, kf_t, w_t, h_t):
+        return fused_varprop_sweep(
+            rhs, codes[ax], kf_t, w_t,
+            float(theta) * dt * inv_d2[ax], dt / d_ax[ax], t_inf,
+            h=h_t, rob_c=rob, interpret=interpret)
+
+    U = sweep(R0, 0, None, kfs[0], w,
+              None if h_field is None else h_field)
+    # y: (x,y,z) -> (y,x,z); sweep_code(axis=1) is already in this layout
+    t1 = lambda x: jnp.transpose(x, (1, 0, 2))
+    V = sweep(t1(U), 1, t1, t1(kfs[1]), t1(w),
+              None if h_field is None else t1(h_field))
+    # z: (y,x,z) -> (z,x,y); natural fields re-lay via moveaxis(2, 0)
+    t2n = lambda x: jnp.transpose(x, (2, 0, 1))     # from natural
+    W = sweep(jnp.transpose(V, (2, 1, 0)), 2, t2n, t2n(kfs[2]), t2n(w),
+              None if h_field is None else t2n(h_field))
+    return jnp.transpose(W, (1, 2, 0))

@@ -389,11 +389,13 @@ def run_varprop(n, steps=40, dtype=None):
 
 def main_varprop():
     probe_compile_service()
-    # traffic model (documented honest estimate, field-coefficient path):
-    # per step ~6 coupling-field builds (k/cp interp reads + 24 B writes) +
-    # 3 sweeps of materialized a/b/c/d (16 B read + 16 B write + x 4 B) +
-    # radiative pack rebuild ~ roughly 150 B/cell/step after XLA fusion
-    sol = HBM_BYTES_PER_S / 150.0
+    # traffic model (fully-fused varprop path, round 3): property eval
+    # k(T)+1/(rho cp(T)) ~16 B; plane-carry varprop stencil (T+k+w+mask+h
+    # in, R0 out) ~21 B; three sweeps streaming rhs+code+k+w+h and
+    # rebuilding a/b/c/d in registers ~21 B each; y/z re-lays (rhs+k+w+h
+    # transposed in, one out) ~7x8 B ~ 56 B -> ~155 B/cell/step.  The
+    # engine's radiative film adds one h-field build (~8 B).
+    sol = HBM_BYTES_PER_S / 155.0
     value = None
     for n in (384, 256, 128):
         for attempt in range(3):

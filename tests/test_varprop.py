@@ -327,3 +327,135 @@ def test_engine_varprop_with_history():
     assert ta.shape == (2,) + grid.shape
     assert float(pk.min()) >= float(T.min())
     assert float(ta[1].max()) >= float(ta[0].max())  # longer above 500 C
+
+
+def test_fused_varprop_sweep_matches_scan_oracle():
+    """solvers/pallas_varprop.fused_varprop_sweep rebuilds the per-cell
+    tridiagonal coefficients (harmonic faces from streamed k(T), Robin
+    sink from the plan-lite code bits) in registers; must match the
+    materialized adi_step_varprop sweep math + Thomas scan exactly in f64
+    interpret mode — scalar-h AND per-cell h-field (radiation) modes."""
+    from adi_thermal_fields_tpu.bc.packs import build_coeff_packs
+    from adi_thermal_fields_tpu.solvers.pallas_sweeps import sweep_code
+    from adi_thermal_fields_tpu.solvers.pallas_varprop import (
+        fused_varprop_sweep)
+    from adi_thermal_fields_tpu.solvers.thomas import thomas
+    from adi_thermal_fields_tpu.step.cartesian_varprop import _face_g
+
+    rng = np.random.default_rng(0)
+    shape = (40, 16, 24)
+    grid = CartesianGrid(*shape, 1e-3)
+    mat = Material(7800.0, 490.0, 54.0)
+    mask = jnp.asarray(rng.random(shape) < 0.8)
+    T = jnp.asarray(rng.random(shape) * 900 + 20)
+    kf = jnp.asarray(rng.random(shape) * 40 + 10)
+    cpf = jnp.asarray(rng.random(shape) * 200 + 400)
+    w = 1.0 / (mat.rho * cpf)
+    dt, theta, t_inf = 0.02, 0.5, 20.0
+    dx = grid.dx
+    bc_scale = mat.cp / cpf
+    g_lo = dt * _face_g(kf, 0, -1, mask) * w / dx**2
+    g_hi = dt * _face_g(kf, 0, +1, mask) * w / dx**2
+    a = -theta * g_lo
+    c = -theta * g_hi
+    code = sweep_code(mask, None, 0)
+    tg, sk = theta * dt / dx**2, dt / dx
+
+    for hmode in ("scalar", "field"):
+        h = 15.0 if hmode == "scalar" else \
+            jnp.asarray(rng.random(shape) * 40 + 5)
+        packs = build_coeff_packs(mask, grid, mat, robin_h=h)
+        b = jnp.where(mask, 1.0 + theta * (g_lo + g_hi)
+                      + dt * packs.coeff[0] * bc_scale, 1.0)
+        d = jnp.where(mask, T + dt * packs.coeff[0] * bc_scale * t_inf, T)
+        want = thomas(a, b, c, d)
+        got = fused_varprop_sweep(
+            T, code, kf, w, tg, sk, t_inf,
+            h=None if hmode == "scalar" else h,
+            rob_c=h if hmode == "scalar" else 0.0, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=1e-11)
+
+
+def test_fused_varprop_step_matches_xla_path():
+    """adi_step_varprop_fused == adi_step_varprop (xla) for the flagship
+    Robin-only BC set: scalar h, radiative h-field, and anisotropic
+    per-axis k tables, on anisotropic voxels with a source."""
+    from adi_thermal_fields_tpu.bc.packs import build_coeff_packs
+    from adi_thermal_fields_tpu.bc.radiation import radiative_h
+    from adi_thermal_fields_tpu.step.cartesian_varprop import (
+        adi_step_varprop_fused, build_varprop_codes, melt_pool_enhanced_k)
+
+    rng = np.random.default_rng(1)
+    shape = (24, 20, 16)
+    grid = CartesianGrid(*shape, 1e-3, dy=1.3e-3, dz=0.8e-3)
+    mat = Material(7800.0, 490.0, 54.0)
+    mask = jnp.asarray(rng.random(shape) < 0.85)
+    T = jnp.where(mask, jnp.asarray(rng.random(shape) * 1400 + 100), 20.0)
+    kt = melt_pool_enhanced_k(mat.k, 1420.0, 1470.0, enhancement=4.0)
+    ct = apparent_cp(mat.cp, mat.cp, 2.7e5, 1420.0, 1470.0)
+    src = jnp.asarray(rng.random(shape) * 1e6)
+    codes = build_varprop_codes(mask)
+    dt, h = 0.01, 35.0
+    packs = build_coeff_packs(mask, grid, mat, robin_h=h)
+
+    want = adi_step_varprop(T, mask, packs, grid, mat, k_table=kt,
+                            cp_table=ct, dt=dt, theta=0.5, t_inf=20.0,
+                            source=src, implementation="xla")
+    got = adi_step_varprop_fused(T, mask, codes, grid, mat, k_table=kt,
+                                 cp_table=ct, dt=dt, theta=0.5, t_inf=20.0,
+                                 robin_h=h, source=src, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-10)
+
+    hf = radiative_h(T, 0.5, 20.0, h_conv=15.0)
+    packs_h = build_coeff_packs(mask, grid, mat, robin_h=hf)
+    want = adi_step_varprop(T, mask, packs_h, grid, mat, k_table=kt,
+                            cp_table=ct, dt=dt, theta=0.5, t_inf=20.0,
+                            implementation="xla")
+    got = adi_step_varprop_fused(T, mask, codes, grid, mat, k_table=kt,
+                                 cp_table=ct, dt=dt, theta=0.5, t_inf=20.0,
+                                 h_field=hf, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-10)
+
+    kts = (kt, melt_pool_enhanced_k(mat.k * 0.7, 1420.0, 1470.0,
+                                    enhancement=3.0), 40.0)
+    want = adi_step_varprop(T, mask, packs, grid, mat, k_table=kts,
+                            cp_table=ct, dt=dt, theta=0.5, t_inf=20.0,
+                            implementation="xla")
+    got = adi_step_varprop_fused(T, mask, codes, grid, mat, k_table=kts,
+                                 cp_table=ct, dt=dt, theta=0.5, t_inf=20.0,
+                                 robin_h=h, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-10)
+
+
+def test_engine_fused_varprop_matches_xla_branch():
+    """The engine's fully-fused varprop path (implementation='pallas',
+    Robin-only scalar h / radiative film) must match the materialized
+    XLA varprop branch, including radiation and a moving source."""
+    from adi_thermal_fields_tpu.apps.engine import make_cartesian_engine
+    from adi_thermal_fields_tpu.step.cartesian_varprop import (
+        apparent_cp, melt_pool_enhanced_k)
+
+    grid = CartesianGrid(12, 10, 8, 1e-3, dz=0.7e-3)
+    mat = Material(7800.0, 490.0, 54.0)
+    rng = np.random.default_rng(7)
+    mask = jnp.asarray(rng.random(grid.shape) > 0.25)
+    T0 = jnp.asarray(np.where(np.asarray(mask),
+                              100 + 1300 * rng.random(grid.shape), 20.0))
+    kt = melt_pool_enhanced_k(mat.k, 1420.0, 1470.0, enhancement=4.0)
+    ct = apparent_cp(mat.cp, mat.cp, 2.7e5, 1420.0, 1470.0)
+
+    def src_fn(t):
+        return jnp.zeros(grid.shape).at[6, 5, 7].set(1e8 * (1.0 + 0 * t))
+
+    kw = dict(robin_h=40.0, t_inf=20.0, emissivity=0.45, k_table=kt,
+              cp_table=ct, source_fn=src_fn)
+    p0, a0 = make_cartesian_engine(grid, mat, implementation="xla", **kw)
+    pv, av = make_cartesian_engine(grid, mat, implementation="pallas", **kw)
+    ref = a0(T0, p0(mask), 0.05, jnp.int32(4), 0.0)
+    got = av(T0, pv(mask), 0.05, jnp.int32(4), 0.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-10,
+                               atol=1e-9)
