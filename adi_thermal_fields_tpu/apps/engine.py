@@ -151,8 +151,9 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
                              "robin_h only (the radiative film is built "
                              "per-cell from the live field)")
         # interpret mode keeps the pallas varprop kernels (CI-testable);
-        # only the mesh path falls back to the scan/XLA formulation
-        impl_vp = "xla" if mesh is not None else implementation
+        # the mesh path runs the fused kernels per shard (dist/varprop)
+        # when eligible, else falls back to the scan/XLA formulation
+        impl_vp = implementation
         h_conv = float(robin_h or 0.0) if emissivity is not None else None
 
         if mesh is not None:
@@ -166,15 +167,25 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
         # fully-fused varprop path (solvers/pallas_varprop): per-cell
         # coefficients rebuilt in kernel registers from streamed k(T) and
         # 1/(rho cp(T)), Robin sink from the plan-lite codes — eligible for
-        # the flagship BC set (Robin-only scalar h / radiative film, single
-        # device).  Measured 384^3: 64 -> 28 ms/step vs the materialized
-        # field-coefficient path.
+        # the flagship BC set (Robin-only scalar h / radiative film).
+        # Measured 384^3: 64 -> 38 ms/step vs the materialized
+        # field-coefficient path.  On a mesh the same kernels run per shard
+        # (dist/varprop) with XLA-collective halos/re-lays.
         fused_vp = (impl_vp == "pallas" and neumann is None
                     and dirichlet_mask is None
                     and (robin_h is None or isinstance(robin_h, (int, float))))
         if fused_vp:
             from ..step.cartesian_varprop import (adi_step_varprop_fused,
                                                   build_varprop_codes)
+
+            if mesh is not None:
+                from ..dist.varprop import sharded_adi_step_varprop_fused
+
+                interp_vp = interpret or jax.default_backend() != "tpu"
+                sh_step = sharded_adi_step_varprop_fused(
+                    grid, mat, mesh, k_table=k_table, cp_table=cp_table,
+                    theta=theta, t_inf=t_inf,
+                    robin_h=float(robin_h or 0.0), interpret=interp_vp)
 
             @jax.jit
             def prepare(active):
@@ -187,6 +198,9 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
                 hf = (radiative_h(T, emissivity, t_inf, h_conv=h_conv)
                       if emissivity is not None else None)
                 src = None if source_fn is None else source_fn(t)
+                if mesh is not None:
+                    return sh_step(T, active, codes, dt, h_field=hf,
+                                   source=src)
                 return constrain(adi_step_varprop_fused(
                     T, active, codes, grid, mat, k_table=k_table,
                     cp_table=cp_table, dt=dt, theta=theta, t_inf=t_inf,
@@ -195,6 +209,7 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
                     interpret=True if interpret else None))
             pad = None
         else:
+            impl_vp = "xla" if mesh is not None else implementation
             @jax.jit
             def prepare(active):
                 active = active.astype(bool)

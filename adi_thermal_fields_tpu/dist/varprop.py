@@ -1,0 +1,138 @@
+"""Multi-chip variable-property ADI step on the fused varprop kernels.
+
+Same mesh decomposition as dist/cartesian_pallas.py (every sweep's solve
+axis chip-local, batch axes sharded over the 2-D mesh, XLA collectives for
+the inter-sweep re-lays), applied to the fully-fused varprop formulation
+(solvers/pallas_varprop.py): per-shard kernels rebuild the per-cell
+tridiagonal coefficients from streamed k(T) and 1/(rho cp(T)), so the
+cross-chip traffic is the state + property fields, never materialized
+a/b/c/d.
+
+The explicit theta-pass runs in GLOBAL XLA (the harmonic-face stencil needs
+cross-shard halos, which the compiler lowers to collectives); the per-axis
+property re-lays ride the same all-to-alls as the RHS.
+
+Previously the engine's mesh+varprop configuration fell back to the
+scan/XLA formulation; this is the production path for pods.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.grid import CartesianGrid
+from ..core.material import Material
+
+__all__ = ["sharded_adi_step_varprop_fused"]
+
+
+def _specs(mesh: Mesh):
+    a, b = mesh.axis_names
+    return {
+        0: P(None, a, b),   # natural (x, y, z): x local
+        1: P(None, a, b),   # (y, x, z) layout: y local
+        2: P(None, a, b),   # (z, x, y) layout: z local
+    }
+
+
+def sharded_adi_step_varprop_fused(grid: CartesianGrid, mat_ref: Material,
+                                   mesh: Mesh, *, k_table=None,
+                                   cp_table=None, theta: float = 0.5,
+                                   t_inf: float = 20.0,
+                                   robin_h: float = 0.0,
+                                   interpret: bool = False):
+    """Jitted multi-chip fused varprop step
+    ``step(T, mask, codes, dt, h_field=None, source=None)``.
+
+    ``codes`` from step/cartesian_varprop.build_varprop_codes (per-axis
+    axis-first layouts); ``h_field`` optional per-cell film (radiation) in
+    the natural layout.  Robin-only BC set, like adi_step_varprop_fused.
+    """
+    from jax import shard_map
+
+    from ..solvers.pallas_varprop import fused_varprop_sweep
+    from ..step.cartesian import shift_in
+    from ..step.cartesian_varprop import _face_g
+
+    s = _specs(mesh)
+    inv_d2 = [1.0 / (d * d) for d in grid.spacing]
+    d_ax = grid.spacing
+    rob = float(robin_h or 0.0)
+
+    def constrain(x, spec):
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    def mk_sweep(ax, with_h):
+        tg = float(theta) / (d_ax[ax] * d_ax[ax])   # * dt at call time
+        sk = 1.0 / d_ax[ax]
+
+        if with_h:
+            def local(rhs, code, kf, w, h, dt):
+                return fused_varprop_sweep(rhs, code, kf, w, tg * dt,
+                                           sk * dt, t_inf, h=h,
+                                           interpret=interpret)
+            spec = (s[ax],) * 5 + (P(),)
+        else:
+            def local(rhs, code, kf, w, dt):
+                return fused_varprop_sweep(rhs, code, kf, w, tg * dt,
+                                           sk * dt, t_inf, rob_c=rob,
+                                           interpret=interpret)
+            spec = (s[ax],) * 4 + (P(),)
+        return shard_map(local, mesh=mesh, in_specs=spec, out_specs=s[ax],
+                         check_vma=False)
+
+    sweeps = {(ax, wh): mk_sweep(ax, wh)
+              for ax in range(3) for wh in (False, True)}
+
+    def k_of(tab, T):
+        if tab is None:
+            return jnp.full(T.shape, mat_ref.k, T.dtype)
+        if callable(tab):
+            return tab(T)
+        return jnp.full(T.shape, float(tab), T.dtype)
+
+    @jax.jit
+    def step(T, mask, codes, dt, h_field=None, source=None):
+        mask = mask.astype(bool)
+        dtype = T.dtype
+        cdt = jnp.promote_types(dtype, jnp.float32)
+        dtf = jnp.asarray(dt, cdt)
+        T = constrain(T, s[0])
+
+        if isinstance(k_table, (tuple, list)):
+            kfs = tuple(k_of(tab, T) for tab in k_table)
+        else:
+            kfs = (k_of(k_table, T),) * 3
+        cpf = (cp_table(T) if cp_table is not None
+               else jnp.full(T.shape, mat_ref.cp, dtype))
+        w = (1.0 / (mat_ref.rho * cpf)).astype(dtype)
+
+        # explicit pass in global XLA: the harmonic-face halos become
+        # compiler-lowered collectives under the sharding constraints
+        lap = jnp.zeros_like(T, cdt)
+        for ax in range(3):
+            for d_ in (-1, +1):
+                g = _face_g(kfs[ax], ax, d_, mask) * inv_d2[ax]
+                lap = lap + g * (shift_in(T, ax, d_, fill=0.0) - T)
+        R0 = T + (1.0 - theta) * dtf * w * jnp.where(mask, lap, 0.0)
+        if source is not None:
+            R0 = R0 + jnp.where(mask, dtf * source * w, 0.0)
+        R0 = constrain(R0.astype(dtype), s[0])
+
+        def run(ax, rhs, kf_t, w_t, h_t):
+            if h_t is None:
+                return sweeps[(ax, False)](rhs, codes[ax], kf_t, w_t, dtf)
+            return sweeps[(ax, True)](rhs, codes[ax], kf_t, w_t, h_t, dtf)
+
+        hf = h_field
+        U = run(0, R0, kfs[0], w, hf)
+        t1 = lambda x: constrain(jnp.transpose(x, (1, 0, 2)), s[1])
+        V = run(1, t1(U), t1(kfs[1]), t1(w),
+                None if hf is None else t1(hf))
+        t2n = lambda x: constrain(jnp.transpose(x, (2, 0, 1)), s[2])
+        W = run(2, constrain(jnp.transpose(V, (2, 1, 0)), s[2]),
+                t2n(kfs[2]), t2n(w), None if hf is None else t2n(hf))
+        return constrain(jnp.transpose(W, (1, 2, 0)), s[0])
+
+    return step

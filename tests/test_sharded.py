@@ -419,3 +419,59 @@ def test_sharded_engine_thermal_history_matches_single_device():
     np.testing.assert_allclose(np.asarray(ta), np.asarray(rta), atol=0)
     # the sinusoidally-hot columns spent measurably longer above 890 C
     assert float(jnp.max(ta)) > float(jnp.min(ta))
+
+
+def test_sharded_fused_varprop_matches_single_device():
+    """dist/varprop.sharded_adi_step_varprop_fused (per-shard fused varprop
+    kernels + XLA-collective explicit pass) == the single-device fused step,
+    scalar-h and radiative h-field modes (the engine's pod configuration for
+    latent-heat / melt-pool / radiation physics)."""
+    from adi_thermal_fields_tpu.bc.radiation import radiative_h
+    from adi_thermal_fields_tpu.dist.varprop import (
+        sharded_adi_step_varprop_fused)
+    from adi_thermal_fields_tpu.step.cartesian_varprop import (
+        adi_step_varprop_fused, apparent_cp, build_varprop_codes,
+        melt_pool_enhanced_k)
+
+    grid = CartesianGrid(16, 16, 16, 1e-3, dz=0.8e-3)
+    mat = Material(7800.0, 490.0, 54.0)
+    rng = np.random.default_rng(3)
+    mask = jnp.asarray(rng.random(grid.shape) > 0.25)
+    T0 = jnp.asarray(np.where(np.asarray(mask),
+                              100.0 + 1300.0 * rng.random(grid.shape), 20.0))
+    kt = melt_pool_enhanced_k(mat.k, 1420.0, 1470.0, enhancement=4.0)
+    ct = apparent_cp(mat.cp, mat.cp, 2.7e5, 1420.0, 1470.0)
+    codes = build_varprop_codes(mask)
+    dt, h = 0.02, 40.0
+
+    ref = T0
+    for _ in range(3):
+        ref = adi_step_varprop_fused(ref, mask, codes, grid, mat,
+                                     k_table=kt, cp_table=ct, dt=dt,
+                                     theta=0.5, t_inf=20.0, robin_h=h,
+                                     interpret=True)
+
+    mesh = make_mesh()
+    step = sharded_adi_step_varprop_fused(grid, mat, mesh, k_table=kt,
+                                          cp_table=ct, theta=0.5,
+                                          t_inf=20.0, robin_h=h,
+                                          interpret=True)
+    T = shard_field(T0, mesh, 0)
+    m = shard_field(mask, mesh, 0)
+    for _ in range(3):
+        T = step(T, m, codes, dt)
+    assert len(T.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(T), np.asarray(ref), rtol=1e-12,
+                               atol=1e-12)
+
+    # radiative film mode
+    hf = radiative_h(T0, 0.5, 20.0, h_conv=15.0)
+    ref = adi_step_varprop_fused(T0, mask, codes, grid, mat, k_table=kt,
+                                 cp_table=ct, dt=dt, theta=0.5, t_inf=20.0,
+                                 h_field=hf, interpret=True)
+    step_r = sharded_adi_step_varprop_fused(grid, mat, mesh, k_table=kt,
+                                            cp_table=ct, theta=0.5,
+                                            t_inf=20.0, interpret=True)
+    got = step_r(shard_field(T0, mesh, 0), m, codes, dt, h_field=hf)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-12,
+                               atol=1e-12)

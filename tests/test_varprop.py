@@ -459,3 +459,39 @@ def test_engine_fused_varprop_matches_xla_branch():
     got = av(T0, pv(mask), 0.05, jnp.int32(4), 0.0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-10,
                                atol=1e-9)
+
+
+def test_engine_fused_varprop_sharded_matches_single_device():
+    """The engine's mesh+pallas varprop branch (dist/varprop per-shard fused
+    kernels) vs the single-device fused branch — the pod configuration for
+    latent-heat / melt-pool / radiation physics."""
+    from adi_thermal_fields_tpu.apps.engine import make_cartesian_engine
+    from adi_thermal_fields_tpu.dist.cartesian import make_mesh, shard_field
+    from adi_thermal_fields_tpu.step.cartesian_varprop import (
+        melt_pool_enhanced_k)
+
+    grid = CartesianGrid(12, 8, 8, 1e-3)
+    mat = Material(7800.0, 490.0, 54.0)
+    rng = np.random.default_rng(2)
+    mask_np = rng.random(grid.shape) > 0.2
+    mask = jnp.asarray(mask_np)
+    T0 = jnp.asarray(np.where(mask_np, 20 + 1600 * rng.random(grid.shape),
+                              20.0))
+    kt = melt_pool_enhanced_k(54.0, 1420.0, 1470.0, enhancement=4.0)
+    ct = apparent_cp(490.0, 520.0, 2.7e5, 1420.0, 1470.0)
+
+    p1, a1 = make_cartesian_engine(grid, mat, robin_h=15.0, emissivity=0.5,
+                                   k_table=kt, cp_table=ct,
+                                   implementation="pallas")
+    ref = a1(T0, p1(mask), 0.02, jnp.int32(3), 0.0)
+
+    mesh = make_mesh()
+    pm, am = make_cartesian_engine(grid, mat, robin_h=15.0, emissivity=0.5,
+                                   k_table=kt, cp_table=ct, mesh=mesh,
+                                   implementation="pallas")
+    Ts = shard_field(T0, mesh, 0)
+    ms = shard_field(mask, mesh, 0)
+    got = am(Ts, pm(ms), 0.02, jnp.int32(3), 0.0)
+    assert len(got.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=0,
+                               atol=1e-12)
