@@ -31,7 +31,7 @@ def _specs(mesh: Mesh):
     a, b = mesh.axis_names
     return {
         0: P(None, a, b),   # natural (x, y, z): x local
-        1: P(None, a, b),   # (y, x, z) layout: y local
+        1: P(a, None, b),   # natural-layout axis-1 kernel: y local
         2: P(None, a, b),   # (z, x, y) layout: z local
     }
 
@@ -51,7 +51,8 @@ def sharded_adi_step_varprop_fused(grid: CartesianGrid, mat_ref: Material,
     """
     from jax import shard_map
 
-    from ..solvers.pallas_varprop import fused_varprop_sweep
+    from ..solvers.pallas_varprop import (fused_varprop_sweep,
+                                          fused_varprop_sweep_axis1)
     from ..step.cartesian import shift_in
     from ..step.cartesian_varprop import _face_g
 
@@ -66,18 +67,17 @@ def sharded_adi_step_varprop_fused(grid: CartesianGrid, mat_ref: Material,
     def mk_sweep(ax, with_h):
         tg = float(theta) / (d_ax[ax] * d_ax[ax])   # * dt at call time
         sk = 1.0 / d_ax[ax]
+        kern = fused_varprop_sweep_axis1 if ax == 1 else fused_varprop_sweep
 
         if with_h:
             def local(rhs, code, kf, w, h, dt):
-                return fused_varprop_sweep(rhs, code, kf, w, tg * dt,
-                                           sk * dt, t_inf, h=h,
-                                           interpret=interpret)
+                return kern(rhs, code, kf, w, tg * dt, sk * dt, t_inf, h=h,
+                            interpret=interpret)
             spec = (s[ax],) * 5 + (P(),)
         else:
             def local(rhs, code, kf, w, dt):
-                return fused_varprop_sweep(rhs, code, kf, w, tg * dt,
-                                           sk * dt, t_inf, rob_c=rob,
-                                           interpret=interpret)
+                return kern(rhs, code, kf, w, tg * dt, sk * dt, t_inf,
+                            rob_c=rob, interpret=interpret)
             spec = (s[ax],) * 4 + (P(),)
         return shard_map(local, mesh=mesh, in_specs=spec, out_specs=s[ax],
                          check_vma=False)
@@ -127,12 +127,13 @@ def sharded_adi_step_varprop_fused(grid: CartesianGrid, mat_ref: Material,
 
         hf = h_field
         U = run(0, R0, kfs[0], w, hf)
-        t1 = lambda x: constrain(jnp.transpose(x, (1, 0, 2)), s[1])
-        V = run(1, t1(U), t1(kfs[1]), t1(w),
-                None if hf is None else t1(hf))
+        # y: natural-layout axis-1 kernel — only a resharding (y gathers
+        # local, x re-shards), no transposes of the property fields
+        c1 = lambda x: constrain(x, s[1])
+        V = run(1, c1(U), c1(kfs[1]), c1(w), None if hf is None else c1(hf))
         t2n = lambda x: constrain(jnp.transpose(x, (2, 0, 1)), s[2])
-        W = run(2, constrain(jnp.transpose(V, (2, 1, 0)), s[2]),
-                t2n(kfs[2]), t2n(w), None if hf is None else t2n(hf))
+        W = run(2, t2n(V), t2n(kfs[2]), t2n(w),
+                None if hf is None else t2n(hf))
         return constrain(jnp.transpose(W, (1, 2, 0)), s[0])
 
     return step

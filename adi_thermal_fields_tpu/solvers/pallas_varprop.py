@@ -437,3 +437,237 @@ def varprop_theta_rhs(T, kx, w, mask_i8, cw, inv_d2, ky=None, kz=None,
     if p1 or p2:
         out = out[:, :ny, :nz]
     return out
+
+
+def _varprop_kernel_axis1(scal_ref, d_hbm, code_hbm, k_hbm, w_hbm, h_hbm,
+                          out_hbm, xbuf, dpbuf, obuf, dbuf, cbuf, kbuf,
+                          wbuf, hbuf, in_sem, out_sem, *, n, cn, b1, b2):
+    """Axis-1 variant of _varprop_kernel: the y-sweep in the NATURAL
+    (B1, n, B2) layout — no transposes of rhs/k/w/h.  Raw input groups are
+    swapped to (G, b1, b2) once and everything downstream reuses the axis-0
+    lag machinery (decode-after-swap, _sweep_kernel_axis1_v2 notes).  cp/dp
+    live in the axis-0-style (n+8, b1, b2) scratch whose dim 0 is UNTILED,
+    so the +1-lagged stores stay aligned and the backward pass reads at a
+    +1 offset for free; finished x groups are swapped back into a
+    natural-layout staging buffer whose chunk DMAs slice the tiled sublane
+    dim only at chunk-aligned offsets (the Mosaic sub-tile hazard)."""
+    tg = scal_ref[0]
+    sk = scal_ref[1]
+    t_inf = scal_ref[2]
+    rob_c = scal_ref[3]
+    f32 = xbuf.dtype
+    has_h = h_hbm is not None
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    r0 = i * b1
+    c0 = j * b2
+    nchunks = n // cn
+    G = 8
+
+    def in_dmas(slot, k):
+        s = k * cn
+        src = lambda ref: ref.at[pl.ds(r0, b1), pl.ds(s, cn), pl.ds(c0, b2)]
+        dmas = (
+            pltpu.make_async_copy(src(d_hbm), dbuf.at[slot], in_sem.at[slot, 0]),
+            pltpu.make_async_copy(src(code_hbm), cbuf.at[slot], in_sem.at[slot, 1]),
+            pltpu.make_async_copy(src(k_hbm), kbuf.at[slot], in_sem.at[slot, 2]),
+            pltpu.make_async_copy(src(w_hbm), wbuf.at[slot], in_sem.at[slot, 3]),
+        )
+        if has_h:
+            dmas += (pltpu.make_async_copy(src(h_hbm), hbuf.at[slot],
+                                           in_sem.at[slot, 4]),)
+        return dmas
+
+    def out_dma(k):
+        s = k * cn
+        return pltpu.make_async_copy(
+            obuf.at[:, pl.ds(s, cn), :],
+            out_hbm.at[pl.ds(r0, b1), pl.ds(s, cn), pl.ds(c0, b2)],
+            out_sem.at[k])
+
+    for dma in in_dmas(0, 0):
+        dma.start()
+    if nchunks > 1:
+        for dma in in_dmas(1, 1):
+            dma.start()
+
+    one = jnp.ones((), f32)
+    zero_s = jnp.zeros((), f32)
+    zero = jnp.zeros((b1, b2), f32)
+    carry = (zero, zero, zero, zero, zero, zero, zero)
+    for k in range(nchunks):
+        slot = k % 2
+        for dma in in_dmas(slot, k):
+            dma.wait()
+
+        def grp(g, carry, *, slot=slot, base=k * cn):
+            cp_prev, dp_prev, kc, wc, dc, sc, fcc = carry
+            s = pl.multiple_of(g * G, G)
+            code_g = jnp.swapaxes(
+                cbuf[slot, :, pl.ds(s, G), :].astype(jnp.int32), 0, 1)
+            low = jnp.where((code_g & 1) > 0, one, zero_s)
+            high = jnp.where((code_g & 2) > 0, one, zero_s)
+            inm = jnp.where((code_g & 8) > 0, one, zero_s)
+            k_g = jnp.swapaxes(kbuf[slot, :, pl.ds(s, G), :], 0, 1) \
+                .astype(f32)
+            w_g = jnp.swapaxes(wbuf[slot, :, pl.ds(s, G), :], 0, 1) \
+                .astype(f32)
+            d_g = jnp.swapaxes(dbuf[slot, :, pl.ds(s, G), :], 0, 1) \
+                .astype(f32)
+            if has_h:
+                h_g = jnp.swapaxes(hbuf[slot, :, pl.ds(s, G), :], 0, 1) \
+                    .astype(f32)
+            else:
+                h_g = rob_c
+            kshift = jnp.concatenate([kc[None], k_g[:-1]], axis=0)
+            ksum = kshift + k_g
+            faces = jnp.where(ksum > 0,
+                              2.0 * kshift * k_g / jnp.where(ksum > 0, ksum,
+                                                             one), 0.0)
+            fc_g = faces * low
+            sink_g = (sk * h_g) * ((2.0 - low - high) * inm)
+            w_s = jnp.concatenate([wc[None], w_g[:-1]], axis=0)
+            d_s = jnp.concatenate([dc[None], d_g[:-1]], axis=0)
+            s_s = jnp.concatenate([sc[None], sink_g[:-1]], axis=0)
+            f_s = jnp.concatenate([fcc[None], fc_g[:-1]], axis=0)
+            tw = tg * w_s
+            a_s = -tw * f_s
+            c_s = -tw * fc_g
+            sw = s_s * w_s
+            b_s = 1.0 + tw * (f_s + fc_g) + sw
+            dd_s = d_s + sw * t_inf
+            cps, dps = [], []
+            for r in range(G):
+                inv = 1.0 / (b_s[r] - a_s[r] * cp_prev)
+                cp_prev = c_s[r] * inv
+                dp_prev = (dd_s[r] - a_s[r] * dp_prev) * inv
+                cps.append(cp_prev)
+                dps.append(dp_prev)
+            xbuf[pl.ds(base + s, G)] = jnp.stack(cps)
+            dpbuf[pl.ds(base + s, G)] = jnp.stack(dps)
+            return (cp_prev, dp_prev, k_g[G - 1], w_g[G - 1], d_g[G - 1],
+                    sink_g[G - 1], fc_g[G - 1])
+
+        carry = lax.fori_loop(0, cn // G, grp, carry)
+        if k + 2 < nchunks:
+            for dma in in_dmas(slot, k + 2):
+                dma.start()
+
+    cp_prev, dp_prev, kc, wc, dc, sc, fcc = carry
+    twc = tg * wc
+    a_n = -twc * fcc
+    b_n = 1.0 + twc * fcc + sc * wc
+    d_n = dc + sc * wc * t_inf
+    inv = 1.0 / (b_n - a_n * cp_prev)
+    x_last = (d_n - a_n * dp_prev) * inv
+    # row-index n slot: cp = 0, dp = x so the row-aligned backward group
+    # covering the last row recomputes x_{n-1} = dp - 0*x_next = x_last
+    xbuf[pl.ds(n, 1)] = zero[None]
+    dpbuf[pl.ds(n, 1)] = x_last[None]
+
+    # backward: row-aligned groups; the +1-lagged cp/dp reads ride the
+    # UNTILED dim 0 of the scratch, the swapped x stores land sublane-
+    # aligned in the natural staging buffer
+    x_next = zero
+    for k in range(nchunks - 1, -1, -1):
+        base = k * cn
+
+        def grp_b(gg, x_next, *, base=base):
+            s = pl.multiple_of((cn // G - 1 - gg) * G, G)
+            cp_g = xbuf[pl.ds(base + s + 1, G)]
+            dp_g = dpbuf[pl.ds(base + s + 1, G)]
+            xs = [None] * G
+            for r in range(G - 1, -1, -1):
+                x_next = dp_g[r] - cp_g[r] * x_next
+                xs[r] = x_next
+            obuf[:, pl.ds(base + s, G), :] = jnp.swapaxes(jnp.stack(xs), 0, 1)
+            return x_next
+
+        x_next = lax.fori_loop(0, cn // G, grp_b, x_next)
+        out_dma(k).start()
+
+    for k in range(nchunks):
+        out_dma(k).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_b1",
+                                             "block_b2", "chunk"))
+def fused_varprop_sweep_axis1(rhs, code, kf, w, tg, sk, t_inf, h=None,
+                              rob_c=0.0, *, interpret: bool = False,
+                              block_b1: int = 8, block_b2: int = 256,
+                              chunk: int = 64):
+    """Variable-property implicit sweep along AXIS 1 of (B1, n, B2) arrays
+    in the natural layout (the y-sweep with no transposes of rhs/k/w/h).
+    Same math/semantics as ``fused_varprop_sweep``; ``code`` must be the
+    NATURAL-layout axis-1 sweep code (moveaxis(sweep_code(mask, None, 1),
+    0, 1) — i.e. couplings along axis 1, array in (B1, n, B2))."""
+    b1, n, b2 = rhs.shape
+    dtype = rhs.dtype
+    has_h = h is not None
+    cn = min(chunk, _round_up(n, 8))
+    pn = _round_up(n, cn) - n
+    p1 = _round_up(b1, block_b1) - b1
+    p2 = _round_up(b2, block_b2) - b2
+    if p1 or p2 or pn:
+        pad = ((0, p1), (0, pn), (0, p2))
+        rhs = jnp.pad(rhs, pad)
+        code = jnp.pad(code, pad)
+        kf = jnp.pad(kf, pad)
+        w = jnp.pad(w, pad)
+        if has_h:
+            h = jnp.pad(h, pad)
+    P1, n_pad, P2 = rhs.shape
+    cdt = jnp.promote_types(dtype, jnp.float32)
+
+    scal = jnp.stack([jnp.asarray(tg, cdt), jnp.asarray(sk, cdt),
+                      jnp.asarray(t_inf, cdt), jnp.asarray(rob_c, cdt)])
+    grid = (P1 // block_b1, P2 // block_b2)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    scratch = [
+        pltpu.VMEM((n_pad + 8, block_b1, block_b2), cdt),       # cp (+1 lag)
+        pltpu.VMEM((n_pad + 8, block_b1, block_b2), cdt),       # dp
+        pltpu.VMEM((block_b1, n_pad, block_b2), dtype),         # x staging
+        pltpu.VMEM((2, block_b1, cn, block_b2), dtype),         # rhs chunks
+        pltpu.VMEM((2, block_b1, cn, block_b2), jnp.int8),      # code
+        pltpu.VMEM((2, block_b1, cn, block_b2), dtype),         # k
+        pltpu.VMEM((2, block_b1, cn, block_b2), dtype),         # w
+    ]
+    if has_h:
+        scratch.append(pltpu.VMEM((2, block_b1, cn, block_b2), dtype))
+    scratch += [pltpu.SemaphoreType.DMA((2, 5 if has_h else 4)),
+                pltpu.SemaphoreType.DMA((n_pad // cn,))]
+
+    inputs = [scal, rhs, code, kf, w]
+    in_specs = [sspec, hbm, hbm, hbm, hbm]
+    if has_h:
+        inputs.append(h)
+        in_specs.append(hbm)
+
+    def body(*refs):
+        it = iter(refs)
+        scal_, d_, c_, k_, w_ = (next(it) for _ in range(5))
+        h_ = next(it) if has_h else None
+        o_ = next(it)
+        xb, dp, ob, db, cb, kb, wb = (next(it) for _ in range(7))
+        hb = next(it) if has_h else None
+        isem, osem = next(it), next(it)
+        return _varprop_kernel_axis1(scal_, d_, c_, k_, w_, h_, o_, xb, dp,
+                                     ob, db, cb, kb, wb, hb, isem, osem,
+                                     n=n_pad, cn=cn, b1=block_b1,
+                                     b2=block_b2)
+
+    out = pl.pallas_call(
+        body, grid=grid,
+        in_specs=in_specs,
+        out_specs=hbm,
+        out_shape=jax.ShapeDtypeStruct((P1, n_pad, P2), dtype),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*inputs)
+    if p1 or p2 or pn:
+        out = out[:b1, :n, :b2]
+    return out

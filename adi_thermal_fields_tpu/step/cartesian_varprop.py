@@ -203,12 +203,16 @@ def adi_step_varprop(T: jax.Array, mask: jax.Array, packs: CoeffPacks,
 
 
 def build_varprop_codes(mask: jax.Array) -> tuple:
-    """Per-axis plan-lite sweep codes in each sweep's axis-first layout
-    (solvers/pallas_sweeps.sweep_code) for ``adi_step_varprop_fused``.
-    Mask-dependent only — rebuild on birth events, not per sub-step."""
+    """Per-axis plan-lite sweep codes in each sweep's KERNEL layout for
+    ``adi_step_varprop_fused``: x in (x,y,z) and z in (z,x,y) for the
+    axis-0 kernel, y in the NATURAL (x,y,z) layout for the axis-1 kernel
+    (no y-sweep transposes).  Mask-dependent only — rebuild on birth
+    events, not per sub-step."""
     from ..solvers.pallas_sweeps import sweep_code
 
-    return tuple(sweep_code(mask, None, ax) for ax in range(3))
+    return (sweep_code(mask, None, 0),
+            jnp.moveaxis(sweep_code(mask, None, 1), 0, 1),
+            sweep_code(mask, None, 2))
 
 
 def adi_step_varprop_fused(T: jax.Array, mask: jax.Array, codes: tuple,
@@ -270,21 +274,20 @@ def adi_step_varprop_fused(T: jax.Array, mask: jax.Array, codes: tuple,
 
     rob = 0.0 if h_field is not None else float(robin_h)
     d_ax = grid.spacing
+    from ..solvers.pallas_varprop import fused_varprop_sweep_axis1
 
-    def sweep(rhs, ax, tr, kf_t, w_t, h_t):
-        return fused_varprop_sweep(
+    def sweep(rhs, ax, kf_t, w_t, h_t, kernel=fused_varprop_sweep):
+        return kernel(
             rhs, codes[ax], kf_t, w_t,
             float(theta) * dt * inv_d2[ax], dt / d_ax[ax], t_inf,
             h=h_t, rob_c=rob, interpret=interpret)
 
-    U = sweep(R0, 0, None, kfs[0], w,
-              None if h_field is None else h_field)
-    # y: (x,y,z) -> (y,x,z); sweep_code(axis=1) is already in this layout
-    t1 = lambda x: jnp.transpose(x, (1, 0, 2))
-    V = sweep(t1(U), 1, t1, t1(kfs[1]), t1(w),
-              None if h_field is None else t1(h_field))
-    # z: (y,x,z) -> (z,x,y); natural fields re-lay via moveaxis(2, 0)
-    t2n = lambda x: jnp.transpose(x, (2, 0, 1))     # from natural
-    W = sweep(jnp.transpose(V, (2, 1, 0)), 2, t2n, t2n(kfs[2]), t2n(w),
-              None if h_field is None else t2n(h_field))
+    hf = h_field
+    U = sweep(R0, 0, kfs[0], w, hf)
+    # y: the axis-1 kernel sweeps in the NATURAL layout — no transposes
+    V = sweep(U, 1, kfs[1], w, hf, kernel=fused_varprop_sweep_axis1)
+    # z: (x,y,z) -> (z,x,y) re-lay for rhs/k/w(/h)
+    t2n = lambda x: jnp.transpose(x, (2, 0, 1))
+    W = sweep(t2n(V), 2, t2n(kfs[2]), t2n(w),
+              None if hf is None else t2n(hf))
     return jnp.transpose(W, (1, 2, 0))

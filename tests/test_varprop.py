@@ -495,3 +495,32 @@ def test_engine_fused_varprop_sharded_matches_single_device():
     assert len(got.sharding.device_set) == 8
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=0,
                                atol=1e-12)
+
+
+def test_fused_varprop_sweep_axis1_bitwise_vs_axis0():
+    """The natural-layout axis-1 varprop kernel (y-sweep without
+    transposes) is bitwise the transposed axis-0 kernel — elementwise
+    decode and the identical register chain are layout-independent."""
+    from adi_thermal_fields_tpu.solvers.pallas_sweeps import sweep_code
+    from adi_thermal_fields_tpu.solvers.pallas_varprop import (
+        fused_varprop_sweep, fused_varprop_sweep_axis1)
+
+    rng = np.random.default_rng(4)
+    shape = (16, 40, 24)      # (x, y, z); sweep along y; hostile pads
+    mask = jnp.asarray(rng.random(shape) < 0.8)
+    T = jnp.asarray(rng.random(shape) * 900 + 20)
+    kf = jnp.asarray(rng.random(shape) * 40 + 10)
+    w = jnp.asarray(rng.random(shape) * 1e-7 + 2e-7)
+    hf = jnp.asarray(rng.random(shape) * 40 + 5)
+    tg, sk, t_inf = 0.37, 0.01, 20.0
+    code_yxz = sweep_code(mask, None, 1)          # (y, x, z)
+    code_nat = jnp.moveaxis(code_yxz, 0, 1)       # (x, y, z)
+    t1 = lambda a: jnp.transpose(a, (1, 0, 2))
+
+    for h in (None, hf):
+        want = t1(fused_varprop_sweep(
+            t1(T), code_yxz, t1(kf), t1(w), tg, sk, t_inf,
+            h=None if h is None else t1(h), rob_c=15.0, interpret=True))
+        got = fused_varprop_sweep_axis1(T, code_nat, kf, w, tg, sk, t_inf,
+                                        h=h, rob_c=15.0, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
