@@ -41,7 +41,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_varprop_sweep", "varprop_theta_rhs"]
+__all__ = ["fused_varprop_sweep", "fused_varprop_sweep_axis1",
+           "varprop_theta_rhs"]
 
 
 def _round_up(v, m):
@@ -209,6 +210,12 @@ def fused_varprop_sweep(rhs, code, kf, w, tg, sk, t_inf, h=None,
     """
     n, b1, b2 = rhs.shape
     dtype = rhs.dtype
+    if jnp.promote_types(dtype, jnp.float32) != dtype:
+        raise NotImplementedError(
+            "fused_varprop_sweep solves in f32 line buffers whose output "
+            "DMA cannot narrow to a sub-f32 state dtype (and interpret "
+            "mode would hide the failure); run the varprop path in "
+            "float32")
     has_h = h is not None
     cn = min(chunk, _round_up(n, 8))
     pn = _round_up(n, cn) - n
@@ -603,6 +610,10 @@ def fused_varprop_sweep_axis1(rhs, code, kf, w, tg, sk, t_inf, h=None,
     0, 1) — i.e. couplings along axis 1, array in (B1, n, B2))."""
     b1, n, b2 = rhs.shape
     dtype = rhs.dtype
+    if jnp.promote_types(dtype, jnp.float32) != dtype:
+        raise NotImplementedError(
+            "fused_varprop_sweep_axis1 solves in f32 line buffers; run "
+            "the varprop path in float32 (see fused_varprop_sweep)")
     has_h = h is not None
     cn = min(chunk, _round_up(n, 8))
     pn = _round_up(n, cn) - n

@@ -524,3 +524,32 @@ def test_fused_varprop_sweep_axis1_bitwise_vs_axis0():
         got = fused_varprop_sweep_axis1(T, code_nat, kf, w, tg, sk, t_inf,
                                         h=h, rob_c=15.0, interpret=True)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_engine_fused_varprop_with_history_matches_xla():
+    """The fused varprop branch composes with thermal-history tracking and
+    matches the XLA branch's history outputs."""
+    from adi_thermal_fields_tpu.apps.engine import make_cartesian_engine
+
+    grid = CartesianGrid(8, 8, 6, 1e-3)
+    mat = Material(7800.0, 490.0, 54.0)
+    mask = jnp.ones(grid.shape, bool)
+    T0 = jnp.full(grid.shape, 900.0, jnp.float64)
+    kt = PropertyTable((0.0, 2000.0), (40.0, 60.0))
+    hist0 = (T0, jnp.zeros((2,) + grid.shape, jnp.float64))
+
+    px, ax_ = make_cartesian_engine(grid, mat, robin_h=200.0, k_table=kt,
+                                    implementation="xla",
+                                    history_t_crit=(800.0, 500.0))
+    Tx, (pkx, tax) = ax_(T0, px(mask), 0.05, jnp.int32(5), 0.0, hist0)
+
+    pf, af = make_cartesian_engine(grid, mat, robin_h=200.0, k_table=kt,
+                                   implementation="pallas",
+                                   history_t_crit=(800.0, 500.0))
+    Tf, (pkf, taf) = af(T0, pf(mask), 0.05, jnp.int32(5), 0.0, hist0)
+    np.testing.assert_allclose(np.asarray(Tf), np.asarray(Tx), rtol=1e-10,
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(pkf), np.asarray(pkx), rtol=1e-10,
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(taf), np.asarray(tax), rtol=1e-10,
+                               atol=1e-8)
