@@ -93,13 +93,14 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
     scalar convective ``robin_h`` (Picard-refreshed every SUB-STEP from the
     live field — tighter than the per-segment refresh of
     make_cartesian_advance(robin_h_fn=...)).
-    Any of these switches the engine onto the field-coefficient varprop
-    step: Picard coefficients k(T^n)/cp(T^n) are rebuilt in-jit each
-    sub-step (fused by XLA; fused_tridiag_fields kernels on TPU), composing
-    with history tracking and with ``mesh`` sharding (GSPMD-sharded scans).
-    Not compatible with stochastic_rounding, a dict/field robin_h when
-    emissivity is set, or implementation='pallas' plan kernels (the lite
-    plan assumes constant coefficients)."""
+    Any of these switches the engine onto the varprop step.  The flagship
+    BC set (Robin-only scalar h / radiative film, implementation='pallas')
+    runs FULLY FUSED — per-cell Picard coefficients k(T^n)/cp(T^n) rebuilt
+    in kernel registers (solvers/pallas_varprop.py), per shard on a
+    ``mesh`` (dist/varprop.py), with bf16 + stochastic_rounding supported
+    on a single device — composing with history tracking.  Neumann /
+    Dirichlet / field-h configurations keep the materialized
+    field-coefficient formulation (no stochastic_rounding there)."""
     import jax.numpy as jnp
 
     if implementation == "auto":
@@ -141,10 +142,6 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
         from ..bc.radiation import radiative_h
         from ..step.cartesian_varprop import adi_step_varprop
 
-        if stochastic_rounding:
-            raise ValueError("stochastic_rounding is not supported on the "
-                             "varprop path (field-coefficient kernels carry "
-                             "no PRNG stores yet); run float32")
         if emissivity is not None and robin_h is not None \
                 and not isinstance(robin_h, (int, float)):
             raise ValueError("emissivity composes with a SCALAR convective "
@@ -174,6 +171,17 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
         fused_vp = (impl_vp == "pallas" and neumann is None
                     and dirichlet_mask is None
                     and (robin_h is None or isinstance(robin_h, (int, float))))
+        if stochastic_rounding and not fused_vp:
+            raise ValueError("stochastic_rounding on the varprop path needs "
+                             "the fused kernels (implementation='pallas', "
+                             "Robin-only scalar h / radiative film, no "
+                             "Neumann/Dirichlet); this configuration falls "
+                             "back to the field-coefficient formulation "
+                             "which has no PRNG stores")
+        if stochastic_rounding and mesh is not None:
+            raise ValueError("stochastic_rounding is not yet wired through "
+                             "the sharded varprop path (dist/varprop); run "
+                             "float32 on the mesh or single-device bf16")
         if fused_vp:
             from ..step.cartesian_varprop import (adi_step_varprop_fused,
                                                   build_varprop_codes)
@@ -201,10 +209,12 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
                 if mesh is not None:
                     return sh_step(T, active, codes, dt, h_field=hf,
                                    source=src)
+                seed = istep if stochastic_rounding else None
                 return constrain(adi_step_varprop_fused(
                     T, active, codes, grid, mat, k_table=k_table,
                     cp_table=cp_table, dt=dt, theta=theta, t_inf=t_inf,
                     robin_h=float(robin_h or 0.0), h_field=hf, source=src,
+                    rng_seed=seed,
                     # None = auto (interpret off-TPU); True forces it
                     interpret=True if interpret else None))
             pad = None

@@ -49,21 +49,25 @@ def _round_up(v, m):
     return -(-v // m) * m
 
 
-def _varprop_kernel(scal_ref, d_hbm, code_hbm, k_hbm, w_hbm, h_hbm, out_hbm,
-                    xbuf, dpbuf, dbuf, cbuf, kbuf, wbuf, hbuf,
-                    in_sem, out_sem, *, n, cn, b1, b2):
+def _varprop_kernel(scal_ref, seed_ref, d_hbm, code_hbm, k_hbm, w_hbm,
+                    h_hbm, out_hbm, xbuf, dpbuf, obuf, dbuf, cbuf, kbuf,
+                    wbuf, hbuf, in_sem, out_sem, *, n, cn, b1, b2):
     tg = scal_ref[0]        # theta * dt / d_ax^2
     sk = scal_ref[1]        # dt / d_ax (Robin sink scale)
     t_inf = scal_ref[2]
     rob_c = scal_ref[3]     # scalar h (used when no h stream)
     f32 = xbuf.dtype
     has_h = h_hbm is not None
+    mixed = obuf is not None         # bf16 state, f32 solve
+    stochastic = seed_ref is not None
     i = pl.program_id(0)
     j = pl.program_id(1)
     r0 = i * b1
     c0 = j * b2
     nchunks = n // cn
     G = 8
+    if stochastic:
+        pltpu.prng_seed(seed_ref[0] + i * pl.num_programs(1) + j)
 
     def in_dmas(slot, k):
         s = k * cn
@@ -82,9 +86,11 @@ def _varprop_kernel(scal_ref, d_hbm, code_hbm, k_hbm, w_hbm, h_hbm, out_hbm,
     def out_dma(k):
         s = k * cn
         # completed row r lives at xbuf[r + 1]: +1 offset on the UNTILED
-        # dim 0 — legal for DMA at any offset
+        # dim 0 — legal for DMA at any offset.  Mixed mode stages a
+        # downcast copy (the DMA itself cannot narrow dtypes).
+        src = obuf.at[k % 2] if mixed else xbuf.at[pl.ds(s + 1, cn)]
         return pltpu.make_async_copy(
-            xbuf.at[pl.ds(s + 1, cn)],
+            src,
             out_hbm.at[pl.ds(s, cn), pl.ds(r0, b1), pl.ds(c0, b2)],
             out_sem.at[k])
 
@@ -184,16 +190,28 @@ def _varprop_kernel(scal_ref, d_hbm, code_hbm, k_hbm, w_hbm, h_hbm, out_hbm,
             return x_next
 
         x_next = lax.fori_loop(0, cn // G, grp_b, x_next)
+        if mixed:
+            if k + 2 < nchunks:
+                out_dma(k + 2).wait()   # staging slot free?
+            xk = xbuf[pl.ds(base + 1, cn)]
+            if stochastic:
+                bits = pltpu.bitcast(pltpu.prng_random_bits(xk.shape),
+                                     jnp.uint32)
+                obuf[k % 2] = pltpu.stochastic_round(xk, bits,
+                                                     target_dtype=obuf.dtype)
+            else:
+                obuf[k % 2] = xk.astype(obuf.dtype)
         out_dma(k).start()
 
-    for k in range(nchunks):
+    for k in range(min(nchunks, 2) if mixed else nchunks):
         out_dma(k).wait()
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "block_b1",
                                              "block_b2", "chunk"))
 def fused_varprop_sweep(rhs, code, kf, w, tg, sk, t_inf, h=None,
-                        rob_c=0.0, *, interpret: bool = False,
+                        rob_c=0.0, rng_seed=None, *,
+                        interpret: bool = False,
                         block_b1: int = 8, block_b2: int = 256,
                         chunk: int = 64):
     """Variable-property implicit sweep along axis 0 of (n, B1, B2) arrays.
@@ -210,12 +228,12 @@ def fused_varprop_sweep(rhs, code, kf, w, tg, sk, t_inf, h=None,
     """
     n, b1, b2 = rhs.shape
     dtype = rhs.dtype
-    if jnp.promote_types(dtype, jnp.float32) != dtype:
+    mixed = jnp.promote_types(dtype, jnp.float32) != dtype
+    stochastic = mixed and rng_seed is not None
+    if stochastic and interpret:
         raise NotImplementedError(
-            "fused_varprop_sweep solves in f32 line buffers whose output "
-            "DMA cannot narrow to a sub-f32 state dtype (and interpret "
-            "mode would hide the failure); run the varprop path in "
-            "float32")
+            "stochastic rounding needs the TPU PRNG (pltpu.prng does not "
+            "lower in interpret mode)")
     has_h = h is not None
     cn = min(chunk, _round_up(n, 8))
     pn = _round_up(n, cn) - n
@@ -248,25 +266,35 @@ def fused_varprop_sweep(rhs, code, kf, w, tg, sk, t_inf, h=None,
     ]
     if has_h:
         scratch.append(pltpu.VMEM((2, cn, block_b1, block_b2), dtype))
+    if mixed:
+        scratch.append(pltpu.VMEM((2, cn, block_b1, block_b2), dtype))
     scratch += [pltpu.SemaphoreType.DMA((2, 5 if has_h else 4)),
                 pltpu.SemaphoreType.DMA((n_pad // cn,))]
 
-    inputs = [scal, rhs, code, kf, w]
-    in_specs = [sspec, hbm, hbm, hbm, hbm]
+    inputs = [scal]
+    in_specs = [sspec]
+    if stochastic:
+        inputs.append(jnp.asarray(rng_seed, jnp.int32).reshape(1))
+        in_specs.append(sspec)
+    inputs += [rhs, code, kf, w]
+    in_specs += [hbm, hbm, hbm, hbm]
     if has_h:
         inputs.append(h)
         in_specs.append(hbm)
 
     def body(*refs):
         it = iter(refs)
-        scal_, d_, c_, k_, w_ = (next(it) for _ in range(5))
+        scal_ = next(it)
+        seed_ = next(it) if stochastic else None
+        d_, c_, k_, w_ = (next(it) for _ in range(4))
         h_ = next(it) if has_h else None
         o_ = next(it)
         xb, dp, db, cb, kb, wb = (next(it) for _ in range(6))
         hb = next(it) if has_h else None
+        ob = next(it) if mixed else None
         isem, osem = next(it), next(it)
-        return _varprop_kernel(scal_, d_, c_, k_, w_, h_, o_, xb, dp, db,
-                               cb, kb, wb, hb, isem, osem,
+        return _varprop_kernel(scal_, seed_, d_, c_, k_, w_, h_, o_, xb,
+                               dp, ob, db, cb, kb, wb, hb, isem, osem,
                                n=n_pad, cn=cn, b1=block_b1, b2=block_b2)
 
     out = pl.pallas_call(
@@ -303,8 +331,9 @@ def _harm(ka, kb):
     return jnp.where(s > 0, 2.0 * ka * kb / jnp.where(s > 0, s, 1.0), 0.0)
 
 
-def _vp_rhs_kernel(scal_ref, T_ref, K_ref, M_ref, W_ref, Ky_ref, Kz_ref,
-                   S_ref, out_ref, Tbuf, Kbuf, Mbuf, *, nx):
+def _vp_rhs_kernel(scal_ref, seed_ref, T_ref, K_ref, M_ref, W_ref,
+                   Ky_ref, Kz_ref, S_ref, out_ref, Tbuf, Kbuf, Mbuf, *,
+                   nx):
     """Plane-carry explicit theta-pass with temperature-dependent k and cp:
 
         R0_p = T_p + cw * w_p * M_p * sum_faces harm(k)* M_nbr (T_nbr - T_p)/d^2
@@ -321,6 +350,8 @@ def _vp_rhs_kernel(scal_ref, T_ref, K_ref, M_ref, W_ref, Ky_ref, Kz_ref,
     iv_z = scal_ref[4]
     i = pl.program_id(0)
     f32 = scal_ref.dtype
+    if seed_ref is not None:
+        pltpu.prng_seed(seed_ref[0] + i)
     Mh_f = M_ref[0].astype(jnp.int32).astype(f32)
 
     @pl.when(i == 0)
@@ -358,7 +389,13 @@ def _vp_rhs_kernel(scal_ref, T_ref, K_ref, M_ref, W_ref, Ky_ref, Kz_ref,
         res = Tc + cw * gain * acc
         if S_ref is not None:
             res = res + cd * gain * S_ref[0].astype(f32)
-        out_ref[0] = res.astype(out_ref.dtype)
+        if seed_ref is not None:
+            bits = pltpu.bitcast(pltpu.prng_random_bits(res.shape),
+                                 jnp.uint32)
+            out_ref[0] = pltpu.stochastic_round(res, bits,
+                                                target_dtype=out_ref.dtype)
+        else:
+            out_ref[0] = res.astype(out_ref.dtype)
 
     @pl.when(i <= nx - 1)
     def _rotate():
@@ -369,7 +406,8 @@ def _vp_rhs_kernel(scal_ref, T_ref, K_ref, M_ref, W_ref, Ky_ref, Kz_ref,
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def varprop_theta_rhs(T, kx, w, mask_i8, cw, inv_d2, ky=None, kz=None,
-                      src=None, dt=None, *, interpret: bool = False):
+                      src=None, dt=None, rng_seed=None, *,
+                      interpret: bool = False):
     """Explicit varprop theta-pass ``R0 = T + cw*w*mask*sum harm-faces`` in
     ONE HBM pass (T + kx + mask + w [+ ky + kz + src] streamed; the XLA
     formulation materializes every shifted face field — measured ~17 ms at
@@ -407,19 +445,32 @@ def varprop_theta_rhs(T, kx, w, mask_i8, cw, inv_d2, ky=None, kz=None,
     has_ky = ky is not None
     has_kz = kz is not None
     has_src = src is not None
+    # stochastic bf16 stores (unbiased; kills sub-quantum update dropout)
+    stochastic = (rng_seed is not None and dtype != cdt)
+    if stochastic and interpret:
+        raise NotImplementedError(
+            "stochastic rounding needs the TPU PRNG (pltpu.prng does not "
+            "lower in interpret mode)")
 
     def body(*refs):
         it = iter(refs)
-        scal_, T_, K_, M_, W_ = (next(it) for _ in range(5))
+        scal_ = next(it)
+        seed_ = next(it) if stochastic else None
+        T_, K_, M_, W_ = (next(it) for _ in range(4))
         Ky_ = next(it) if has_ky else None
         Kz_ = next(it) if has_kz else None
         S_ = next(it) if has_src else None
         out_, Tb, Kb, Mb = (next(it) for _ in range(4))
-        return _vp_rhs_kernel(scal_, T_, K_, M_, W_, Ky_, Kz_, S_, out_,
-                              Tb, Kb, Mb, nx=nx)
+        return _vp_rhs_kernel(scal_, seed_, T_, K_, M_, W_, Ky_, Kz_, S_,
+                              out_, Tb, Kb, Mb, nx=nx)
 
-    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM), vin, vin, vin, vout]
-    inputs = [scal, T, kx, mask_i8, w]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    inputs = [scal]
+    if stochastic:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(jnp.asarray(rng_seed, jnp.int32).reshape(1))
+    in_specs += [vin, vin, vin, vout]
+    inputs += [T, kx, mask_i8, w]
     for flag, arr in ((has_ky, ky), (has_kz, kz), (has_src, src)):
         if flag:
             in_specs.append(vout)
@@ -446,9 +497,10 @@ def varprop_theta_rhs(T, kx, w, mask_i8, cw, inv_d2, ky=None, kz=None,
     return out
 
 
-def _varprop_kernel_axis1(scal_ref, d_hbm, code_hbm, k_hbm, w_hbm, h_hbm,
-                          out_hbm, xbuf, dpbuf, obuf, dbuf, cbuf, kbuf,
-                          wbuf, hbuf, in_sem, out_sem, *, n, cn, b1, b2):
+def _varprop_kernel_axis1(scal_ref, seed_ref, d_hbm, code_hbm, k_hbm,
+                          w_hbm, h_hbm, out_hbm, xbuf, dpbuf, obuf, dbuf,
+                          cbuf, kbuf, wbuf, hbuf, in_sem, out_sem, *,
+                          n, cn, b1, b2):
     """Axis-1 variant of _varprop_kernel: the y-sweep in the NATURAL
     (B1, n, B2) layout — no transposes of rhs/k/w/h.  Raw input groups are
     swapped to (G, b1, b2) once and everything downstream reuses the axis-0
@@ -464,12 +516,15 @@ def _varprop_kernel_axis1(scal_ref, d_hbm, code_hbm, k_hbm, w_hbm, h_hbm,
     rob_c = scal_ref[3]
     f32 = xbuf.dtype
     has_h = h_hbm is not None
+    stochastic = seed_ref is not None
     i = pl.program_id(0)
     j = pl.program_id(1)
     r0 = i * b1
     c0 = j * b2
     nchunks = n // cn
     G = 8
+    if stochastic:
+        pltpu.prng_seed(seed_ref[0] + i * pl.num_programs(1) + j)
 
     def in_dmas(slot, k):
         s = k * cn
@@ -587,7 +642,13 @@ def _varprop_kernel_axis1(scal_ref, d_hbm, code_hbm, k_hbm, w_hbm, h_hbm,
             for r in range(G - 1, -1, -1):
                 x_next = dp_g[r] - cp_g[r] * x_next
                 xs[r] = x_next
-            obuf[:, pl.ds(base + s, G), :] = jnp.swapaxes(jnp.stack(xs), 0, 1)
+            xg = jnp.swapaxes(jnp.stack(xs), 0, 1)
+            if stochastic:
+                bits = pltpu.bitcast(pltpu.prng_random_bits(xg.shape),
+                                     jnp.uint32)
+                xg = pltpu.stochastic_round(xg, bits,
+                                            target_dtype=obuf.dtype)
+            obuf[:, pl.ds(base + s, G), :] = xg.astype(obuf.dtype)
             return x_next
 
         x_next = lax.fori_loop(0, cn // G, grp_b, x_next)
@@ -600,7 +661,8 @@ def _varprop_kernel_axis1(scal_ref, d_hbm, code_hbm, k_hbm, w_hbm, h_hbm,
 @functools.partial(jax.jit, static_argnames=("interpret", "block_b1",
                                              "block_b2", "chunk"))
 def fused_varprop_sweep_axis1(rhs, code, kf, w, tg, sk, t_inf, h=None,
-                              rob_c=0.0, *, interpret: bool = False,
+                              rob_c=0.0, rng_seed=None, *,
+                              interpret: bool = False,
                               block_b1: int = 8, block_b2: int = 256,
                               chunk: int = 64):
     """Variable-property implicit sweep along AXIS 1 of (B1, n, B2) arrays
@@ -610,10 +672,12 @@ def fused_varprop_sweep_axis1(rhs, code, kf, w, tg, sk, t_inf, h=None,
     0, 1) — i.e. couplings along axis 1, array in (B1, n, B2))."""
     b1, n, b2 = rhs.shape
     dtype = rhs.dtype
-    if jnp.promote_types(dtype, jnp.float32) != dtype:
+    mixed = jnp.promote_types(dtype, jnp.float32) != dtype
+    stochastic = mixed and rng_seed is not None
+    if stochastic and interpret:
         raise NotImplementedError(
-            "fused_varprop_sweep_axis1 solves in f32 line buffers; run "
-            "the varprop path in float32 (see fused_varprop_sweep)")
+            "stochastic rounding needs the TPU PRNG (pltpu.prng does not "
+            "lower in interpret mode)")
     has_h = h is not None
     cn = min(chunk, _round_up(n, 8))
     pn = _round_up(n, cn) - n
@@ -650,23 +714,30 @@ def fused_varprop_sweep_axis1(rhs, code, kf, w, tg, sk, t_inf, h=None,
     scratch += [pltpu.SemaphoreType.DMA((2, 5 if has_h else 4)),
                 pltpu.SemaphoreType.DMA((n_pad // cn,))]
 
-    inputs = [scal, rhs, code, kf, w]
-    in_specs = [sspec, hbm, hbm, hbm, hbm]
+    inputs = [scal]
+    in_specs = [sspec]
+    if stochastic:
+        inputs.append(jnp.asarray(rng_seed, jnp.int32).reshape(1))
+        in_specs.append(sspec)
+    inputs += [rhs, code, kf, w]
+    in_specs += [hbm, hbm, hbm, hbm]
     if has_h:
         inputs.append(h)
         in_specs.append(hbm)
 
     def body(*refs):
         it = iter(refs)
-        scal_, d_, c_, k_, w_ = (next(it) for _ in range(5))
+        scal_ = next(it)
+        seed_ = next(it) if stochastic else None
+        d_, c_, k_, w_ = (next(it) for _ in range(4))
         h_ = next(it) if has_h else None
         o_ = next(it)
         xb, dp, ob, db, cb, kb, wb = (next(it) for _ in range(7))
         hb = next(it) if has_h else None
         isem, osem = next(it), next(it)
-        return _varprop_kernel_axis1(scal_, d_, c_, k_, w_, h_, o_, xb, dp,
-                                     ob, db, cb, kb, wb, hb, isem, osem,
-                                     n=n_pad, cn=cn, b1=block_b1,
+        return _varprop_kernel_axis1(scal_, seed_, d_, c_, k_, w_, h_, o_,
+                                     xb, dp, ob, db, cb, kb, wb, hb, isem,
+                                     osem, n=n_pad, cn=cn, b1=block_b1,
                                      b2=block_b2)
 
     out = pl.pallas_call(

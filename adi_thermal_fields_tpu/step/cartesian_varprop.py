@@ -222,6 +222,7 @@ def adi_step_varprop_fused(T: jax.Array, mask: jax.Array, codes: tuple,
                            robin_h: float = 0.0,
                            h_field: jax.Array | None = None,
                            source: jax.Array | None = None,
+                           rng_seed=None,
                            interpret: bool | None = None) -> jax.Array:
     """One varprop theta-scheme step through the FUSED coefficient kernels.
 
@@ -265,12 +266,19 @@ def adi_step_varprop_fused(T: jax.Array, mask: jax.Array, codes: tuple,
     # 64 ms step at 384^3)
     from ..solvers.pallas_varprop import varprop_theta_rhs
 
+    # bf16 states: solve at f32, stochastically round every bf16 store
+    # (round-to-nearest drops sub-quantum updates and freezes slow cooling
+    # — the bf16 production hazard, NOTES.md)
+    sr = (rng_seed if jnp.promote_types(dtype, jnp.float32) != dtype
+          else None)
     aniso = isinstance(k_table, (tuple, list))
     R0 = varprop_theta_rhs(
         T, kfs[0], w, mask.astype(jnp.int8), (1.0 - theta) * dt,
         [float(v) for v in inv_d2],
         ky=kfs[1] if aniso else None, kz=kfs[2] if aniso else None,
-        src=source, dt=dt, interpret=interpret).astype(dtype)
+        src=source, dt=dt,
+        rng_seed=None if sr is None else sr,
+        interpret=interpret).astype(dtype)
 
     rob = 0.0 if h_field is not None else float(robin_h)
     d_ax = grid.spacing
@@ -280,7 +288,9 @@ def adi_step_varprop_fused(T: jax.Array, mask: jax.Array, codes: tuple,
         return kernel(
             rhs, codes[ax], kf_t, w_t,
             float(theta) * dt * inv_d2[ax], dt / d_ax[ax], t_inf,
-            h=h_t, rob_c=rob, interpret=interpret)
+            h=h_t, rob_c=rob,
+            rng_seed=None if sr is None else sr + (ax + 1),
+            interpret=interpret)
 
     hf = h_field
     U = sweep(R0, 0, kfs[0], w, hf)

@@ -553,3 +553,52 @@ def test_engine_fused_varprop_with_history_matches_xla():
                                atol=1e-9)
     np.testing.assert_allclose(np.asarray(taf), np.asarray(tax), rtol=1e-10,
                                atol=1e-8)
+
+
+def test_fused_varprop_bf16_mixed_mode():
+    """bf16 state / f32 solve: the varprop kernels stage a downcast output
+    copy (the DMA cannot narrow dtypes).  Interpret-mode checks the mixed
+    path is wired (round-to-nearest); stochastic rounding is TPU-PRNG-only
+    and must raise in interpret mode rather than silently skip."""
+    import pytest
+
+    from adi_thermal_fields_tpu.solvers.pallas_sweeps import sweep_code
+    from adi_thermal_fields_tpu.solvers.pallas_varprop import (
+        fused_varprop_sweep, fused_varprop_sweep_axis1)
+
+    rng = np.random.default_rng(5)
+    shape = (32, 16, 128)
+    mask = jnp.asarray(rng.random(shape) < 0.85)
+    Tf = jnp.asarray(rng.random(shape) * 900 + 20, jnp.float32)
+    kf = jnp.asarray(rng.random(shape) * 40 + 10, jnp.float32)
+    w = jnp.asarray(rng.random(shape) * 1e-7 + 2e-7, jnp.float32)
+    code0 = sweep_code(mask, None, 0)
+    tg, sk, t_inf = 0.37, 0.01, 20.0
+
+    want = fused_varprop_sweep(Tf, code0, kf, w, tg, sk, t_inf, rob_c=15.0,
+                               interpret=True)
+    got = fused_varprop_sweep(Tf.astype(jnp.bfloat16), code0,
+                              kf.astype(jnp.bfloat16),
+                              w.astype(jnp.bfloat16), tg, sk, t_inf,
+                              rob_c=15.0, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    # bf16 inputs quantize at ~0.4% of the field scale
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want), rtol=0.02, atol=3.0)
+
+    code1 = jnp.moveaxis(sweep_code(mask, None, 1), 0, 1)
+    want1 = fused_varprop_sweep_axis1(Tf, code1, kf, w, tg, sk, t_inf,
+                                      rob_c=15.0, interpret=True)
+    got1 = fused_varprop_sweep_axis1(Tf.astype(jnp.bfloat16), code1,
+                                     kf.astype(jnp.bfloat16),
+                                     w.astype(jnp.bfloat16), tg, sk, t_inf,
+                                     rob_c=15.0, interpret=True)
+    assert got1.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got1, np.float32),
+                               np.asarray(want1), rtol=0.02, atol=3.0)
+
+    with pytest.raises(NotImplementedError, match="stochastic"):
+        fused_varprop_sweep(Tf.astype(jnp.bfloat16), code0,
+                            kf.astype(jnp.bfloat16),
+                            w.astype(jnp.bfloat16), tg, sk, t_inf,
+                            rob_c=15.0, rng_seed=7, interpret=True)
