@@ -178,10 +178,6 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
                              "Neumann/Dirichlet); this configuration falls "
                              "back to the field-coefficient formulation "
                              "which has no PRNG stores")
-        if stochastic_rounding and mesh is not None:
-            raise ValueError("stochastic_rounding is not yet wired through "
-                             "the sharded varprop path (dist/varprop); run "
-                             "float32 on the mesh or single-device bf16")
         if fused_vp:
             from ..step.cartesian_varprop import (adi_step_varprop_fused,
                                                   build_varprop_codes)
@@ -206,10 +202,10 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
                 hf = (radiative_h(T, emissivity, t_inf, h_conv=h_conv)
                       if emissivity is not None else None)
                 src = None if source_fn is None else source_fn(t)
+                seed = istep if stochastic_rounding else None
                 if mesh is not None:
                     return sh_step(T, active, codes, dt, h_field=hf,
-                                   source=src)
-                seed = istep if stochastic_rounding else None
+                                   source=src, rng_seed=seed)
                 return constrain(adi_step_varprop_fused(
                     T, active, codes, grid, mat, k_table=k_table,
                     cp_table=cp_table, dt=dt, theta=theta, t_inf=t_inf,

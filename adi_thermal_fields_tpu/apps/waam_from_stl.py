@@ -303,13 +303,6 @@ def run(args) -> dict:
         log(f"radiative film, emissivity {emissivity:g}", tag="phys")
     varprop = (k_table is not None or cp_table is not None
                or emissivity is not None)
-    if varprop and use_sr and mesh_dev is not None:
-        # single-device bf16 varprop stochastic-rounds through the fused
-        # kernels; the sharded varprop path has no PRNG stores yet
-        log("bfloat16 sharded varprop runs without stochastic rounding "
-            "(unsupported on the mesh); prefer float32 for production "
-            "sharded varprop", tag="warn")
-        use_sr = False
 
     # split engine: the pack/plan rebuild runs on birth events only
     prepare, advance = make_cartesian_engine(

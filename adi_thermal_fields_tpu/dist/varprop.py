@@ -64,26 +64,39 @@ def sharded_adi_step_varprop_fused(grid: CartesianGrid, mat_ref: Material,
     def constrain(x, spec):
         return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
-    def mk_sweep(ax, with_h):
+    a_ax, b_ax = mesh.axis_names
+    nb = mesh.shape[b_ax]
+
+    def _shard_seed(seed):
+        # decorrelate shards; the kernels additionally stride by tile id
+        idx = jax.lax.axis_index(a_ax) * nb + jax.lax.axis_index(b_ax)
+        return (jnp.asarray(seed, jnp.int32)
+                + (idx + 1).astype(jnp.int32) * jnp.int32(1_000_003))
+
+    def mk_sweep(ax, with_h, stoch):
         tg = float(theta) / (d_ax[ax] * d_ax[ax])   # * dt at call time
         sk = 1.0 / d_ax[ax]
         kern = fused_varprop_sweep_axis1 if ax == 1 else fused_varprop_sweep
 
         if with_h:
-            def local(rhs, code, kf, w, h, dt):
+            def local(rhs, code, kf, w, h, dt, *seed):
                 return kern(rhs, code, kf, w, tg * dt, sk * dt, t_inf, h=h,
+                            rng_seed=_shard_seed(seed[0]) if stoch else None,
                             interpret=interpret)
-            spec = (s[ax],) * 5 + (P(),)
+            spec = (s[ax],) * 5 + (P(),) * (2 if stoch else 1)
         else:
-            def local(rhs, code, kf, w, dt):
+            def local(rhs, code, kf, w, dt, *seed):
                 return kern(rhs, code, kf, w, tg * dt, sk * dt, t_inf,
-                            rob_c=rob, interpret=interpret)
-            spec = (s[ax],) * 4 + (P(),)
+                            rob_c=rob,
+                            rng_seed=_shard_seed(seed[0]) if stoch else None,
+                            interpret=interpret)
+            spec = (s[ax],) * 4 + (P(),) * (2 if stoch else 1)
         return shard_map(local, mesh=mesh, in_specs=spec, out_specs=s[ax],
                          check_vma=False)
 
-    sweeps = {(ax, wh): mk_sweep(ax, wh)
-              for ax in range(3) for wh in (False, True)}
+    sweeps = {(ax, wh, st): mk_sweep(ax, wh, st)
+              for ax in range(3) for wh in (False, True)
+              for st in (False, True)}
 
     def k_of(tab, T):
         if tab is None:
@@ -93,11 +106,12 @@ def sharded_adi_step_varprop_fused(grid: CartesianGrid, mat_ref: Material,
         return jnp.full(T.shape, float(tab), T.dtype)
 
     @jax.jit
-    def step(T, mask, codes, dt, h_field=None, source=None):
+    def step(T, mask, codes, dt, h_field=None, source=None, rng_seed=None):
         mask = mask.astype(bool)
         dtype = T.dtype
         cdt = jnp.promote_types(dtype, jnp.float32)
         dtf = jnp.asarray(dt, cdt)
+        stoch = rng_seed is not None and dtype != cdt
         T = constrain(T, s[0])
 
         if isinstance(k_table, (tuple, list)):
@@ -109,21 +123,34 @@ def sharded_adi_step_varprop_fused(grid: CartesianGrid, mat_ref: Material,
         w = (1.0 / (mat_ref.rho * cpf)).astype(dtype)
 
         # explicit pass in global XLA: the harmonic-face halos become
-        # compiler-lowered collectives under the sharding constraints
+        # compiler-lowered collectives under the sharding constraints.
+        # bf16 stochastic mode rounds the R0 store via the XLA bit trick
+        # (dist/cartesian_pallas._stoch_round_bf16 rationale).
         lap = jnp.zeros_like(T, cdt)
         for ax in range(3):
             for d_ in (-1, +1):
                 g = _face_g(kfs[ax], ax, d_, mask) * inv_d2[ax]
-                lap = lap + g * (shift_in(T, ax, d_, fill=0.0) - T)
-        R0 = T + (1.0 - theta) * dtf * w * jnp.where(mask, lap, 0.0)
+                lap = lap + g * (shift_in(T.astype(cdt), ax, d_, fill=0.0)
+                                 - T.astype(cdt))
+        R0f = T.astype(cdt) + (1.0 - theta) * dtf * w.astype(cdt) \
+            * jnp.where(mask, lap, 0.0)
         if source is not None:
-            R0 = R0 + jnp.where(mask, dtf * source * w, 0.0)
-        R0 = constrain(R0.astype(dtype), s[0])
+            R0f = R0f + jnp.where(mask, dtf * source * w, 0.0)
+        if stoch:
+            from .cartesian_pallas import _stoch_round_bf16
+
+            R0 = _stoch_round_bf16(constrain(R0f, s[0]), rng_seed)
+        else:
+            R0 = R0f.astype(dtype)
+        R0 = constrain(R0, s[0])
 
         def run(ax, rhs, kf_t, w_t, h_t):
+            key = (ax, h_t is not None, bool(stoch))
+            seed = ((jnp.asarray(rng_seed, jnp.int32) + ax + 1,)
+                    if stoch else ())
             if h_t is None:
-                return sweeps[(ax, False)](rhs, codes[ax], kf_t, w_t, dtf)
-            return sweeps[(ax, True)](rhs, codes[ax], kf_t, w_t, h_t, dtf)
+                return sweeps[key](rhs, codes[ax], kf_t, w_t, dtf, *seed)
+            return sweeps[key](rhs, codes[ax], kf_t, w_t, h_t, dtf, *seed)
 
         hf = h_field
         U = run(0, R0, kfs[0], w, hf)

@@ -55,8 +55,11 @@ class PropertyTable:
     values: tuple
 
     def __call__(self, T: jax.Array) -> jax.Array:
-        return jnp.interp(T, jnp.asarray(self.points, T.dtype),
-                          jnp.asarray(self.values, T.dtype))
+        # evaluate at >= f32: jnp.interp rejects bf16 tables (np.finfo),
+        # and table slopes deserve full precision even for bf16 states
+        cdt = jnp.promote_types(T.dtype, jnp.float32)
+        return jnp.interp(T.astype(cdt), jnp.asarray(self.points, cdt),
+                          jnp.asarray(self.values, cdt)).astype(T.dtype)
 
 
 def apparent_cp(cp_solid: float, cp_liquid: float, latent_heat: float,

@@ -475,3 +475,37 @@ def test_sharded_fused_varprop_matches_single_device():
     got = step_r(shard_field(T0, mesh, 0), m, codes, dt, h_field=hf)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-12,
                                atol=1e-12)
+
+
+def test_sharded_fused_varprop_bf16_mixed():
+    """Sharded fused varprop in bf16 (mixed round-to-nearest; the
+    stochastic path is TPU-PRNG-only) stays within the bf16 quantization
+    envelope of the f32 sharded result."""
+    from adi_thermal_fields_tpu.dist.varprop import (
+        sharded_adi_step_varprop_fused)
+    from adi_thermal_fields_tpu.step.cartesian_varprop import (
+        apparent_cp, build_varprop_codes, melt_pool_enhanced_k)
+
+    grid = CartesianGrid(16, 16, 16, 1e-3)
+    mat = Material(7800.0, 490.0, 54.0)
+    rng = np.random.default_rng(5)
+    mask = jnp.asarray(rng.random(grid.shape) > 0.2)
+    T0 = jnp.asarray(np.where(np.asarray(mask),
+                              100.0 + 1300.0 * rng.random(grid.shape),
+                              20.0), jnp.float32)
+    kt = melt_pool_enhanced_k(mat.k, 1420.0, 1470.0, enhancement=4.0)
+    ct = apparent_cp(mat.cp, mat.cp, 2.7e5, 1420.0, 1470.0)
+    codes = build_varprop_codes(mask)
+
+    mesh = make_mesh()
+    step = sharded_adi_step_varprop_fused(grid, mat, mesh, k_table=kt,
+                                          cp_table=ct, theta=0.5,
+                                          t_inf=20.0, robin_h=40.0,
+                                          interpret=True)
+    m = shard_field(mask, mesh, 0)
+    ref = step(shard_field(T0, mesh, 0), m, codes, 0.02)
+    got = step(shard_field(T0.astype(jnp.bfloat16), mesh, 0), m, codes, 0.02)
+    assert got.dtype == jnp.bfloat16
+    assert len(got.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref), rtol=0.02, atol=4.0)
