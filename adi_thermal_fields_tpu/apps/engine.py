@@ -97,8 +97,8 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
     BC set (Robin-only scalar h / radiative film, implementation='pallas')
     runs FULLY FUSED — per-cell Picard coefficients k(T^n)/cp(T^n) rebuilt
     in kernel registers (solvers/pallas_varprop.py), per shard on a
-    ``mesh`` (dist/varprop.py), with bf16 + stochastic_rounding supported
-    on a single device — composing with history tracking.  Neumann /
+    ``mesh`` (dist/varprop.py), with bf16 + stochastic_rounding on both —
+    composing with history tracking.  Neumann /
     Dirichlet / field-h configurations keep the materialized
     field-coefficient formulation (no stochastic_rounding there)."""
     import jax.numpy as jnp
