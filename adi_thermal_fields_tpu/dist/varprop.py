@@ -4,7 +4,8 @@ Same mesh decomposition as dist/cartesian_pallas.py (every sweep's solve
 axis chip-local, batch axes sharded over the 2-D mesh, XLA collectives for
 the inter-sweep re-lays), applied to the fully-fused varprop formulation
 (solvers/pallas_varprop.py): per-shard kernels rebuild the per-cell
-tridiagonal coefficients from streamed k(T) and 1/(rho cp(T)), so the
+tridiagonal coefficients from streamed pre-masked harmonic faces of k(T)
+and 1/(rho cp(T)), so the
 cross-chip traffic is the state + property fields, never materialized
 a/b/c/d.
 
@@ -54,7 +55,7 @@ def sharded_adi_step_varprop_fused(grid: CartesianGrid, mat_ref: Material,
     from ..solvers.pallas_varprop import (fused_varprop_sweep,
                                           fused_varprop_sweep_axis1)
     from ..step.cartesian import shift_in
-    from ..step.cartesian_varprop import _face_g
+    from ..step.cartesian_varprop import build_varprop_fields
 
     s = _specs(mesh)
     inv_d2 = [1.0 / (d * d) for d in grid.spacing]
@@ -79,14 +80,14 @@ def sharded_adi_step_varprop_fused(grid: CartesianGrid, mat_ref: Material,
         kern = fused_varprop_sweep_axis1 if ax == 1 else fused_varprop_sweep
 
         if with_h:
-            def local(rhs, code, kf, w, h, dt, *seed):
-                return kern(rhs, code, kf, w, tg * dt, sk * dt, t_inf, h=h,
+            def local(rhs, code, fc, w, h, dt, *seed):
+                return kern(rhs, code, fc, w, tg * dt, sk * dt, t_inf, h=h,
                             rng_seed=_shard_seed(seed[0]) if stoch else None,
                             interpret=interpret)
             spec = (s[ax],) * 5 + (P(),) * (2 if stoch else 1)
         else:
-            def local(rhs, code, kf, w, dt, *seed):
-                return kern(rhs, code, kf, w, tg * dt, sk * dt, t_inf,
+            def local(rhs, code, fc, w, dt, *seed):
+                return kern(rhs, code, fc, w, tg * dt, sk * dt, t_inf,
                             rob_c=rob,
                             rng_seed=_shard_seed(seed[0]) if stoch else None,
                             interpret=interpret)
@@ -98,13 +99,6 @@ def sharded_adi_step_varprop_fused(grid: CartesianGrid, mat_ref: Material,
               for ax in range(3) for wh in (False, True)
               for st in (False, True)}
 
-    def k_of(tab, T):
-        if tab is None:
-            return jnp.full(T.shape, mat_ref.k, T.dtype)
-        if callable(tab):
-            return tab(T)
-        return jnp.full(T.shape, float(tab), T.dtype)
-
     @jax.jit
     def step(T, mask, codes, dt, h_field=None, source=None, rng_seed=None):
         mask = mask.astype(bool)
@@ -114,24 +108,25 @@ def sharded_adi_step_varprop_fused(grid: CartesianGrid, mat_ref: Material,
         stoch = rng_seed is not None and dtype != cdt
         T = constrain(T, s[0])
 
-        if isinstance(k_table, (tuple, list)):
-            kfs = tuple(k_of(tab, T) for tab in k_table)
-        else:
-            kfs = (k_of(k_table, T),) * 3
-        cpf = (cp_table(T) if cp_table is not None
-               else jnp.full(T.shape, mat_ref.cp, dtype))
-        w = (1.0 / (mat_ref.rho * cpf)).astype(dtype)
+        # pre-masked harmonic faces + 1/(rho cp), in global XLA: the face
+        # shifts' cross-shard halos become compiler-lowered collectives
+        # under the sharding constraints
+        fc, w = build_varprop_fields(T, mask, mat_ref, k_table, cp_table)
+        fc = tuple(constrain(f, s[0]) for f in fc)
 
-        # explicit pass in global XLA: the harmonic-face halos become
-        # compiler-lowered collectives under the sharding constraints.
-        # bf16 stochastic mode rounds the R0 store via the XLA bit trick
+        # explicit pass in global XLA, reusing the face fields (the hi face
+        # of cell i along ax is fc[ax][i+1]).  bf16 stochastic mode rounds
+        # the R0 store via the XLA bit trick
         # (dist/cartesian_pallas._stoch_round_bf16 rationale).
         lap = jnp.zeros_like(T, cdt)
         for ax in range(3):
-            for d_ in (-1, +1):
-                g = _face_g(kfs[ax], ax, d_, mask) * inv_d2[ax]
-                lap = lap + g * (shift_in(T.astype(cdt), ax, d_, fill=0.0)
-                                 - T.astype(cdt))
+            f_lo = fc[ax].astype(cdt) * inv_d2[ax]
+            f_hi = shift_in(fc[ax], ax, +1, fill=0.0).astype(cdt) \
+                * inv_d2[ax]
+            lap = lap + f_lo * (shift_in(T.astype(cdt), ax, -1, fill=0.0)
+                                - T.astype(cdt))
+            lap = lap + f_hi * (shift_in(T.astype(cdt), ax, +1, fill=0.0)
+                                - T.astype(cdt))
         R0f = T.astype(cdt) + (1.0 - theta) * dtf * w.astype(cdt) \
             * jnp.where(mask, lap, 0.0)
         if source is not None:
@@ -144,22 +139,22 @@ def sharded_adi_step_varprop_fused(grid: CartesianGrid, mat_ref: Material,
             R0 = R0f.astype(dtype)
         R0 = constrain(R0, s[0])
 
-        def run(ax, rhs, kf_t, w_t, h_t):
+        def run(ax, rhs, fc_t, w_t, h_t):
             key = (ax, h_t is not None, bool(stoch))
             seed = ((jnp.asarray(rng_seed, jnp.int32) + ax + 1,)
                     if stoch else ())
             if h_t is None:
-                return sweeps[key](rhs, codes[ax], kf_t, w_t, dtf, *seed)
-            return sweeps[key](rhs, codes[ax], kf_t, w_t, h_t, dtf, *seed)
+                return sweeps[key](rhs, codes[ax], fc_t, w_t, dtf, *seed)
+            return sweeps[key](rhs, codes[ax], fc_t, w_t, h_t, dtf, *seed)
 
         hf = h_field
-        U = run(0, R0, kfs[0], w, hf)
+        U = run(0, R0, fc[0], w, hf)
         # y: natural-layout axis-1 kernel — only a resharding (y gathers
         # local, x re-shards), no transposes of the property fields
         c1 = lambda x: constrain(x, s[1])
-        V = run(1, c1(U), c1(kfs[1]), c1(w), None if hf is None else c1(hf))
+        V = run(1, c1(U), c1(fc[1]), c1(w), None if hf is None else c1(hf))
         t2n = lambda x: constrain(jnp.transpose(x, (2, 0, 1)), s[2])
-        W = run(2, t2n(V), t2n(kfs[2]), t2n(w),
+        W = run(2, t2n(V), t2n(fc[2]), t2n(w),
                 None if hf is None else t2n(hf))
         return constrain(jnp.transpose(W, (1, 2, 0)), s[0])
 

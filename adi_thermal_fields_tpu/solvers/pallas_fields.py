@@ -148,7 +148,7 @@ def fused_tridiag_fields(a, b, c, d, *, interpret: bool = False,
     cdt = jnp.promote_types(dtype, jnp.float32)
 
     grid = (P1 // block_b1, P2 // block_b2)
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
     out = pl.pallas_call(
         functools.partial(_field_kernel, n=n_pad, cn=cn, b1=block_b1,
                           b2=block_b2),
@@ -339,7 +339,7 @@ def fused_cyclic_fields(a, b, c, d, *, interpret: bool = False,
     cdt = jnp.promote_types(dtype, jnp.float32)
 
     grid = (P1 // block_b1, P2 // block_b2)
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
     wspec = pl.BlockSpec((3, block_b1, block_b2), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -664,7 +664,7 @@ def fused_masked_sweep(rhs, code, sink, geo_lo, geo_hi, fac, srhs=None,
     scal = jnp.stack([jnp.asarray(fac, cdt),
                       jnp.asarray(0.0 if ambient is None else ambient, cdt)])
     grid = (P1 // block_b1, P2 // block_b2)
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     # cross-grid-step pipelined variant whenever the whole-line tile
@@ -946,7 +946,7 @@ def fused_masked_cyclic_axis1(rhs, code, sink, srhs, geo, fac, ambient, *,
 
     scal = jnp.stack([jnp.asarray(fac, cdt), jnp.asarray(ambient, cdt)])
     grid = (P1 // block_b1, P2 // block_b2)
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
     gspec = pl.BlockSpec((block_b1, block_b2), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM)
     out = pl.pallas_call(

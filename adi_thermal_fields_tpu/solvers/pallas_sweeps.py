@@ -757,7 +757,7 @@ def fused_sweep_axis0_v2(rhs, code, coeff, theta_gam, dt, t_inf,
                       jnp.asarray(0.0 if rob_c is None else rob_c, cdt)])
 
     grid = (P1 // block_b1, P2 // block_b2)
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
 
     # twisted pairing is only possible with >= 2 chunks after padding
     twisted = twisted and n_pad // cn >= 2
@@ -1219,7 +1219,7 @@ def fused_sweep_axis1_v2(rhs, code, coeff, theta_gam, dt, t_inf,
                       jnp.asarray(0.0 if rob_c is None else rob_c, cdt)])
 
     grid = (P1 // block_b1, P2 // block_b2)
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
 
     # twisted pairing is only possible with >= 2 chunks after padding
     twisted = twisted and n_pad // cn >= 2

@@ -503,7 +503,7 @@ def fused_theta_sweep_axis0(T, code, c_exp, inv_d2, theta_gam, dt, t_inf,
                    jnp.asarray(c_exp, cdt)]), inv3])
 
     grid = (P1 // block_b1, P2 // block_b2)
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
     stochastic = mixed and rng_seed is not None
 
     kern = functools.partial(_theta_sweep_kernel, n=n_pad, cn=cn,
@@ -581,7 +581,7 @@ def _theta_sweep_ring(T, code, c_exp, inv_d2, theta_gam, dt, t_inf, rob_c,
                    jnp.asarray(t_inf, cdt), jnp.asarray(rob_c, cdt),
                    jnp.asarray(c_exp, cdt)]), inv3])
 
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
     kern = functools.partial(
         _theta_sweep_ring_kernel, n=n_pad, b1=block_b1, b2=block_b2,
         nt1=nt1, nt2=nt2, R=R, stochastic=stochastic)

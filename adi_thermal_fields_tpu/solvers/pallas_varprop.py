@@ -5,23 +5,30 @@ analogue — beyond-reference capability) needs per-cell tridiagonal
 coefficients a/b/c derived from the temperature-dependent conductivity and
 heat capacity:
 
-    g_lo[i] = dt * harm(k[i-1], k[i]) * w[i] / d_ax^2      (w = 1/(rho cp))
+    g_lo[i] = dt * fc[i] * w[i] / d_ax^2              (w = 1/(rho cp))
+    g_hi[i] = dt * fc[i+1] * w[i] / d_ax^2
     a[i] = -theta*g_lo[i],  c[i] = -theta*g_hi[i]
     b[i] = 1 + theta*(g_lo+g_hi) + sink[i],  d[i] = rhs[i] + sink[i]*T_inf
     sink[i] = dt * h[i]/d_ax * w[i] * n_exposed[i]          (Robin faces)
 
-Materializing those fields in XLA and solving with the generic
+where ``fc[i] = harm(k[i-1], k[i]) * coupled(i-1, i)`` is the PRE-MASKED
+harmonic face conductivity along the sweep axis, computed once per step in
+a fused XLA pass (step/cartesian_varprop.build_varprop_fields) and
+streamed — the same bytes as streaming raw k(T), but the kernel sheds the
+per-group harmonic build (a vector divide + shift/select chain, the
+dominant op-count delta vs the constant-coefficient sweeps).
+
+Materializing full a/b/c/d fields in XLA and solving with the generic
 field-coefficient kernel costs ~350 B/cell/step (measured round 3:
 1.0 Gcell/s at 384^3 through the engine).  This kernel instead streams only
-``rhs + code + k + w (+ h)`` = 17-21 B/cell and rebuilds a/b/c/d in
+``rhs + code + fc + w (+ h)`` = 17-21 B/cell and rebuilds a/b/c/d in
 registers, reusing the plan-lite sweep codes (solvers/pallas_sweeps.
 sweep_code: bits 1/2 = lo/hi coupling, 8 = in-mask; Dirichlet pins are NOT
 supported here — the varprop flagship runs Robin-only).
 
-The harmonic face between rows i-1 and i needs both k rows, so the kernel
-runs ONE ROW LAGGED: the group loading current rows [s, s+G) computes their
-lower faces and COMPLETES rows [s-1, s+G-1) (their upper face is the newly
-computed one).  Completed row r is stored at line-buffer index r+1, which
+Row i's UPPER coefficient needs fc[i+1], so the kernel runs ONE ROW
+LAGGED: the group loading current rows [s, s+G) COMPLETES rows
+[s-1, s+G-1) (their upper face is the newly loaded one).  Completed row r is stored at line-buffer index r+1, which
 keeps every VMEM group store/load 8-row aligned; the output DMA simply
 reads the line buffer at a +1 offset (dim 0 is untiled, so arbitrary
 offsets are legal — the Mosaic sub-tile hazard only bites dims 1/2,
@@ -49,8 +56,8 @@ def _round_up(v, m):
     return -(-v // m) * m
 
 
-def _varprop_kernel(scal_ref, seed_ref, d_hbm, code_hbm, k_hbm, w_hbm,
-                    h_hbm, out_hbm, xbuf, dpbuf, obuf, dbuf, cbuf, kbuf,
+def _varprop_kernel(scal_ref, seed_ref, d_hbm, code_hbm, f_hbm, w_hbm,
+                    h_hbm, out_hbm, xbuf, dpbuf, obuf, dbuf, cbuf, fbuf,
                     wbuf, hbuf, in_sem, out_sem, *, n, cn, b1, b2):
     tg = scal_ref[0]        # theta * dt / d_ax^2
     sk = scal_ref[1]        # dt / d_ax (Robin sink scale)
@@ -75,7 +82,7 @@ def _varprop_kernel(scal_ref, seed_ref, d_hbm, code_hbm, k_hbm, w_hbm,
         dmas = (
             pltpu.make_async_copy(src(d_hbm), dbuf.at[slot], in_sem.at[slot, 0]),
             pltpu.make_async_copy(src(code_hbm), cbuf.at[slot], in_sem.at[slot, 1]),
-            pltpu.make_async_copy(src(k_hbm), kbuf.at[slot], in_sem.at[slot, 2]),
+            pltpu.make_async_copy(src(f_hbm), fbuf.at[slot], in_sem.at[slot, 2]),
             pltpu.make_async_copy(src(w_hbm), wbuf.at[slot], in_sem.at[slot, 3]),
         )
         if has_h:
@@ -104,35 +111,29 @@ def _varprop_kernel(scal_ref, seed_ref, d_hbm, code_hbm, k_hbm, w_hbm,
     zero_s = jnp.zeros((), f32)
     zero = jnp.zeros((b1, b2), f32)
     # carry: elimination chain + the previous row's pending quantities
-    # (k, w, rhs, sink, lower-face) — row -1 is a synthetic identity row
-    carry = (zero, zero, zero, zero, zero, zero, zero)
+    # (w, rhs, sink, lower-face) — row -1 is a synthetic identity row
+    carry = (zero, zero, zero, zero, zero, zero)
     for k in range(nchunks):
         slot = k % 2
         for dma in in_dmas(slot, k):
             dma.wait()
 
         def grp(g, carry, *, slot=slot, base=k * cn):
-            cp_prev, dp_prev, kc, wc, dc, sc, fcc = carry
+            cp_prev, dp_prev, wc, dc, sc, fcc = carry
             s = pl.multiple_of(g * G, G)
             code_g = cbuf[slot, pl.ds(s, G)].astype(jnp.int32)
             low = jnp.where((code_g & 1) > 0, one, zero_s)
             high = jnp.where((code_g & 2) > 0, one, zero_s)
             inm = jnp.where((code_g & 8) > 0, one, zero_s)
-            k_g = kbuf[slot, pl.ds(s, G)].astype(f32)
+            # pre-masked harmonic lower faces (XLA-precomputed; zero across
+            # mask/domain boundaries, so no `low` multiply needed)
+            fc_g = fbuf[slot, pl.ds(s, G)].astype(f32)
             w_g = wbuf[slot, pl.ds(s, G)].astype(f32)
             d_g = dbuf[slot, pl.ds(s, G)].astype(f32)
             if has_h:
                 h_g = hbuf[slot, pl.ds(s, G)].astype(f32)
             else:
                 h_g = rob_c
-            # harmonic faces between rows r-1, r (killed across mask/domain
-            # boundaries by the lo coupling bit)
-            kshift = jnp.concatenate([kc[None], k_g[:-1]], axis=0)
-            ksum = kshift + k_g
-            faces = jnp.where(ksum > 0,
-                              2.0 * kshift * k_g / jnp.where(ksum > 0, ksum,
-                                                             one), 0.0)
-            fc_g = faces * low
             # Robin sink on this row (h * dt/d * n_exposed, in-mask only)
             sink_g = (sk * h_g) * ((2.0 - low - high) * inm)
             # completed rows = current shifted one down
@@ -155,7 +156,7 @@ def _varprop_kernel(scal_ref, seed_ref, d_hbm, code_hbm, k_hbm, w_hbm,
                 dps.append(dp_prev)
             xbuf[pl.ds(base + s, G)] = jnp.stack(cps)
             dpbuf[pl.ds(base + s, G)] = jnp.stack(dps)
-            return (cp_prev, dp_prev, k_g[G - 1], w_g[G - 1], d_g[G - 1],
+            return (cp_prev, dp_prev, w_g[G - 1], d_g[G - 1],
                     sink_g[G - 1], fc_g[G - 1])
 
         carry = lax.fori_loop(0, cn // G, grp, carry)
@@ -164,7 +165,7 @@ def _varprop_kernel(scal_ref, seed_ref, d_hbm, code_hbm, k_hbm, w_hbm,
                 dma.start()
 
     # epilogue: complete the final row (upper face = 0, c = 0)
-    cp_prev, dp_prev, kc, wc, dc, sc, fcc = carry
+    cp_prev, dp_prev, wc, dc, sc, fcc = carry
     twc = tg * wc
     a_n = -twc * fcc
     b_n = 1.0 + twc * fcc + sc * wc
@@ -209,7 +210,7 @@ def _varprop_kernel(scal_ref, seed_ref, d_hbm, code_hbm, k_hbm, w_hbm,
 
 @functools.partial(jax.jit, static_argnames=("interpret", "block_b1",
                                              "block_b2", "chunk"))
-def fused_varprop_sweep(rhs, code, kf, w, tg, sk, t_inf, h=None,
+def fused_varprop_sweep(rhs, code, fc, w, tg, sk, t_inf, h=None,
                         rob_c=0.0, rng_seed=None, *,
                         interpret: bool = False,
                         block_b1: int = 8, block_b2: int = 256,
@@ -219,7 +220,9 @@ def fused_varprop_sweep(rhs, code, kf, w, tg, sk, t_inf, h=None,
     rhs  : right-hand side (the theta-scheme explicit field / previous sweep)
     code : int8 plan-lite sweep codes for this axis's layout
            (solvers/pallas_sweeps.sweep_code; pins unsupported)
-    kf   : conductivity field k(T) [W/mK] in this layout
+    fc   : PRE-MASKED harmonic face conductivity along axis 0 in this
+           layout: fc[i] = harm(k[i-1], k[i]) where rows i-1, i are
+           mask-coupled, else 0 (step/cartesian_varprop.build_varprop_fields)
     w    : 1/(rho*cp(T)) in this layout
     tg   : theta * dt / d_ax^2
     sk   : dt / d_ax
@@ -243,7 +246,7 @@ def fused_varprop_sweep(rhs, code, kf, w, tg, sk, t_inf, h=None,
         pad = ((0, pn), (0, p1), (0, p2))
         rhs = jnp.pad(rhs, pad)
         code = jnp.pad(code, pad)   # padded rows: code 0 -> identity
-        kf = jnp.pad(kf, pad)
+        fc = jnp.pad(fc, pad)       # padded faces stay zero (uncoupled)
         w = jnp.pad(w, pad)
         if has_h:
             h = jnp.pad(h, pad)
@@ -253,7 +256,7 @@ def fused_varprop_sweep(rhs, code, kf, w, tg, sk, t_inf, h=None,
     scal = jnp.stack([jnp.asarray(tg, cdt), jnp.asarray(sk, cdt),
                       jnp.asarray(t_inf, cdt), jnp.asarray(rob_c, cdt)])
     grid = (P1 // block_b1, P2 // block_b2)
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     scratch = [
@@ -261,7 +264,7 @@ def fused_varprop_sweep(rhs, code, kf, w, tg, sk, t_inf, h=None,
         pltpu.VMEM((n_pad + 8, block_b1, block_b2), cdt),   # dp
         pltpu.VMEM((2, cn, block_b1, block_b2), dtype),     # rhs chunks
         pltpu.VMEM((2, cn, block_b1, block_b2), jnp.int8),  # code chunks
-        pltpu.VMEM((2, cn, block_b1, block_b2), dtype),     # k chunks
+        pltpu.VMEM((2, cn, block_b1, block_b2), dtype),     # face chunks
         pltpu.VMEM((2, cn, block_b1, block_b2), dtype),     # w chunks
     ]
     if has_h:
@@ -276,7 +279,7 @@ def fused_varprop_sweep(rhs, code, kf, w, tg, sk, t_inf, h=None,
     if stochastic:
         inputs.append(jnp.asarray(rng_seed, jnp.int32).reshape(1))
         in_specs.append(sspec)
-    inputs += [rhs, code, kf, w]
+    inputs += [rhs, code, fc, w]
     in_specs += [hbm, hbm, hbm, hbm]
     if has_h:
         inputs.append(h)
@@ -286,15 +289,15 @@ def fused_varprop_sweep(rhs, code, kf, w, tg, sk, t_inf, h=None,
         it = iter(refs)
         scal_ = next(it)
         seed_ = next(it) if stochastic else None
-        d_, c_, k_, w_ = (next(it) for _ in range(4))
+        d_, c_, f_, w_ = (next(it) for _ in range(4))
         h_ = next(it) if has_h else None
         o_ = next(it)
-        xb, dp, db, cb, kb, wb = (next(it) for _ in range(6))
+        xb, dp, db, cb, fb, wb = (next(it) for _ in range(6))
         hb = next(it) if has_h else None
         ob = next(it) if mixed else None
         isem, osem = next(it), next(it)
-        return _varprop_kernel(scal_, seed_, d_, c_, k_, w_, h_, o_, xb,
-                               dp, ob, db, cb, kb, wb, hb, isem, osem,
+        return _varprop_kernel(scal_, seed_, d_, c_, f_, w_, h_, o_, xb,
+                               dp, ob, db, cb, fb, wb, hb, isem, osem,
                                n=n_pad, cn=cn, b1=block_b1, b2=block_b2)
 
     out = pl.pallas_call(
@@ -326,23 +329,23 @@ def _shift_hi(x, axis):
         dimension=axis)
 
 
-def _harm(ka, kb):
-    s = ka + kb
-    return jnp.where(s > 0, 2.0 * ka * kb / jnp.where(s > 0, s, 1.0), 0.0)
+def _vp_rhs_kernel(scal_ref, seed_ref, T_ref, Fx_ref, Fy_ref, Fz_ref,
+                   M_ref, W_ref, S_ref, out_ref, Tbuf, Fbuf, *, nx):
+    """Plane-carry explicit theta-pass with PRE-MASKED harmonic face fields:
 
-
-def _vp_rhs_kernel(scal_ref, seed_ref, T_ref, K_ref, M_ref, W_ref,
-                   Ky_ref, Kz_ref, S_ref, out_ref, Tbuf, Kbuf, Mbuf, *,
-                   nx):
-    """Plane-carry explicit theta-pass with temperature-dependent k and cp:
-
-        R0_p = T_p + cw * w_p * M_p * sum_faces harm(k)* M_nbr (T_nbr - T_p)/d^2
+        R0_p = T_p + cw * w_p * M_p * sum_ax [fc_lo (T_lo - T_p)
+                                              + fc_hi (T_hi - T_p)] / d_ax^2
                (+ cd * w_p * M_p * src_p)
 
     Ring protocol identical to pallas_stencil._theta_rhs_kernel (x-planes,
-    two carried planes of T/kx/mask); w, per-axis ky/kz, and the optional
-    source stream with the OUTPUT plane's index map (they are only needed
-    on the computed plane p = i - 1, so they need no ring at all)."""
+    two carried planes of T and fx); fy, fz, w, mask, and the optional
+    source stream with the OUTPUT plane's index map — they are only needed
+    on the computed plane p = i - 1, so they need no ring at all.  fy[p]
+    holds the face between in-plane rows y-1 and y (columns z-1, z for fz);
+    the high face is its +1 shift, zero-filled — faces beyond the domain
+    edge or across void vanish by construction, so the kernel needs NO
+    neighbor masks and NO harmonic divides (6 per cell in the k-streaming
+    formulation this replaced)."""
     cw = scal_ref[0]        # (1 - theta) * dt
     cd = scal_ref[1]        # dt (source scale)
     iv_x = scal_ref[2]
@@ -352,40 +355,30 @@ def _vp_rhs_kernel(scal_ref, seed_ref, T_ref, K_ref, M_ref, W_ref,
     f32 = scal_ref.dtype
     if seed_ref is not None:
         pltpu.prng_seed(seed_ref[0] + i)
-    Mh_f = M_ref[0].astype(jnp.int32).astype(f32)
 
     @pl.when(i == 0)
     def _init():
         Tbuf[1] = jnp.zeros_like(Tbuf[1])
-        Kbuf[1] = jnp.zeros_like(Kbuf[1])
-        Mbuf[1] = jnp.zeros_like(Mbuf[1])
+        Fbuf[1] = jnp.zeros_like(Fbuf[1])
 
     @pl.when(i >= 1)
     def _compute():
         s_c = (i - 1) % 2
         s_l = i % 2
         Tc = Tbuf[s_c].astype(f32)
-        Kc = Kbuf[s_c].astype(f32)
-        Mc = Mbuf[s_c]
+        f_lo = Fbuf[s_c].astype(f32)            # fx[p] = face (p-1, p)
         hi_f = jnp.where(i <= nx - 1, 1.0, 0.0).astype(f32)
-        Ml = Mbuf[s_l]                  # zero at i=1 (init)
-        Mh = Mh_f * hi_f
-        # x faces from the carried planes
-        f_lo = _harm(Kc, Kbuf[s_l].astype(f32)) * Ml
-        f_hi = _harm(Kc, K_ref[0].astype(f32)) * Mh
+        f_hi = Fx_ref[0].astype(f32) * hi_f     # fx[p+1]; clamp killed
         acc = (f_lo * (Tbuf[s_l].astype(f32) - Tc)
                + f_hi * (T_ref[0].astype(f32) - Tc)) * iv_x
-        # y (sublane) / z (lane) faces: in-plane shifts on the computed
-        # plane; per-axis conductivity when anisotropic
-        for ax, iv, kref in ((0, iv_y, Ky_ref), (1, iv_z, Kz_ref)):
-            Ka = Kc if kref is None else kref[0].astype(f32)
-            ml = _shift_lo(Mc, ax)
-            mh = _shift_hi(Mc, ax)
-            fl = _harm(Ka, _shift_lo(Ka, ax)) * ml
-            fh = _harm(Ka, _shift_hi(Ka, ax)) * mh
-            acc = acc + (fl * (_shift_lo(Tc, ax) - Tc)
-                         + fh * (_shift_hi(Tc, ax) - Tc)) * iv
-        gain = W_ref[0].astype(f32) * Mc
+        # y (sublane) / z (lane) faces: the plane's own face field is the
+        # low face; its +1 shift (zero-filled) the high face
+        for ax, iv, fref in ((0, iv_y, Fy_ref), (1, iv_z, Fz_ref)):
+            fp = fref[0].astype(f32)
+            acc = acc + (fp * (_shift_lo(Tc, ax) - Tc)
+                         + _shift_hi(fp, ax)
+                         * (_shift_hi(Tc, ax) - Tc)) * iv
+        gain = W_ref[0].astype(f32) * M_ref[0].astype(jnp.int32).astype(f32)
         res = Tc + cw * gain * acc
         if S_ref is not None:
             res = res + cd * gain * S_ref[0].astype(f32)
@@ -400,20 +393,22 @@ def _vp_rhs_kernel(scal_ref, seed_ref, T_ref, K_ref, M_ref, W_ref,
     @pl.when(i <= nx - 1)
     def _rotate():
         Tbuf[i % 2] = T_ref[0]
-        Kbuf[i % 2] = K_ref[0]
-        Mbuf[i % 2] = Mh_f
+        Fbuf[i % 2] = Fx_ref[0]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def varprop_theta_rhs(T, kx, w, mask_i8, cw, inv_d2, ky=None, kz=None,
+def varprop_theta_rhs(T, fx, fy, fz, w, mask_i8, cw, inv_d2,
                       src=None, dt=None, rng_seed=None, *,
                       interpret: bool = False):
-    """Explicit varprop theta-pass ``R0 = T + cw*w*mask*sum harm-faces`` in
-    ONE HBM pass (T + kx + mask + w [+ ky + kz + src] streamed; the XLA
-    formulation materializes every shifted face field — measured ~17 ms at
-    384^3 vs this kernel's ~13 B/cell).  ``cw = (1-theta)*dt``; ``inv_d2``
-    scalar or per-axis; ``ky``/``kz`` only for anisotropic conductivity;
-    ``src`` adds ``dt*w*mask*src`` (volumetric heat)."""
+    """Explicit varprop theta-pass ``R0 = T + cw*w*mask*sum fc*(T_nbr-T)/d^2``
+    in ONE HBM pass (T + fx + fy + fz + mask + w [+ src] streamed).
+
+    ``fx/fy/fz`` are the PRE-MASKED per-axis harmonic face-conductivity
+    fields (step/cartesian_varprop.build_varprop_fields): fc_ax[i] =
+    harm(k[i-1], k[i]) between mask-coupled cells, 0 across void/domain
+    boundaries — anisotropic conductivity is simply different face fields.
+    ``cw = (1-theta)*dt``; ``inv_d2`` scalar or per-axis; ``src`` adds
+    ``dt*w*mask*src`` (volumetric heat)."""
     nx, ny, nz = T.shape
     dtype = T.dtype
     inv3 = jnp.broadcast_to(jnp.asarray(inv_d2), (3,))
@@ -423,11 +418,11 @@ def varprop_theta_rhs(T, kx, w, mask_i8, cw, inv_d2, ky=None, kz=None,
     if p1 or p2:
         pad = ((0, 0), (0, p1), (0, p2))
         T = jnp.pad(T, pad)
-        kx = jnp.pad(kx, pad)
+        fx = jnp.pad(fx, pad)
+        fy = jnp.pad(fy, pad)   # zero faces: padded cells stay uncoupled
+        fz = jnp.pad(fz, pad)
         w = jnp.pad(w, pad)
         mask_i8 = jnp.pad(mask_i8, pad)
-        ky = None if ky is None else jnp.pad(ky, pad)
-        kz = None if kz is None else jnp.pad(kz, pad)
         src = None if src is None else jnp.pad(src, pad)
     Py, Pz = T.shape[1], T.shape[2]
 
@@ -442,8 +437,6 @@ def varprop_theta_rhs(T, kx, w, mask_i8, cw, inv_d2, ky=None, kz=None,
     vin = pl.BlockSpec(blk, in_idx, memory_space=pltpu.VMEM)
     vout = pl.BlockSpec(blk, out_idx, memory_space=pltpu.VMEM)
 
-    has_ky = ky is not None
-    has_kz = kz is not None
     has_src = src is not None
     # stochastic bf16 stores (unbiased; kills sub-quantum update dropout)
     stochastic = (rng_seed is not None and dtype != cdt)
@@ -456,25 +449,22 @@ def varprop_theta_rhs(T, kx, w, mask_i8, cw, inv_d2, ky=None, kz=None,
         it = iter(refs)
         scal_ = next(it)
         seed_ = next(it) if stochastic else None
-        T_, K_, M_, W_ = (next(it) for _ in range(4))
-        Ky_ = next(it) if has_ky else None
-        Kz_ = next(it) if has_kz else None
+        T_, Fx_, Fy_, Fz_, M_, W_ = (next(it) for _ in range(6))
         S_ = next(it) if has_src else None
-        out_, Tb, Kb, Mb = (next(it) for _ in range(4))
-        return _vp_rhs_kernel(scal_, seed_, T_, K_, M_, W_, Ky_, Kz_, S_,
-                              out_, Tb, Kb, Mb, nx=nx)
+        out_, Tb, Fb = (next(it) for _ in range(3))
+        return _vp_rhs_kernel(scal_, seed_, T_, Fx_, Fy_, Fz_, M_, W_, S_,
+                              out_, Tb, Fb, nx=nx)
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     inputs = [scal]
     if stochastic:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.append(jnp.asarray(rng_seed, jnp.int32).reshape(1))
-    in_specs += [vin, vin, vin, vout]
-    inputs += [T, kx, mask_i8, w]
-    for flag, arr in ((has_ky, ky), (has_kz, kz), (has_src, src)):
-        if flag:
-            in_specs.append(vout)
-            inputs.append(arr)
+    in_specs += [vin, vin, vout, vout, vout, vout]
+    inputs += [T, fx, fy, fz, mask_i8, w]
+    if has_src:
+        in_specs.append(vout)
+        inputs.append(src)
 
     out = pl.pallas_call(
         body,
@@ -483,9 +473,8 @@ def varprop_theta_rhs(T, kx, w, mask_i8, cw, inv_d2, ky=None, kz=None,
         out_specs=vout,
         out_shape=jax.ShapeDtypeStruct((nx, Py, Pz), dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, Py, Pz), dtype),   # T planes
-            pltpu.VMEM((2, Py, Pz), dtype),   # kx planes
-            pltpu.VMEM((2, Py, Pz), cdt),     # masks as 0/1
+            pltpu.VMEM((2, Py, Pz), dtype),       # T planes
+            pltpu.VMEM((2, Py, Pz), dtype),       # fx planes
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -497,9 +486,9 @@ def varprop_theta_rhs(T, kx, w, mask_i8, cw, inv_d2, ky=None, kz=None,
     return out
 
 
-def _varprop_kernel_axis1(scal_ref, seed_ref, d_hbm, code_hbm, k_hbm,
+def _varprop_kernel_axis1(scal_ref, seed_ref, d_hbm, code_hbm, f_hbm,
                           w_hbm, h_hbm, out_hbm, xbuf, dpbuf, obuf, dbuf,
-                          cbuf, kbuf, wbuf, hbuf, in_sem, out_sem, *,
+                          cbuf, fbuf, wbuf, hbuf, in_sem, out_sem, *,
                           n, cn, b1, b2):
     """Axis-1 variant of _varprop_kernel: the y-sweep in the NATURAL
     (B1, n, B2) layout — no transposes of rhs/k/w/h.  Raw input groups are
@@ -532,7 +521,7 @@ def _varprop_kernel_axis1(scal_ref, seed_ref, d_hbm, code_hbm, k_hbm,
         dmas = (
             pltpu.make_async_copy(src(d_hbm), dbuf.at[slot], in_sem.at[slot, 0]),
             pltpu.make_async_copy(src(code_hbm), cbuf.at[slot], in_sem.at[slot, 1]),
-            pltpu.make_async_copy(src(k_hbm), kbuf.at[slot], in_sem.at[slot, 2]),
+            pltpu.make_async_copy(src(f_hbm), fbuf.at[slot], in_sem.at[slot, 2]),
             pltpu.make_async_copy(src(w_hbm), wbuf.at[slot], in_sem.at[slot, 3]),
         )
         if has_h:
@@ -556,21 +545,22 @@ def _varprop_kernel_axis1(scal_ref, seed_ref, d_hbm, code_hbm, k_hbm,
     one = jnp.ones((), f32)
     zero_s = jnp.zeros((), f32)
     zero = jnp.zeros((b1, b2), f32)
-    carry = (zero, zero, zero, zero, zero, zero, zero)
+    carry = (zero, zero, zero, zero, zero, zero)
     for k in range(nchunks):
         slot = k % 2
         for dma in in_dmas(slot, k):
             dma.wait()
 
         def grp(g, carry, *, slot=slot, base=k * cn):
-            cp_prev, dp_prev, kc, wc, dc, sc, fcc = carry
+            cp_prev, dp_prev, wc, dc, sc, fcc = carry
             s = pl.multiple_of(g * G, G)
             code_g = jnp.swapaxes(
                 cbuf[slot, :, pl.ds(s, G), :].astype(jnp.int32), 0, 1)
             low = jnp.where((code_g & 1) > 0, one, zero_s)
             high = jnp.where((code_g & 2) > 0, one, zero_s)
             inm = jnp.where((code_g & 8) > 0, one, zero_s)
-            k_g = jnp.swapaxes(kbuf[slot, :, pl.ds(s, G), :], 0, 1) \
+            # pre-masked harmonic lower faces (XLA-precomputed)
+            fc_g = jnp.swapaxes(fbuf[slot, :, pl.ds(s, G), :], 0, 1) \
                 .astype(f32)
             w_g = jnp.swapaxes(wbuf[slot, :, pl.ds(s, G), :], 0, 1) \
                 .astype(f32)
@@ -581,12 +571,6 @@ def _varprop_kernel_axis1(scal_ref, seed_ref, d_hbm, code_hbm, k_hbm,
                     .astype(f32)
             else:
                 h_g = rob_c
-            kshift = jnp.concatenate([kc[None], k_g[:-1]], axis=0)
-            ksum = kshift + k_g
-            faces = jnp.where(ksum > 0,
-                              2.0 * kshift * k_g / jnp.where(ksum > 0, ksum,
-                                                             one), 0.0)
-            fc_g = faces * low
             sink_g = (sk * h_g) * ((2.0 - low - high) * inm)
             w_s = jnp.concatenate([wc[None], w_g[:-1]], axis=0)
             d_s = jnp.concatenate([dc[None], d_g[:-1]], axis=0)
@@ -607,7 +591,7 @@ def _varprop_kernel_axis1(scal_ref, seed_ref, d_hbm, code_hbm, k_hbm,
                 dps.append(dp_prev)
             xbuf[pl.ds(base + s, G)] = jnp.stack(cps)
             dpbuf[pl.ds(base + s, G)] = jnp.stack(dps)
-            return (cp_prev, dp_prev, k_g[G - 1], w_g[G - 1], d_g[G - 1],
+            return (cp_prev, dp_prev, w_g[G - 1], d_g[G - 1],
                     sink_g[G - 1], fc_g[G - 1])
 
         carry = lax.fori_loop(0, cn // G, grp, carry)
@@ -615,7 +599,7 @@ def _varprop_kernel_axis1(scal_ref, seed_ref, d_hbm, code_hbm, k_hbm,
             for dma in in_dmas(slot, k + 2):
                 dma.start()
 
-    cp_prev, dp_prev, kc, wc, dc, sc, fcc = carry
+    cp_prev, dp_prev, wc, dc, sc, fcc = carry
     twc = tg * wc
     a_n = -twc * fcc
     b_n = 1.0 + twc * fcc + sc * wc
@@ -660,16 +644,17 @@ def _varprop_kernel_axis1(scal_ref, seed_ref, d_hbm, code_hbm, k_hbm,
 
 @functools.partial(jax.jit, static_argnames=("interpret", "block_b1",
                                              "block_b2", "chunk"))
-def fused_varprop_sweep_axis1(rhs, code, kf, w, tg, sk, t_inf, h=None,
+def fused_varprop_sweep_axis1(rhs, code, fc, w, tg, sk, t_inf, h=None,
                               rob_c=0.0, rng_seed=None, *,
                               interpret: bool = False,
                               block_b1: int = 8, block_b2: int = 256,
                               chunk: int = 64):
     """Variable-property implicit sweep along AXIS 1 of (B1, n, B2) arrays
-    in the natural layout (the y-sweep with no transposes of rhs/k/w/h).
+    in the natural layout (the y-sweep with no transposes of rhs/fc/w/h).
     Same math/semantics as ``fused_varprop_sweep``; ``code`` must be the
     NATURAL-layout axis-1 sweep code (moveaxis(sweep_code(mask, None, 1),
-    0, 1) — i.e. couplings along axis 1, array in (B1, n, B2))."""
+    0, 1) — i.e. couplings along axis 1, array in (B1, n, B2)); ``fc`` the
+    pre-masked axis-1 face conductivities in the same layout."""
     b1, n, b2 = rhs.shape
     dtype = rhs.dtype
     mixed = jnp.promote_types(dtype, jnp.float32) != dtype
@@ -687,7 +672,7 @@ def fused_varprop_sweep_axis1(rhs, code, kf, w, tg, sk, t_inf, h=None,
         pad = ((0, p1), (0, pn), (0, p2))
         rhs = jnp.pad(rhs, pad)
         code = jnp.pad(code, pad)
-        kf = jnp.pad(kf, pad)
+        fc = jnp.pad(fc, pad)
         w = jnp.pad(w, pad)
         if has_h:
             h = jnp.pad(h, pad)
@@ -697,7 +682,7 @@ def fused_varprop_sweep_axis1(rhs, code, kf, w, tg, sk, t_inf, h=None,
     scal = jnp.stack([jnp.asarray(tg, cdt), jnp.asarray(sk, cdt),
                       jnp.asarray(t_inf, cdt), jnp.asarray(rob_c, cdt)])
     grid = (P1 // block_b1, P2 // block_b2)
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     scratch = [
@@ -706,7 +691,7 @@ def fused_varprop_sweep_axis1(rhs, code, kf, w, tg, sk, t_inf, h=None,
         pltpu.VMEM((block_b1, n_pad, block_b2), dtype),         # x staging
         pltpu.VMEM((2, block_b1, cn, block_b2), dtype),         # rhs chunks
         pltpu.VMEM((2, block_b1, cn, block_b2), jnp.int8),      # code
-        pltpu.VMEM((2, block_b1, cn, block_b2), dtype),         # k
+        pltpu.VMEM((2, block_b1, cn, block_b2), dtype),         # faces
         pltpu.VMEM((2, block_b1, cn, block_b2), dtype),         # w
     ]
     if has_h:
@@ -719,7 +704,7 @@ def fused_varprop_sweep_axis1(rhs, code, kf, w, tg, sk, t_inf, h=None,
     if stochastic:
         inputs.append(jnp.asarray(rng_seed, jnp.int32).reshape(1))
         in_specs.append(sspec)
-    inputs += [rhs, code, kf, w]
+    inputs += [rhs, code, fc, w]
     in_specs += [hbm, hbm, hbm, hbm]
     if has_h:
         inputs.append(h)
@@ -729,14 +714,14 @@ def fused_varprop_sweep_axis1(rhs, code, kf, w, tg, sk, t_inf, h=None,
         it = iter(refs)
         scal_ = next(it)
         seed_ = next(it) if stochastic else None
-        d_, c_, k_, w_ = (next(it) for _ in range(4))
+        d_, c_, f_, w_ = (next(it) for _ in range(4))
         h_ = next(it) if has_h else None
         o_ = next(it)
-        xb, dp, ob, db, cb, kb, wb = (next(it) for _ in range(7))
+        xb, dp, ob, db, cb, fb, wb = (next(it) for _ in range(7))
         hb = next(it) if has_h else None
         isem, osem = next(it), next(it)
-        return _varprop_kernel_axis1(scal_, seed_, d_, c_, k_, w_, h_, o_,
-                                     xb, dp, ob, db, cb, kb, wb, hb, isem,
+        return _varprop_kernel_axis1(scal_, seed_, d_, c_, f_, w_, h_, o_,
+                                     xb, dp, ob, db, cb, fb, wb, hb, isem,
                                      osem, n=n_pad, cn=cn, b1=block_b1,
                                      b2=block_b2)
 

@@ -42,7 +42,7 @@ from ..solvers.thomas import thomas
 
 __all__ = ["PropertyTable", "apparent_cp", "melt_pool_enhanced_k",
            "adi_step_varprop", "adi_step_varprop_fused",
-           "build_varprop_codes"]
+           "build_varprop_codes", "build_varprop_fields"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -218,6 +218,41 @@ def build_varprop_codes(mask: jax.Array) -> tuple:
             sweep_code(mask, None, 2))
 
 
+def build_varprop_fields(T: jax.Array, mask: jax.Array,
+                         mat_ref: Material, k_table=None, cp_table=None):
+    """Per-axis PRE-MASKED harmonic face-conductivity fields + 1/(rho cp).
+
+    ``fc[ax][i] = 2 k[i-1] k[i] / (k[i-1] + k[i])`` along ``ax`` where
+    cells i-1, i are both in-mask (0 across void/domain boundaries), with
+    k evaluated at T^n (Picard); anisotropic ``k_table`` tuples simply give
+    per-axis face fields.  One fused XLA pass (interp + harmonic + mask
+    zeroing fuse into the face-field writes); the fused kernels stream
+    these instead of raw k(T), shedding their in-register harmonic builds
+    (a vector divide + shift chain per group — the dominant op-count delta
+    vs the constant-coefficient sweeps).  Returns ``(fc3, w)`` in the
+    NATURAL (x, y, z) layout, in ``T.dtype``."""
+    dtype = T.dtype
+    mask = mask.astype(bool)
+
+    def k_of(tab):
+        if tab is None:
+            return jnp.full(T.shape, mat_ref.k, dtype)
+        if callable(tab):
+            return tab(T)
+        return jnp.full(T.shape, float(tab), dtype)
+
+    if isinstance(k_table, (tuple, list)):
+        kfs = tuple(k_of(tab) for tab in k_table)
+    else:
+        kfs = (k_of(k_table),) * 3
+    fc = tuple(_face_g(kfs[ax], ax, -1, mask).astype(dtype)
+               for ax in range(3))
+    cpf = (cp_table(T) if cp_table is not None
+           else jnp.full(T.shape, mat_ref.cp, dtype))
+    w = (1.0 / (mat_ref.rho * cpf)).astype(dtype)
+    return fc, w
+
+
 def adi_step_varprop_fused(T: jax.Array, mask: jax.Array, codes: tuple,
                            grid: CartesianGrid, mat_ref: Material, *,
                            k_table=None, cp_table=None, dt,
@@ -233,14 +268,17 @@ def adi_step_varprop_fused(T: jax.Array, mask: jax.Array, codes: tuple,
     (Robin on every exposed face — scalar ``robin_h`` or a per-cell
     ``h_field`` e.g. from bc/radiation.radiative_h; no Neumann, no
     Dirichlet).  The per-cell tridiagonal coefficients are rebuilt in
-    kernel registers from streamed k(T) and 1/(rho cp(T)) instead of being
+    kernel registers from streamed pre-masked harmonic face conductivities
+    (``build_varprop_fields``) and 1/(rho cp(T)) instead of being
     materialized by XLA: measured round 3 at 384^3, the materialized path
     spends ~24-28 ms per sweep on coefficient builds against a 6.2 ms bare
     solve (NOTES.md).  ``codes`` comes from ``build_varprop_codes(mask)``.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    from ..solvers.pallas_varprop import fused_varprop_sweep
+    from ..solvers.pallas_varprop import (fused_varprop_sweep,
+                                          fused_varprop_sweep_axis1,
+                                          varprop_theta_rhs)
 
     mask = mask.astype(bool)
     dtype = T.dtype
@@ -248,59 +286,40 @@ def adi_step_varprop_fused(T: jax.Array, mask: jax.Array, codes: tuple,
     dt = jnp.asarray(dt, cdt)
     inv_d2 = [1.0 / (d * d) for d in grid.spacing]
 
-    def k_of(tab):
-        if tab is None:
-            return jnp.full(T.shape, mat_ref.k, dtype)
-        if callable(tab):
-            return tab(T)
-        return jnp.full(T.shape, float(tab), dtype)
-
-    if isinstance(k_table, (tuple, list)):
-        kfs = tuple(k_of(tab) for tab in k_table)
-    else:
-        kfs = (k_of(k_table),) * 3
-    cpf = (cp_table(T) if cp_table is not None
-           else jnp.full(T.shape, mat_ref.cp, dtype))
-    w = (1.0 / (mat_ref.rho * cpf)).astype(dtype)
-
-    # explicit theta-pass: plane-carry varprop stencil kernel (one HBM
-    # pass streaming T/kx/mask/w [+ky/kz/src]; the XLA formulation
-    # materializes every shifted face field — measured ~17 ms of the old
-    # 64 ms step at 384^3)
-    from ..solvers.pallas_varprop import varprop_theta_rhs
+    # one fused XLA pass: k(T)/cp(T) interp + harmonic faces + mask zeroing
+    fc, w = build_varprop_fields(T, mask, mat_ref, k_table, cp_table)
 
     # bf16 states: solve at f32, stochastically round every bf16 store
     # (round-to-nearest drops sub-quantum updates and freezes slow cooling
     # — the bf16 production hazard, NOTES.md)
     sr = (rng_seed if jnp.promote_types(dtype, jnp.float32) != dtype
           else None)
-    aniso = isinstance(k_table, (tuple, list))
+    # explicit theta-pass: plane-carry stencil kernel streaming the face
+    # fields (one HBM pass; no in-kernel harmonic divides)
     R0 = varprop_theta_rhs(
-        T, kfs[0], w, mask.astype(jnp.int8), (1.0 - theta) * dt,
-        [float(v) for v in inv_d2],
-        ky=kfs[1] if aniso else None, kz=kfs[2] if aniso else None,
+        T, fc[0], fc[1], fc[2], w, mask.astype(jnp.int8),
+        (1.0 - theta) * dt, [float(v) for v in inv_d2],
         src=source, dt=dt,
         rng_seed=None if sr is None else sr,
         interpret=interpret).astype(dtype)
 
     rob = 0.0 if h_field is not None else float(robin_h)
     d_ax = grid.spacing
-    from ..solvers.pallas_varprop import fused_varprop_sweep_axis1
 
-    def sweep(rhs, ax, kf_t, w_t, h_t, kernel=fused_varprop_sweep):
+    def sweep(rhs, ax, fc_t, w_t, h_t, kernel=fused_varprop_sweep):
         return kernel(
-            rhs, codes[ax], kf_t, w_t,
+            rhs, codes[ax], fc_t, w_t,
             float(theta) * dt * inv_d2[ax], dt / d_ax[ax], t_inf,
             h=h_t, rob_c=rob,
             rng_seed=None if sr is None else sr + (ax + 1),
             interpret=interpret)
 
     hf = h_field
-    U = sweep(R0, 0, kfs[0], w, hf)
+    U = sweep(R0, 0, fc[0], w, hf)
     # y: the axis-1 kernel sweeps in the NATURAL layout — no transposes
-    V = sweep(U, 1, kfs[1], w, hf, kernel=fused_varprop_sweep_axis1)
-    # z: (x,y,z) -> (z,x,y) re-lay for rhs/k/w(/h)
+    V = sweep(U, 1, fc[1], w, hf, kernel=fused_varprop_sweep_axis1)
+    # z: (x,y,z) -> (z,x,y) re-lay for rhs/fc/w(/h)
     t2n = lambda x: jnp.transpose(x, (2, 0, 1))
-    W = sweep(t2n(V), 2, t2n(kfs[2]), t2n(w),
+    W = sweep(t2n(V), 2, t2n(fc[2]), t2n(w),
               None if hf is None else t2n(hf))
     return jnp.transpose(W, (1, 2, 0))

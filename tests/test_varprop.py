@@ -331,7 +331,7 @@ def test_engine_varprop_with_history():
 
 def test_fused_varprop_sweep_matches_scan_oracle():
     """solvers/pallas_varprop.fused_varprop_sweep rebuilds the per-cell
-    tridiagonal coefficients (harmonic faces from streamed k(T), Robin
+    tridiagonal coefficients (streamed pre-masked harmonic faces, Robin
     sink from the plan-lite code bits) in registers; must match the
     materialized adi_step_varprop sweep math + Thomas scan exactly in f64
     interpret mode — scalar-h AND per-cell h-field (radiation) modes."""
@@ -354,7 +354,8 @@ def test_fused_varprop_sweep_matches_scan_oracle():
     dt, theta, t_inf = 0.02, 0.5, 20.0
     dx = grid.dx
     bc_scale = mat.cp / cpf
-    g_lo = dt * _face_g(kf, 0, -1, mask) * w / dx**2
+    fc0 = _face_g(kf, 0, -1, mask)      # what the kernel streams
+    g_lo = dt * fc0 * w / dx**2
     g_hi = dt * _face_g(kf, 0, +1, mask) * w / dx**2
     a = -theta * g_lo
     c = -theta * g_hi
@@ -370,7 +371,7 @@ def test_fused_varprop_sweep_matches_scan_oracle():
         d = jnp.where(mask, T + dt * packs.coeff[0] * bc_scale * t_inf, T)
         want = thomas(a, b, c, d)
         got = fused_varprop_sweep(
-            T, code, kf, w, tg, sk, t_inf,
+            T, code, fc0, w, tg, sk, t_inf,
             h=None if hmode == "scalar" else h,
             rob_c=h if hmode == "scalar" else 0.0, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
@@ -507,9 +508,12 @@ def test_fused_varprop_sweep_axis1_bitwise_vs_axis0():
 
     rng = np.random.default_rng(4)
     shape = (16, 40, 24)      # (x, y, z); sweep along y; hostile pads
+    from adi_thermal_fields_tpu.step.cartesian_varprop import _face_g
+
     mask = jnp.asarray(rng.random(shape) < 0.8)
     T = jnp.asarray(rng.random(shape) * 900 + 20)
     kf = jnp.asarray(rng.random(shape) * 40 + 10)
+    fc = _face_g(kf, 1, -1, mask)                 # y-faces, natural layout
     w = jnp.asarray(rng.random(shape) * 1e-7 + 2e-7)
     hf = jnp.asarray(rng.random(shape) * 40 + 5)
     tg, sk, t_inf = 0.37, 0.01, 20.0
@@ -519,9 +523,9 @@ def test_fused_varprop_sweep_axis1_bitwise_vs_axis0():
 
     for h in (None, hf):
         want = t1(fused_varprop_sweep(
-            t1(T), code_yxz, t1(kf), t1(w), tg, sk, t_inf,
+            t1(T), code_yxz, t1(fc), t1(w), tg, sk, t_inf,
             h=None if h is None else t1(h), rob_c=15.0, interpret=True))
-        got = fused_varprop_sweep_axis1(T, code_nat, kf, w, tg, sk, t_inf,
+        got = fused_varprop_sweep_axis1(T, code_nat, fc, w, tg, sk, t_inf,
                                         h=h, rob_c=15.0, interpret=True)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
@@ -568,17 +572,20 @@ def test_fused_varprop_bf16_mixed_mode():
 
     rng = np.random.default_rng(5)
     shape = (32, 16, 128)
+    from adi_thermal_fields_tpu.step.cartesian_varprop import _face_g
+
     mask = jnp.asarray(rng.random(shape) < 0.85)
     Tf = jnp.asarray(rng.random(shape) * 900 + 20, jnp.float32)
     kf = jnp.asarray(rng.random(shape) * 40 + 10, jnp.float32)
+    fc = _face_g(kf, 0, -1, mask).astype(jnp.float32)
     w = jnp.asarray(rng.random(shape) * 1e-7 + 2e-7, jnp.float32)
     code0 = sweep_code(mask, None, 0)
     tg, sk, t_inf = 0.37, 0.01, 20.0
 
-    want = fused_varprop_sweep(Tf, code0, kf, w, tg, sk, t_inf, rob_c=15.0,
+    want = fused_varprop_sweep(Tf, code0, fc, w, tg, sk, t_inf, rob_c=15.0,
                                interpret=True)
     got = fused_varprop_sweep(Tf.astype(jnp.bfloat16), code0,
-                              kf.astype(jnp.bfloat16),
+                              fc.astype(jnp.bfloat16),
                               w.astype(jnp.bfloat16), tg, sk, t_inf,
                               rob_c=15.0, interpret=True)
     assert got.dtype == jnp.bfloat16
@@ -587,10 +594,11 @@ def test_fused_varprop_bf16_mixed_mode():
                                np.asarray(want), rtol=0.02, atol=3.0)
 
     code1 = jnp.moveaxis(sweep_code(mask, None, 1), 0, 1)
-    want1 = fused_varprop_sweep_axis1(Tf, code1, kf, w, tg, sk, t_inf,
+    fc1 = _face_g(kf, 1, -1, mask).astype(jnp.float32)
+    want1 = fused_varprop_sweep_axis1(Tf, code1, fc1, w, tg, sk, t_inf,
                                       rob_c=15.0, interpret=True)
     got1 = fused_varprop_sweep_axis1(Tf.astype(jnp.bfloat16), code1,
-                                     kf.astype(jnp.bfloat16),
+                                     fc1.astype(jnp.bfloat16),
                                      w.astype(jnp.bfloat16), tg, sk, t_inf,
                                      rob_c=15.0, interpret=True)
     assert got1.dtype == jnp.bfloat16
@@ -599,6 +607,6 @@ def test_fused_varprop_bf16_mixed_mode():
 
     with pytest.raises(NotImplementedError, match="stochastic"):
         fused_varprop_sweep(Tf.astype(jnp.bfloat16), code0,
-                            kf.astype(jnp.bfloat16),
+                            fc.astype(jnp.bfloat16),
                             w.astype(jnp.bfloat16), tg, sk, t_inf,
                             rob_c=15.0, rng_seed=7, interpret=True)
