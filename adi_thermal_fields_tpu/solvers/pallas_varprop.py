@@ -49,7 +49,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["fused_varprop_sweep", "fused_varprop_sweep_axis1",
-           "varprop_theta_rhs"]
+           "varprop_theta_rhs", "fused_varprop_theta_sweep"]
 
 
 def _round_up(v, m):
@@ -737,4 +737,383 @@ def fused_varprop_sweep_axis1(rhs, code, fc, w, tg, sk, t_inf, h=None,
     )(*inputs)
     if p1 or p2 or pn:
         out = out[:b1, :n, :b2]
+    return out
+
+
+def _vp_ring_kernel(scal_ref, seed_ref, T_hbm, code_hbm, fx_hbm, fy_hbm,
+                    fz_hbm, w_hbm, h_hbm, s_hbm, out_hbm,
+                    ring, fyring, fzring, cbuf, fxbuf, wbuf, hbuf, sbuf,
+                    xbuf, dpbuf, obuf, yrow, t_sem, fy_sem, fz_sem, c_sem,
+                    fx_sem, w_sem, h_sem, s_sem, out_sem, *,
+                    n, b1, b2, nt1, nt2, R, stochastic):
+    """Ring-buffer fused varprop theta-pass + x-sweep — ZERO halo DMAs.
+
+    Same ring protocol as pallas_theta_sweep._theta_sweep_ring_kernel (the
+    TPU Pallas grid is sequential and VMEM scratch persists across steps;
+    grid (nt1+1, nt2) walks the (y, z) batch tiles row-major, completing
+    tile c = s - nt2 at step s when all its neighbors are resident), with
+    the constant-coefficient decode replaced by streamed PRE-MASKED
+    harmonic face fields (build_varprop_fields):
+
+      * T rides the deep ring (R = nt2+3): y-lo row from ``yrow`` (saved at
+        the completion one tile-row up), y-hi row 0 of the tile loaded THIS
+        step, z-lo/z-hi boundary lanes of ring slots c-1 / c+1;
+      * fy/fz ride their own rings — the y-hi face of row b1-1 is fy row 0
+        of the tile BELOW (slot s), the z-hi face of lane b2-1 is fz lane 0
+        of tile c+1.  Wrap/stale reads need no masks: a face field is zero
+        across every void/domain boundary BY CONSTRUCTION, except the two
+        genuinely stale slots (y-hi past the last tile row, z-hi past the
+        last tile) which a traced scalar validity select zeroes — the ring
+        holds only finite values (zero-initialised, then real tiles), so
+        the select is a correctness fix, not a NaN guard;
+      * fx / w / code (+ h, + src) are needed only on the completed tile:
+        single-slot completion-time streams with one-tile prefetch, exactly
+        the code protocol of the constant-coefficient ring kernel.
+
+    HBM traffic: read T(4) + code(1) + fx/fy/fz/w(16) [+h 4][+src 4], write
+    U(4) = 25-33 B/cell — replacing the varprop stencil (25) + x-sweep (17+)
+    chain and its R0 round trip.  The explicit accumulation order (x faces,
+    then y, then z) and the sweep formulas match _vp_rhs_kernel and
+    _varprop_kernel term-for-term, so f32 results are BITWISE the unfused
+    chain's (bf16 skips R0's intermediate quantisation — strictly more
+    accurate, tested to tolerance)."""
+    cw = scal_ref[0]        # (1 - theta) * dt
+    cd = scal_ref[1]        # dt (source scale)
+    tg = scal_ref[2]        # theta * dt / dx^2
+    sk = scal_ref[3]        # dt / dx (Robin sink scale)
+    t_inf = scal_ref[4]
+    rob_c = scal_ref[5]
+    iv_x, iv_y, iv_z = scal_ref[6], scal_ref[7], scal_ref[8]
+    f32 = xbuf.dtype
+    has_h = h_hbm is not None
+    has_src = s_hbm is not None
+    G = 8
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    s = i * nt2 + j
+    ntiles = nt1 * nt2
+    first = (i == 0) & (j == 0)
+    last = (i == nt1) & (j == nt2 - 1)
+
+    def tile_coords(t):
+        return (t // nt2) * b1, (t % nt2) * b2
+
+    def load_dmas(t):
+        r0, c0 = tile_coords(t)
+        at = lambda ref: ref.at[:, pl.ds(r0, b1), pl.ds(c0, b2)]
+        return (
+            pltpu.make_async_copy(at(T_hbm), ring.at[t % R, pl.ds(0, n)],
+                                  t_sem),
+            pltpu.make_async_copy(at(fy_hbm), fyring.at[t % R], fy_sem),
+            pltpu.make_async_copy(at(fz_hbm), fzring.at[t % R], fz_sem),
+        )
+
+    def comp_dmas(t):
+        r0, c0 = tile_coords(t)
+        at = lambda ref: ref.at[:, pl.ds(r0, b1), pl.ds(c0, b2)]
+        dmas = (
+            pltpu.make_async_copy(at(code_hbm), cbuf, c_sem),
+            pltpu.make_async_copy(at(fx_hbm), fxbuf.at[pl.ds(0, n)], fx_sem),
+            pltpu.make_async_copy(at(w_hbm), wbuf, w_sem),
+        )
+        if has_h:
+            dmas += (pltpu.make_async_copy(at(h_hbm), hbuf, h_sem),)
+        if has_src:
+            dmas += (pltpu.make_async_copy(at(s_hbm), sbuf, s_sem),)
+        return dmas
+
+    def out_dma(t):
+        r0, c0 = tile_coords(t)
+        return pltpu.make_async_copy(
+            obuf, out_hbm.at[:, pl.ds(r0, b1), pl.ds(c0, b2)], out_sem)
+
+    @pl.when(first)
+    def _init():
+        # rings must never expose non-finite garbage (0 * NaN = NaN) and
+        # the x-overlap pad rows n..n+G must read as zero forever; fxbuf's
+        # pad rows are written once here (its DMA covers rows [0, n) only)
+        for r in range(R):
+            ring[r] = jnp.zeros_like(ring[r])
+            fyring[r] = jnp.zeros_like(fyring[r])
+            fzring[r] = jnp.zeros_like(fzring[r])
+        yrow[...] = jnp.zeros_like(yrow)
+        fxbuf[pl.ds(n, G)] = jnp.zeros((G, b1, b2), fxbuf.dtype)
+        for dma in load_dmas(0):
+            dma.start()
+
+    @pl.when(i < nt1)
+    def _wait_load():
+        for dma in load_dmas(s):
+            dma.wait()
+
+    i2 = i + (j + 1 == nt2).astype(jnp.int32)
+
+    @pl.when(i2 < nt1)
+    def _start_load():
+        for dma in load_dmas(s + 1):
+            dma.start()
+
+    @pl.when(s == nt2 - 1)
+    def _first_comp():
+        for dma in comp_dmas(0):
+            dma.start()
+
+    @pl.when(i >= 1)
+    def _complete():
+        c = s - nt2
+        sc = c % R
+        sp = (c - 1) % R
+        shi = (c + 1) % R
+        scur = s % R
+        for dma in comp_dmas(c):
+            dma.wait()
+        if stochastic:
+            pltpu.prng_seed(seed_ref[0] + c)
+
+        @pl.when(i * nt2 + j >= nt2 + 1)
+        def _wait_prev_out():
+            out_dma(c - 1).wait()
+
+        one = jnp.ones((), f32)
+        zero_s = jnp.zeros((), f32)
+        zero = jnp.zeros((b1, b2), f32)
+        # stale-slot validity (see docstring): y-hi needs tile s, z-hi
+        # needs tile c+1; past the end of the walk the true faces are
+        # domain edges (= 0), so zero the streamed face instead
+        v_y = jnp.where(s < ntiles, one, zero_s)
+        v_z = jnp.where(c + 1 < ntiles, one, zero_s)
+
+        def grp(g, carry):
+            cp_prev, dp_prev, T_prev = carry
+            gs = g * G
+            Tg = ring[sc, pl.ds(gs, G + 1)].astype(f32)      # (G+1, b1, b2)
+            fx_g = fxbuf[pl.ds(gs, G + 1)].astype(f32)
+            code_g = cbuf[pl.ds(gs, G)].astype(jnp.int32)
+            low = jnp.where((code_g & 1) > 0, one, zero_s)
+            high = jnp.where((code_g & 2) > 0, one, zero_s)
+            inm = jnp.where((code_g & 8) > 0, one, zero_s)
+            T_c = Tg[:G]
+            f_lo = fx_g[:G]
+            f_hi = fx_g[1:G + 1]
+            # explicit theta pass, accumulated in the SAME order as
+            # _vp_rhs_kernel (x faces, then y, then z) — bitwise-equal RHS
+            T_xlo = jnp.concatenate([T_prev[None], Tg[:G - 1]], axis=0)
+            acc = (f_lo * (T_xlo - T_c)
+                   + f_hi * (Tg[1:G + 1] - T_c)) * iv_x
+            fy_g = fyring[sc, pl.ds(gs, G)].astype(f32)
+            ylo_g = yrow[j, pl.ds(gs, G)].astype(f32)[:, None, :]
+            yhi_T = ring[scur, pl.ds(gs, G), 0:1, :].astype(f32)
+            yhi_f = fyring[scur, pl.ds(gs, G), 0:1, :].astype(f32) * v_y
+            T_ylo = jnp.concatenate([ylo_g, T_c[:, :b1 - 1, :]], axis=1)
+            T_yhi = jnp.concatenate([T_c[:, 1:, :], yhi_T], axis=1)
+            f_yhi = jnp.concatenate([fy_g[:, 1:, :], yhi_f], axis=1)
+            acc = acc + (fy_g * (T_ylo - T_c)
+                         + f_yhi * (T_yhi - T_c)) * iv_y
+            fz_g = fzring[sc, pl.ds(gs, G)].astype(f32)
+            zlo_T = ring[sp, pl.ds(gs, G), :, b2 - 1:b2].astype(f32)
+            zhi_T = ring[shi, pl.ds(gs, G), :, 0:1].astype(f32)
+            zhi_f = fzring[shi, pl.ds(gs, G), :, 0:1].astype(f32) * v_z
+            T_zlo = jnp.concatenate([zlo_T, T_c[:, :, :b2 - 1]], axis=2)
+            T_zhi = jnp.concatenate([T_c[:, :, 1:], zhi_T], axis=2)
+            f_zhi = jnp.concatenate([fz_g[:, :, 1:], zhi_f], axis=2)
+            acc = acc + (fz_g * (T_zlo - T_c)
+                         + f_zhi * (T_zhi - T_c)) * iv_z
+            w_g = wbuf[pl.ds(gs, G)].astype(f32)
+            gain = w_g * inm
+            d_g = T_c + cw * gain * acc
+            if has_src:
+                d_g = d_g + cd * gain * sbuf[pl.ds(gs, G)].astype(f32)
+            # implicit sweep coefficients: exactly _varprop_kernel's
+            # formulas, unlagged (fx is fully resident, f_hi = fx[i+1])
+            if has_h:
+                h_g = hbuf[pl.ds(gs, G)].astype(f32)
+            else:
+                h_g = rob_c
+            sink_g = (sk * h_g) * ((2.0 - low - high) * inm)
+            tw = tg * w_g
+            a_g = -tw * f_lo
+            c_g = -tw * f_hi
+            sw = sink_g * w_g
+            b_g = 1.0 + tw * (f_lo + f_hi) + sw
+            dd_g = d_g + sw * t_inf
+            cps, dps = [], []
+            for r in range(G):
+                inv = 1.0 / (b_g[r] - a_g[r] * cp_prev)
+                cp_prev = c_g[r] * inv
+                dp_prev = (dd_g[r] - a_g[r] * dp_prev) * inv
+                cps.append(cp_prev)
+                dps.append(dp_prev)
+            xbuf[pl.ds(gs, G)] = jnp.stack(cps)
+            dpbuf[pl.ds(gs, G)] = jnp.stack(dps)
+            return cp_prev, dp_prev, Tg[G - 1]
+
+        lax.fori_loop(0, n // G, grp, (zero, zero, zero))
+        # this tile's bottom row becomes the y-lo value row for the tile
+        # below (read above BEFORE this overwrite — same-step order safe)
+        yrow[j] = ring[sc, pl.ds(0, n), b1 - 1, :]
+
+        @pl.when(c + 1 < ntiles)
+        def _next_comp():
+            for dma in comp_dmas(c + 1):
+                dma.start()
+
+        def grp_b(gg, x_next):
+            gs = (n // G - 1 - gg) * G
+            cp_g = xbuf[pl.ds(gs, G)]
+            dp_g = dpbuf[pl.ds(gs, G)]
+            xs = [None] * G
+            for r in range(G - 1, -1, -1):
+                x_next = dp_g[r] - cp_g[r] * x_next
+                xs[r] = x_next
+            xk = jnp.stack(xs)
+            if stochastic:
+                bits = pltpu.bitcast(pltpu.prng_random_bits(xk.shape),
+                                     jnp.uint32)
+                obuf[pl.ds(gs, G)] = pltpu.stochastic_round(
+                    xk, bits, target_dtype=obuf.dtype)
+            else:
+                obuf[pl.ds(gs, G)] = xk.astype(obuf.dtype)
+            return x_next
+
+        lax.fori_loop(0, n // G, grp_b, zero)
+        out_dma(c).start()
+
+        @pl.when(last)
+        def _drain():
+            out_dma(c).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_b1",
+                                             "block_b2"))
+def fused_varprop_theta_sweep(T, code, fx, fy, fz, w, cw, inv_d2, tg, sk,
+                              t_inf, h=None, rob_c=0.0, src=None, dt=None,
+                              rng_seed=None, *, interpret: bool = False,
+                              block_b1: int = 8, block_b2: int = 128):
+    """``U = A_x^{-1}[(I + cw W L) T (+ dt W src) + sink*t_inf]`` in ONE
+    fused HBM pass: the varprop explicit theta-RHS and the varprop x-sweep
+    (see _vp_ring_kernel).  Replaces the varprop_theta_rhs +
+    fused_varprop_sweep chain and its R0 round trip.
+
+    T : (n, B1, B2) state in the natural (x, y, z) layout.
+    code : int8 x-axis sweep codes (sweep_code(mask, None, 0) — plain bits
+           1/2/8; face masking is carried by the fc fields, so NO stencil
+           bits are needed).
+    fx/fy/fz : pre-masked per-axis harmonic face fields, natural layout
+           (step/cartesian_varprop.build_varprop_fields).
+    w : 1/(rho cp(T)); cw : (1-theta)*dt; inv_d2 : per-axis 1/d^2 (3,);
+    tg : theta*dt/dx^2; sk : dt/dx; src : optional volumetric source
+    (needs dt); h : optional per-cell film field (radiation)."""
+    n, b1, b2 = T.shape
+    dtype = T.dtype
+    G = 8
+    has_h = h is not None
+    has_src = src is not None
+
+    pn = _round_up(n, G) - n
+    p1 = _round_up(b1, block_b1) - b1
+    p2 = _round_up(b2, block_b2) - b2
+    if p1 or p2 or pn:
+        pad = ((0, pn), (0, p1), (0, p2))
+        T = jnp.pad(T, pad)
+        code = jnp.pad(code, pad)   # pad rows: code 0 -> identity rows
+        fx = jnp.pad(fx, pad)       # pad faces stay zero (uncoupled)
+        fy = jnp.pad(fy, pad)
+        fz = jnp.pad(fz, pad)
+        w = jnp.pad(w, pad)
+        h = jnp.pad(h, pad) if has_h else None
+        src = jnp.pad(src, pad) if has_src else None
+    n_pad, P1, P2 = T.shape
+    nt1 = P1 // block_b1
+    nt2 = P2 // block_b2
+    R = nt2 + 3
+
+    cdt = jnp.promote_types(dtype, jnp.float32)
+    mixed = cdt != dtype
+    stochastic = mixed and rng_seed is not None
+    if stochastic and interpret:
+        raise NotImplementedError(
+            "stochastic rounding needs the TPU PRNG (pltpu.prng does not "
+            "lower in interpret mode)")
+    inv3 = jnp.broadcast_to(jnp.asarray(inv_d2), (3,)).astype(cdt)
+    scal = jnp.concatenate([
+        jnp.stack([jnp.asarray(cw, cdt),
+                   jnp.asarray(0.0 if dt is None else dt, cdt),
+                   jnp.asarray(tg, cdt), jnp.asarray(sk, cdt),
+                   jnp.asarray(t_inf, cdt), jnp.asarray(rob_c, cdt)]),
+        inv3])
+
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+    kern = functools.partial(_vp_ring_kernel, n=n_pad, b1=block_b1,
+                             b2=block_b2, nt1=nt1, nt2=nt2, R=R,
+                             stochastic=stochastic)
+
+    def body(*refs):
+        it = iter(refs)
+        scal_ = next(it)
+        seed_ = next(it) if stochastic else None
+        T_, c_, fx_, fy_, fz_, w_ = (next(it) for _ in range(6))
+        h_ = next(it) if has_h else None
+        s_ = next(it) if has_src else None
+        o_ = next(it)
+        ring, fyr, fzr, cb, fxb, wb = (next(it) for _ in range(6))
+        hb = next(it) if has_h else None
+        sb = next(it) if has_src else None
+        xb, dp, ob, yr = (next(it) for _ in range(4))
+        tsem, fysem, fzsem, csem, fxsem, wsem = (next(it) for _ in range(6))
+        hsem = next(it) if has_h else None
+        ssem = next(it) if has_src else None
+        osem = next(it)
+        return kern(scal_, seed_, T_, c_, fx_, fy_, fz_, w_, h_, s_, o_,
+                    ring, fyr, fzr, cb, fxb, wb, hb, sb, xb, dp, ob, yr,
+                    tsem, fysem, fzsem, csem, fxsem, wsem, hsem, ssem, osem)
+
+    scratch = [
+        pltpu.VMEM((R, n_pad + G, block_b1, block_b2), dtype),   # T ring
+        pltpu.VMEM((R, n_pad, block_b1, block_b2), dtype),       # fy ring
+        pltpu.VMEM((R, n_pad, block_b1, block_b2), dtype),       # fz ring
+        pltpu.VMEM((n_pad, block_b1, block_b2), jnp.int8),       # codes
+        pltpu.VMEM((n_pad + G, block_b1, block_b2), dtype),      # fx (+pad)
+        pltpu.VMEM((n_pad, block_b1, block_b2), dtype),          # w
+    ]
+    if has_h:
+        scratch.append(pltpu.VMEM((n_pad, block_b1, block_b2), dtype))
+    if has_src:
+        scratch.append(pltpu.VMEM((n_pad, block_b1, block_b2), dtype))
+    scratch += [
+        pltpu.VMEM((n_pad, block_b1, block_b2), cdt),            # cp
+        pltpu.VMEM((n_pad, block_b1, block_b2), cdt),            # dp
+        pltpu.VMEM((n_pad, block_b1, block_b2), dtype),          # out stage
+        pltpu.VMEM((nt2, n_pad, block_b2), dtype),               # y-lo rows
+    ]
+    scratch += [pltpu.SemaphoreType.DMA] * (6 + has_h + has_src + 1)
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    inputs = [scal]
+    if stochastic:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(jnp.asarray(rng_seed, jnp.int32).reshape(1))
+    inputs += [T, code, fx, fy, fz, w]
+    in_specs += [hbm] * 6
+    if has_h:
+        inputs.append(h)
+        in_specs.append(hbm)
+    if has_src:
+        inputs.append(src)
+        in_specs.append(hbm)
+
+    out = pl.pallas_call(
+        body,
+        grid=(nt1 + 1, nt2),
+        in_specs=in_specs,
+        out_specs=hbm,
+        out_shape=jax.ShapeDtypeStruct((n_pad, P1, P2), dtype),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*inputs)
+
+    if p1 or p2 or pn:
+        out = out[:n, :b1, :b2]
     return out

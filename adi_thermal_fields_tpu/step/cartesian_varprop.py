@@ -261,7 +261,8 @@ def adi_step_varprop_fused(T: jax.Array, mask: jax.Array, codes: tuple,
                            h_field: jax.Array | None = None,
                            source: jax.Array | None = None,
                            rng_seed=None,
-                           interpret: bool | None = None) -> jax.Array:
+                           interpret: bool | None = None,
+                           fuse_theta: bool = False) -> jax.Array:
     """One varprop theta-scheme step through the FUSED coefficient kernels.
 
     Same physics as ``adi_step_varprop`` restricted to the flagship BC set
@@ -273,11 +274,18 @@ def adi_step_varprop_fused(T: jax.Array, mask: jax.Array, codes: tuple,
     materialized by XLA: measured round 3 at 384^3, the materialized path
     spends ~24-28 ms per sweep on coefficient builds against a 6.2 ms bare
     solve (NOTES.md).  ``codes`` comes from ``build_varprop_codes(mask)``.
+
+    fuse_theta: route the explicit theta-pass + x-sweep through the
+    ring-buffer fused kernel (solvers/pallas_varprop.
+    fused_varprop_theta_sweep) — saves the R0 round trip and the stencil's
+    re-reads of fx/w (~17 B/cell and one launch).  Within ~1 ulp of the
+    unfused chain at f32 (FMA-contraction reassociation only; tested).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     from ..solvers.pallas_varprop import (fused_varprop_sweep,
                                           fused_varprop_sweep_axis1,
+                                          fused_varprop_theta_sweep,
                                           varprop_theta_rhs)
 
     mask = mask.astype(bool)
@@ -294,17 +302,9 @@ def adi_step_varprop_fused(T: jax.Array, mask: jax.Array, codes: tuple,
     # — the bf16 production hazard, NOTES.md)
     sr = (rng_seed if jnp.promote_types(dtype, jnp.float32) != dtype
           else None)
-    # explicit theta-pass: plane-carry stencil kernel streaming the face
-    # fields (one HBM pass; no in-kernel harmonic divides)
-    R0 = varprop_theta_rhs(
-        T, fc[0], fc[1], fc[2], w, mask.astype(jnp.int8),
-        (1.0 - theta) * dt, [float(v) for v in inv_d2],
-        src=source, dt=dt,
-        rng_seed=None if sr is None else sr,
-        interpret=interpret).astype(dtype)
-
     rob = 0.0 if h_field is not None else float(robin_h)
     d_ax = grid.spacing
+    hf = h_field
 
     def sweep(rhs, ax, fc_t, w_t, h_t, kernel=fused_varprop_sweep):
         return kernel(
@@ -314,8 +314,25 @@ def adi_step_varprop_fused(T: jax.Array, mask: jax.Array, codes: tuple,
             rng_seed=None if sr is None else sr + (ax + 1),
             interpret=interpret)
 
-    hf = h_field
-    U = sweep(R0, 0, fc[0], w, hf)
+    if fuse_theta:
+        # ring kernel: theta-pass + x-sweep in one HBM pass, no R0 store
+        U = fused_varprop_theta_sweep(
+            T, codes[0], fc[0], fc[1], fc[2], w,
+            (1.0 - theta) * dt, [float(v) for v in inv_d2],
+            float(theta) * dt * inv_d2[0], dt / d_ax[0], t_inf,
+            h=hf, rob_c=rob, src=source, dt=dt,
+            rng_seed=None if sr is None else sr + 1,
+            interpret=interpret)
+    else:
+        # explicit theta-pass: plane-carry stencil kernel streaming the
+        # face fields (one HBM pass; no in-kernel harmonic divides)
+        R0 = varprop_theta_rhs(
+            T, fc[0], fc[1], fc[2], w, mask.astype(jnp.int8),
+            (1.0 - theta) * dt, [float(v) for v in inv_d2],
+            src=source, dt=dt,
+            rng_seed=None if sr is None else sr,
+            interpret=interpret).astype(dtype)
+        U = sweep(R0, 0, fc[0], w, hf)
     # y: the axis-1 kernel sweeps in the NATURAL layout — no transposes
     V = sweep(U, 1, fc[1], w, hf, kernel=fused_varprop_sweep_axis1)
     # z: (x,y,z) -> (z,x,y) re-lay for rhs/fc/w(/h)

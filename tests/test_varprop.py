@@ -610,3 +610,89 @@ def test_fused_varprop_bf16_mixed_mode():
                             fc.astype(jnp.bfloat16),
                             w.astype(jnp.bfloat16), tg, sk, t_inf,
                             rob_c=15.0, rng_seed=7, interpret=True)
+
+
+def test_fused_varprop_theta_sweep_matches_unfused_chain():
+    """solvers/pallas_varprop.fused_varprop_theta_sweep (ring-buffer fused
+    theta-pass + x-sweep, zero halo DMAs) must match the unfused
+    varprop_theta_rhs + fused_varprop_sweep chain to FMA-contraction
+    precision in f64 interpret mode (the two programs legitimately
+    contract multiply-adds differently).  Covers scalar-h, h-field, source, and h+src,
+    on shapes that pad every dimension and span multiple (y, z) tiles."""
+    from adi_thermal_fields_tpu.solvers.pallas_sweeps import sweep_code
+    from adi_thermal_fields_tpu.solvers.pallas_varprop import (
+        fused_varprop_sweep, fused_varprop_theta_sweep, varprop_theta_rhs)
+    from adi_thermal_fields_tpu.step.cartesian_varprop import _face_g
+
+    rng = np.random.default_rng(11)
+    shape = (24, 40, 280)        # pads: n 24->24, y 40->40, z 280->384 (3 tiles)
+    mask = jnp.asarray(rng.random(shape) < 0.8)
+    T = jnp.asarray(rng.random(shape) * 900 + 20)
+    kf = jnp.asarray(rng.random(shape) * 40 + 10)
+    w = jnp.asarray(rng.random(shape) * 1e-7 + 2e-7)
+    hf = jnp.asarray(rng.random(shape) * 40 + 5)
+    srcf = jnp.asarray(rng.random(shape) * 1e6)
+    fx = _face_g(kf, 0, -1, mask)
+    fy = _face_g(kf, 1, -1, mask)
+    fz = _face_g(kf, 2, -1, mask)
+    code = sweep_code(mask, None, 0)
+    dt, theta, t_inf = 0.02, 0.5, 20.0
+    inv_d2 = [1e6, 0.25e6, 1.0 / 9e-6]
+    cw = (1 - theta) * dt
+    tg = theta * dt * inv_d2[0]
+    sk = dt / 1e-3
+    mask8 = mask.astype(jnp.int8)
+
+    for h, src in ((None, None), (hf, None), (None, srcf), (hf, srcf)):
+        R0 = varprop_theta_rhs(T, fx, fy, fz, w, mask8, cw, inv_d2,
+                               src=src, dt=dt, interpret=True)
+        want = fused_varprop_sweep(R0, code, fx, w, tg, sk, t_inf, h=h,
+                                   rob_c=15.0, interpret=True)
+        got = fused_varprop_theta_sweep(T, code, fx, fy, fz, w, cw, inv_d2,
+                                        tg, sk, t_inf, h=h, rob_c=15.0,
+                                        src=src, dt=dt, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-13, atol=0.0)
+
+    # sweep half alone (cw = 0 -> R0 = T): same contraction-level bound
+    # (even identical formulas compile with different FMA choices in the
+    # two kernels' surrounding graphs)
+    want = fused_varprop_sweep(T, code, fx, w, tg, sk, t_inf, rob_c=15.0,
+                               interpret=True)
+    got = fused_varprop_theta_sweep(T, code, fx, fy, fz, w, 0.0, inv_d2,
+                                    tg, sk, t_inf, rob_c=15.0, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-13, atol=0.0)
+
+
+def test_adi_step_varprop_fused_fuse_theta():
+    """adi_step_varprop_fused(fuse_theta=True) must match the default
+    (unfused theta-pass) step to FMA-contraction precision in f64, through
+    the full step (all three sweeps + re-lays), with and without radiation
+    h-field and volumetric source."""
+    from adi_thermal_fields_tpu.step.cartesian_varprop import (
+        adi_step_varprop_fused, build_varprop_codes)
+
+    rng = np.random.default_rng(12)
+    grid = CartesianGrid(20, 24, 136, 1e-3, 2e-3, 1.5e-3)
+    mat = Material(7800.0, 490.0, 54.0)
+    mask = jnp.asarray(rng.random(grid.shape) < 0.85)
+    T = jnp.asarray(rng.random(grid.shape) * 900 + 20)
+    hf = jnp.asarray(rng.random(grid.shape) * 40 + 5)
+    srcf = jnp.asarray(rng.random(grid.shape) * 1e6)
+    codes = build_varprop_codes(mask)
+    kt = lambda T: 40.0 + 0.01 * T
+    ct = lambda T: 450.0 + 0.1 * T
+
+    for kw in ({"robin_h": 15.0}, {"h_field": hf},
+               {"robin_h": 15.0, "source": srcf}):
+        want = adi_step_varprop_fused(T, mask, codes, grid, mat,
+                                      k_table=kt, cp_table=ct, dt=0.02,
+                                      theta=0.5, t_inf=20.0,
+                                      interpret=True, **kw)
+        got = adi_step_varprop_fused(T, mask, codes, grid, mat,
+                                     k_table=kt, cp_table=ct, dt=0.02,
+                                     theta=0.5, t_inf=20.0, interpret=True,
+                                     fuse_theta=True, **kw)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-13, atol=0.0)
