@@ -44,6 +44,13 @@ __all__ = ["PropertyTable", "apparent_cp", "melt_pool_enhanced_k",
            "adi_step_varprop", "adi_step_varprop_fused",
            "build_varprop_codes", "build_varprop_fields"]
 
+# Route adi_step_varprop_fused(fuse_theta=None) through the ring-fused
+# theta+x-sweep kernel (fused_varprop_theta_sweep)?  Kept False until the
+# kernel has compiled and been A/B'd on real hardware (the Mosaic sub-tile
+# hazard is invisible in interpret mode — NOTES.md round 3); flipping this
+# one flag enables it for the engine, the WAAM CLI, and bench.py at once.
+FUSE_THETA_DEFAULT = False
+
 
 @dataclasses.dataclass(frozen=True)
 class PropertyTable:
@@ -262,7 +269,7 @@ def adi_step_varprop_fused(T: jax.Array, mask: jax.Array, codes: tuple,
                            source: jax.Array | None = None,
                            rng_seed=None,
                            interpret: bool | None = None,
-                           fuse_theta: bool = False) -> jax.Array:
+                           fuse_theta: bool | None = None) -> jax.Array:
     """One varprop theta-scheme step through the FUSED coefficient kernels.
 
     Same physics as ``adi_step_varprop`` restricted to the flagship BC set
@@ -280,9 +287,13 @@ def adi_step_varprop_fused(T: jax.Array, mask: jax.Array, codes: tuple,
     fused_varprop_theta_sweep) — saves the R0 round trip and the stencil's
     re-reads of fx/w (~17 B/cell and one launch).  Within ~1 ulp of the
     unfused chain at f32 (FMA-contraction reassociation only; tested).
+    ``None`` takes ``FUSE_THETA_DEFAULT`` (module flag, flipped once the
+    kernel is chip-validated) so the engine/WAAM/bench inherit one switch.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if fuse_theta is None:
+        fuse_theta = FUSE_THETA_DEFAULT
     from ..solvers.pallas_varprop import (fused_varprop_sweep,
                                           fused_varprop_sweep_axis1,
                                           fused_varprop_theta_sweep,

@@ -5,8 +5,10 @@
 #   2. bench bf16                    -> bf16 mode number
 #   3. bench varprop                 -> the face-streaming kernels' A/B
 #   4. bench cylindrical + masked    -> cylindrical numbers
-#   5. varprop component breakdown   -> where varprop time goes
-#   6. profiler trace of the 512^3 step -> plateau evidence (VERDICT #1)
+#   5. ring-varprop chip gate        -> compile+parity+A/B of the fused
+#      theta+x-sweep varprop kernel (flip FUSE_THETA_DEFAULT on a win)
+#   6. varprop component breakdown   -> where varprop time goes
+#   7. profiler trace of the 512^3 step -> plateau evidence (VERDICT #1)
 # Each stage is timeout-bounded so a degraded window cannot wedge the
 # session; partial results are still recorded.
 set -u
@@ -23,6 +25,7 @@ run python bench.py --case bf16
 run python bench.py --case varprop
 run python bench.py --case cylindrical
 run python bench.py --case masked
+T=1200 run python scripts/vp_ring_chip.py --n 384
 T=1200 run python scripts/varprop_breakdown.py --n 384
 T=1200 run python scripts/trace_512.py --logdir /tmp/trace512
 tail -5 "$LOG"
