@@ -22,9 +22,11 @@ from .step.cylindrical import adi_step_masked as adi_step_cylindrical_masked
 from .step.cylindrical_masked import adi_step_masked_robin
 from .step.cartesian_varprop import (PropertyTable, adi_step_varprop,
                                      apparent_cp)
+from .step.cylindrical_varprop import (adi_step_cyl_varprop,
+                                       adi_step_cyl_varprop_masked)
 from .bc.radiation import STEFAN_BOLTZMANN, radiative_h
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "CartesianGrid", "CylindricalGrid", "Material", "TimeControls",
@@ -34,5 +36,6 @@ __all__ = [
     "RobinBC", "ZFaceBC", "adi_step_cylindrical", "adi_step_cylindrical_masked",
     "adi_step_masked_robin",
     "PropertyTable", "adi_step_varprop", "apparent_cp",
+    "adi_step_cyl_varprop", "adi_step_cyl_varprop_masked",
     "STEFAN_BOLTZMANN", "radiative_h",
 ]

@@ -58,6 +58,23 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--out", type=str, default="spiral_tube.gif")
     p.add_argument("--iphi_slice", type=int, default=0)
     p.add_argument("--precision", choices=["float32", "float64"], default="float32")
+    # variable-property physics (step/cylindrical_varprop.py) — the
+    # reference's cylindrical core is constant-property; these flags mirror
+    # the WAAM CLI's (apps/waam_from_stl.py)
+    p.add_argument("--latent_J_kg", type=float, default=0.0,
+                   help="latent heat of fusion [J/kg] via the apparent-cp "
+                        "enthalpy method over --solidus_C..--liquidus_C")
+    p.add_argument("--solidus_C", type=float, default=1420.0)
+    p.add_argument("--liquidus_C", type=float, default=1510.0)
+    p.add_argument("--melt_k_factor", type=float, default=1.0,
+                   help="melt-pool convection proxy: multiply k above the "
+                        "liquidus by this factor (ramped over the mushy "
+                        "interval)")
+    p.add_argument("--emissivity", type=float, default=0.0,
+                   help="surface emissivity: adds the Picard-linearized "
+                        "radiative film h_rad(T) to every exposed surface "
+                        "(dominates convection at WAAM temperatures); "
+                        "requires the varprop step (robin void mode)")
     return p
 
 
@@ -115,7 +132,59 @@ def run(args) -> dict:
     zbc = ZFaceBC(kind_bot="neumann0", kind_top="robin", h_top=args.h_end,
                   T_inf_top=args.T_inf)
 
-    if args.void_mode == "robin":
+    # variable-property physics: latent heat (apparent cp) and the
+    # melt-pool conductivity proxy switch the run onto the varprop step
+    # (step/cylindrical_varprop.py), beyond-reference capability
+    k_table = cp_table = None
+    if args.latent_J_kg > 0:
+        from ..step.cartesian_varprop import apparent_cp
+        cp_table = apparent_cp(args.cp, args.cp, args.latent_J_kg,
+                               args.solidus_C, args.liquidus_C)
+        log(f"latent heat {args.latent_J_kg:.3g} J/kg over "
+            f"{args.solidus_C:g}-{args.liquidus_C:g} C (apparent cp)",
+            tag="varprop")
+    if args.melt_k_factor != 1.0:
+        from ..step.cartesian_varprop import melt_pool_enhanced_k
+        k_table = melt_pool_enhanced_k(args.k, args.solidus_C,
+                                       args.liquidus_C,
+                                       enhancement=args.melt_k_factor)
+        log(f"melt-pool k proxy: {args.melt_k_factor:g}x above "
+            f"{args.liquidus_C:g} C", tag="varprop")
+    if args.emissivity > 0.0:
+        log(f"radiative film: eps={args.emissivity:g} on every exposed "
+            "surface (Picard h_rad(T))", tag="varprop")
+    varprop = (k_table is not None or cp_table is not None
+               or args.emissivity > 0.0)
+    if args.emissivity > 0.0 and args.void_mode != "robin":
+        log("clamp void mode: radiation applies on the domain faces only "
+            "(the clamp scheme has no material/void interface films)",
+            tag="varprop")
+
+    if varprop:
+        from ..step.cylindrical_varprop import (adi_step_cyl_varprop,
+                                                adi_step_cyl_varprop_masked)
+
+        if args.void_mode == "robin":
+            @jax.jit
+            def step(T, active2d, dt):
+                a3 = jnp.broadcast_to(active2d[None, :, :], grid.shape)
+                return adi_step_cyl_varprop(
+                    T, grid, mat, dt=dt, robin_outer=rob_out, zbc=zbc,
+                    robin_inner=rob_in, active=a3, h_void=h_void,
+                    T_inf_void=args.T_inf, h_front=args.h_end,
+                    k_table=k_table, cp_table=cp_table,
+                    emissivity=args.emissivity)
+        else:
+            @jax.jit
+            def step(T, active2d, dt):
+                a3 = jnp.broadcast_to(active2d[None, :, :], grid.shape)
+                return adi_step_cyl_varprop_masked(
+                    T, grid, mat, dt=dt, robin_outer=rob_out, zbc=zbc,
+                    active=a3, robin_inner=rob_in,
+                    robin_void=RobinBC(h_void, args.T_inf),
+                    k_table=k_table, cp_table=cp_table,
+                    emissivity=args.emissivity)
+    elif args.void_mode == "robin":
         @jax.jit
         def step(T, active2d, dt):
             a3 = jnp.broadcast_to(active2d[None, :, :], grid.shape)

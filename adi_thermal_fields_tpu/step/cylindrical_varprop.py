@@ -1,0 +1,343 @@
+"""Variable-property cylindrical (r, phi, z) ADI step — beyond-reference.
+
+The reference's cylindrical core (adi3d_cyl_phi_v3.py) is constant-property;
+at WAAM temperatures the spiral/tube deposition problems it models are
+dominated by the same physics the Cartesian varprop path supplies
+(step/cartesian_varprop.py): temperature-dependent conductivity k(T), heat
+capacity cp(T), and latent heat via the apparent-cp construction.  This
+module brings that capability to the cylindrical family.
+
+Discretization (finite volume, backward Euler, Picard-frozen properties):
+
+    rho cp(T^n) (T^{n+1} - T^n)/dt = div( k(T^n) grad T^{n+1} ) + S
+
+with face conductivities the harmonic mean of the adjacent cells' k(T^n)
+(the exact interface-flux-continuity choice, as in the Cartesian path), and
+per-cell w = 1/(rho cp(T^n)).  Sweeps are chained r -> phi -> z exactly like
+the constant-property BE step (step/cylindrical.adi_step; reference
+adi3d_cyl_phi_v3.py:338-350), each solving per-cell tridiagonal FIELDS:
+
+    r :  a_i = -dt w_i kf_i r_{i-1/2}/(r_i dr^2),  c_i from kf_{i+1},
+         Robin at the outer (and annular-inner) face by ghost elimination —
+         note h/k(T) * (dt k(T) w) = dt h w: the boundary conductivity
+         cancels, so Robin rows need no k(T) at all (same cancellation as
+         the Cartesian Robin sink h/(rho cp dx)).
+    phi: periodic couplings -dt w kf / (r^2 dphi^2) (cyclic Thomas with the
+         wrap carried by a[0]/c[n-1]); the axis row of full-disk grids is
+         decoupled for regularity (reference phi_solve_spectral:314-322).
+    z :  interior couplings -dt w kf / dz^2; end rows neumann0 (face 0),
+         robin (dt w h/dz diagonal + source), dirichlet (pinned identity).
+
+``active`` (optional) pre-masks every face to zero across void cells —
+void rows become identities that hold their value (adiabatic internal
+boundaries), and Robin edge rows are gated to active cells.  The
+reference-semantics clamp wrapper (quick_spiral_deposition_gif_v5.py:31-70)
+is ``adi_step_cyl_varprop_masked``.
+
+Solvers: the generic field-coefficient Pallas kernels
+(solvers/pallas_fields.fused_tridiag_fields / fused_cyclic_fields) on TPU,
+the lax.scan Thomas/cyclic-Thomas elsewhere (bit-compared in tests).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.grid import CylindricalGrid
+from ..core.material import Material
+from ..solvers.thomas import cyclic_thomas, thomas
+from .cartesian import shift_in
+from .cartesian_varprop import _face_g
+from .cylindrical import RobinBC, ZFaceBC
+
+__all__ = ["adi_step_cyl_varprop", "adi_step_cyl_varprop_masked"]
+
+
+def _props(T, mat_ref: Material, k_table, cp_table):
+    """k(T^n) and w = 1/(rho cp(T^n)) fields in T.dtype."""
+    dtype = T.dtype
+
+    def ev(tab, const):
+        if tab is None:
+            return jnp.full(T.shape, const, dtype)
+        if callable(tab):
+            return tab(T).astype(dtype)
+        return jnp.full(T.shape, float(tab), dtype)
+
+    kf = ev(k_table, mat_ref.k)
+    cpf = ev(cp_table, mat_ref.cp)
+    w = (1.0 / (mat_ref.rho * cpf)).astype(dtype)
+    return kf, w
+
+
+def _face_phi(kf, active):
+    """Periodic lo-face harmonic conductivity along axis 1:
+    ``f[:, j] = harm(k[:, j-1], k[:, j])`` (j-1 wrapping), zero across
+    void when ``active`` is given."""
+    km = jnp.roll(kf, 1, axis=1)
+    denom = km + kf
+    f = jnp.where(denom > 0,
+                  2.0 * km * kf / jnp.where(denom > 0, denom, 1.0), 0.0)
+    if active is not None:
+        f = jnp.where(active & jnp.roll(active, 1, axis=1), f, 0.0)
+    return f
+
+
+def _solve_fields(a, b, c, d, implementation, interpret):
+    if implementation == "pallas":
+        from ..solvers.pallas_fields import fused_tridiag_fields
+
+        return fused_tridiag_fields(a, b, c, d, interpret=interpret)
+    return thomas(a, b, c, d)
+
+
+def _solve_cyclic_fields(a, b, c, d, implementation, interpret):
+    if implementation == "pallas":
+        from ..solvers.pallas_fields import fused_cyclic_fields
+
+        return fused_cyclic_fields(a, b, c, d, interpret=interpret)
+    return cyclic_thomas(a, b, c, d)
+
+
+def adi_step_cyl_varprop(T: jax.Array, grid: CylindricalGrid,
+                         mat_ref: Material, *, dt,
+                         robin_outer: RobinBC, zbc: ZFaceBC,
+                         k_table=None, cp_table=None,
+                         robin_inner: RobinBC | None = None,
+                         active: jax.Array | None = None,
+                         h_void: float = 0.0, T_inf_void: float = 20.0,
+                         h_front: float | None = None,
+                         source: jax.Array | None = None,
+                         emissivity: float = 0.0,
+                         implementation: str = "auto",
+                         interpret: bool | None = None,
+                         constrain=None) -> jax.Array:
+    """One variable-property cylindrical BE step (see module docstring).
+
+    k_table / cp_table: None (constant), a scalar, or a traceable
+    ``T -> field`` callable (e.g. PropertyTable, apparent_cp for latent
+    heat, melt_pool_enhanced_k — step/cartesian_varprop.py).
+    With both None and no mask this reduces exactly to the constant
+    backward-Euler step (tested to f64 tolerance vs cylindrical.adi_step).
+
+    h_void / T_inf_void / h_front: with ``active``, Robin data applied on
+    interior material/void interface faces per sweep axis (``h_front``
+    overrides z+ interface faces — the growth front), mirroring the
+    constant-property masked solver (step/cylindrical_masked.
+    adi_step_masked_robin); with the per-face geometric areas
+    r_{i∓1/2}/(r dr), 1/(r dphi), 1/dz.  The cell conductivity cancels by
+    the same ghost-elimination identity as the domain Robin rows, so the
+    sinks are pure ``dt w h (A/V)`` terms.
+
+    emissivity: > 0 adds the Picard-linearized radiative film
+    ``h_rad(T^n) = eps sigma (Tk + Tk_inf)(Tk^2 + Tk_inf^2)`` (bc/radiation.
+    radiative_h, exact Robin factorization of Stefan-Boltzmann) to EVERY
+    exposed film, each against its own ambient: the outer (and annular
+    inner) Robin ring, the z-face Robin end, and the material/void
+    interface sinks (h_void / h_front) — the same composition the Cartesian
+    engine applies (apps/engine.py emissivity=).  Cavity self-irradiation
+    on the inner ring and across void gaps is neglected (view factor 1 to
+    ambient), as in the Cartesian path.
+
+    constrain: optional ``(x, stage) -> x`` hook called on each sweep's RHS
+    with stage in {"r", "phi", "z"}; the multi-chip layer
+    (dist/cylindrical.sharded_cyl_varprop_step) passes sharding constraints
+    here so every solve axis is chip-local.  With a constrain hook the
+    "auto" implementation stays on the XLA scan solvers (globally-shaped
+    Pallas calls cannot be partitioned).
+    """
+    if implementation == "auto":
+        implementation = ("pallas" if (jax.default_backend() == "tpu"
+                                       and constrain is None) else "xla")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if constrain is None:
+        constrain = lambda x, stage: x
+    dtype = T.dtype
+    nr, nphi, nz = grid.nr, grid.nphi, grid.nz
+    dt = jnp.asarray(dt, dtype)
+    act = None if active is None else active.astype(bool)
+
+    kf, w = _props(T, mat_ref, k_table, cp_table)
+    dw = dt * w
+
+    # --- geometry columns (static numpy, as step/cylindrical._r_geometry) --
+    r = np.maximum(np.asarray(grid.r, np.float64), 1e-15)
+    r_imh = np.maximum(np.asarray(grid.r_imh, np.float64), 1e-15)
+    r_iph = np.asarray(grid.r_iph, np.float64)
+    dr = grid.dr
+    col = lambda v: jnp.asarray(v, dtype)[:, None, None]
+    ga_r = col(r_imh / (r * dr * dr))       # lo-face geometric factor
+    gc_r = col(r_iph / (r * dr * dr))       # hi-face geometric factor
+
+    gate = (lambda x: x) if act is None else (
+        lambda x: jnp.where(act, x, jnp.zeros((), dtype)))
+
+    # Picard-linearized radiative films (docstring): per-cell h_rad(T^n)
+    # against each surface's own ambient; zero-cost when emissivity == 0
+    if emissivity > 0.0:
+        from ..bc.radiation import radiative_h
+        hr = lambda t, t_inf: radiative_h(t, emissivity, t_inf).astype(dtype)
+    else:
+        hr = lambda t, t_inf: jnp.zeros((), dtype)
+    hr_void = hr(T, T_inf_void)   # scalar zero or full field
+
+    # interior material/void interface Robin sinks (active mode only)
+    h_f = h_void if h_front is None else h_front
+    sink_on = act is not None and (h_void != 0.0 or h_f != 0.0
+                                   or emissivity > 0.0)
+    zero = jnp.zeros((), dtype)
+
+    def exposed(ax, d):
+        """Active cells whose (ax, d) neighbor exists and is void."""
+        return act & ~shift_in(act, ax, d, fill=True)
+
+    # --- explicit part: source only (BE) --------------------------------
+    R0 = T
+    if source is not None:
+        R0 = T + gate(dw * source)
+
+    # --- r sweep (axis 0) ------------------------------------------------
+    fr = _face_g(kf, 0, -1, act if act is not None else
+                 jnp.ones(T.shape, bool)).astype(dtype)
+    fr_hi = jnp.concatenate([fr[1:], jnp.zeros_like(fr[:1])], axis=0)
+    a = -dw * ga_r * fr
+    c = -dw * gc_r * fr_hi
+    b = 1.0 + dw * (ga_r * fr + gc_r * fr_hi)
+    d = constrain(R0, "r")
+    # Robin edge rows: h/k ghost elimination — the cell conductivity
+    # cancels against the face flux (docstring), leaving dt w h geometry
+    if robin_outer is not None and (robin_outer.h != 0.0
+                                    or emissivity > 0.0):
+        g_out = float(r_iph[nr - 1] / (r[nr - 1] * dr))
+        sink = dw[nr - 1] * g_out * (robin_outer.h
+                                     + hr(T[nr - 1], robin_outer.T_inf))
+        if act is not None:
+            sink = jnp.where(act[nr - 1], sink, 0.0)
+        b = b.at[nr - 1].add(sink)
+        d = d.at[nr - 1].add(sink * robin_outer.T_inf)
+    if (grid.is_annular and robin_inner is not None
+            and (robin_inner.h != 0.0 or emissivity > 0.0)):
+        g_in = float(r_imh[0] / (r[0] * dr))
+        sink = dw[0] * g_in * (robin_inner.h + hr(T[0], robin_inner.T_inf))
+        if act is not None:
+            sink = jnp.where(act[0], sink, 0.0)
+        b = b.at[0].add(sink)
+        d = d.at[0].add(sink * robin_inner.T_inf)
+    if sink_on:
+        s_r = dw * (h_void + hr_void) * (
+            jnp.where(exposed(0, -1), col(r_imh / (r * dr)), zero)
+            + jnp.where(exposed(0, +1), col(r_iph / (r * dr)), zero))
+        b = b + s_r
+        d = d + s_r * T_inf_void
+    X = _solve_fields(a, b, c, d, implementation, interpret)
+
+    # --- phi solve (axis 1, periodic) ------------------------------------
+    if nphi > 1:
+        gphi = col(1.0 / (r * r * grid.dphi * grid.dphi))
+        fp = _face_phi(kf, act).astype(dtype)
+        if not grid.is_annular:
+            fp = fp.at[0].set(0.0)      # axis-row regularity (full disk)
+        fp_hi = jnp.roll(fp, -1, axis=1)
+        ap = -dw * gphi * fp
+        cp = -dw * gphi * fp_hi
+        bp = 1.0 + dw * gphi * (fp + fp_hi)
+        d_phi = constrain(X, "phi")
+        if sink_on:
+            e_lo = act & ~jnp.roll(act, 1, axis=1)
+            e_hi = act & ~jnp.roll(act, -1, axis=1)
+            gph = col(1.0 / (np.maximum(r, 1e-15) * grid.dphi))
+            s_p = dw * (h_void + hr_void) * gph * (e_lo.astype(dtype)
+                                                   + e_hi.astype(dtype))
+            if not grid.is_annular:
+                s_p = s_p.at[0].set(0.0)    # axis-row regularity
+            bp = bp + s_p
+            d_phi = d_phi + s_p * T_inf_void
+        t1 = lambda x: jnp.moveaxis(x, 1, 0)   # (nphi, nr, nz)
+        X = jnp.moveaxis(
+            _solve_cyclic_fields(t1(ap), t1(bp), t1(cp), t1(d_phi),
+                                 implementation, interpret), 0, 1)
+
+    # --- z sweep (axis 2) -------------------------------------------------
+    fz = _face_g(kf, 2, -1, act if act is not None else
+                 jnp.ones(T.shape, bool)).astype(dtype)
+    fz_hi = jnp.concatenate([fz[:, :, 1:], jnp.zeros_like(fz[:, :, :1])],
+                            axis=2)
+    ivz2 = 1.0 / (grid.dz * grid.dz)
+    az = -dw * ivz2 * fz
+    cz = -dw * ivz2 * fz_hi
+    bz = 1.0 + dw * ivz2 * (fz + fz_hi)
+    dz_rhs = constrain(X, "z")
+    if sink_on:
+        s_z = dw * ((h_void + hr_void) * exposed(2, -1).astype(dtype)
+                    + (h_f + hr_void) * exposed(2, +1).astype(dtype)
+                    ) / grid.dz
+        bz = bz + s_z
+        dz_rhs = dz_rhs + s_z * T_inf_void
+
+    def z_end(idx, kind, h, t_inf, t_dir, az, bz, cz, dz_rhs):
+        if kind == "neumann0":
+            return az, bz, cz, dz_rhs      # face conductivity already 0
+        if kind == "robin":
+            sink = dw[:, :, idx] * ((float(h)
+                                     + hr(T[:, :, idx], float(t_inf)))
+                                    / grid.dz)
+            if act is not None:
+                sink = jnp.where(act[:, :, idx], sink, 0.0)
+            bz = bz.at[:, :, idx].add(sink)
+            dz_rhs = dz_rhs.at[:, :, idx].add(sink * float(t_inf))
+            return az, bz, cz, dz_rhs
+        if kind == "dirichlet":
+            az = az.at[:, :, idx].set(0.0)
+            cz = cz.at[:, :, idx].set(0.0)
+            bz = bz.at[:, :, idx].set(1.0)
+            pin = jnp.asarray(float(t_dir), dtype)
+            if act is not None:   # void end cells hold their value instead
+                pin = jnp.where(act[:, :, idx], pin, dz_rhs[:, :, idx])
+            dz_rhs = dz_rhs.at[:, :, idx].set(pin)
+            return az, bz, cz, dz_rhs
+        raise ValueError(f"unknown z-face BC kind: {kind!r}")
+
+    az, bz, cz, dz_rhs = z_end(0, zbc.kind_bot, zbc.h_bot, zbc.T_inf_bot,
+                               zbc.T_bot, az, bz, cz, dz_rhs)
+    az, bz, cz, dz_rhs = z_end(nz - 1, zbc.kind_top, zbc.h_top,
+                               zbc.T_inf_top, zbc.T_top, az, bz, cz, dz_rhs)
+    t2 = lambda x: jnp.moveaxis(x, 2, 0)   # (nz, nr, nphi)
+    out = jnp.moveaxis(
+        _solve_fields(t2(az), t2(bz), t2(cz), t2(dz_rhs),
+                      implementation, interpret), 0, 2)
+    return out
+
+
+def adi_step_cyl_varprop_masked(T: jax.Array, grid: CylindricalGrid,
+                                mat_ref: Material, *, dt,
+                                robin_outer: RobinBC, zbc: ZFaceBC,
+                                active: jax.Array,
+                                k_table=None, cp_table=None,
+                                robin_inner: RobinBC | None = None,
+                                robin_void: RobinBC | None = None,
+                                source: jax.Array | None = None,
+                                emissivity: float = 0.0,
+                                implementation: str = "auto",
+                                interpret: bool | None = None,
+                                constrain=None) -> jax.Array:
+    """Element-birth clamp wrapper — reference ``adi_step_masked`` semantics
+    (quick_spiral_deposition_gif_v5.py:31-70) on the varprop step: void
+    cells clamped to ambient before and after, inactive innermost-ring
+    cells tied to the inner ambient.  For the face-decoupled (adiabatic)
+    treatment pass ``active=`` to ``adi_step_cyl_varprop`` directly."""
+    rin = robin_inner if robin_inner is not None else robin_outer
+    rvd = robin_void if robin_void is not None else robin_outer
+    active = active.astype(bool)
+    T_work = jnp.where(active, T, rvd.T_inf)
+    T1 = adi_step_cyl_varprop(T_work, grid, mat_ref, dt=dt,
+                              robin_outer=robin_outer, zbc=zbc,
+                              k_table=k_table, cp_table=cp_table,
+                              robin_inner=robin_inner, source=source,
+                              emissivity=emissivity,
+                              implementation=implementation,
+                              interpret=interpret, constrain=constrain)
+    T1 = jnp.where(active, T1, rvd.T_inf)
+    T1 = T1.at[0].set(jnp.where(active[0], T1[0], rin.T_inf))
+    return T1
