@@ -20,19 +20,26 @@ _AXIS = {"x": 0, "y": 1, "z": 2}
 
 def shift_in(arr: jax.Array, axis: int, direction: int, fill) -> jax.Array:
     """Return ``arr`` shifted by one cell so that element i holds the neighbor
-    value at ``i + direction`` along ``axis``; out-of-domain slots get ``fill``."""
-    pad = [(0, 0)] * arr.ndim
+    value at ``i + direction`` along ``axis``; out-of-domain slots get ``fill``.
+
+    Implemented as roll + edge-row set (NOT pad + slice): under the SPMD
+    partitioner a pad(constant)+slice along a *sharded* axis was observed to
+    MISCOMPILE (jax 0.9 CPU mesh: the shifted mask came back wrong deep in a
+    larger program, injecting phantom material/void interface sinks — caught
+    by test_sharded_cyl_varprop_matches_single_device at 0.4 K).  roll
+    lowers to a collective-permute, which partitions correctly, and the
+    single written edge row is sliced on an unsharded index."""
     if direction == +1:
-        pad[axis] = (0, 1)
-        sl = [slice(None)] * arr.ndim
-        sl[axis] = slice(1, None)
+        out = jnp.roll(arr, -1, axis=axis)
+        idx = [slice(None)] * arr.ndim
+        idx[axis] = -1
     elif direction == -1:
-        pad[axis] = (1, 0)
-        sl = [slice(None)] * arr.ndim
-        sl[axis] = slice(0, -1)
+        out = jnp.roll(arr, 1, axis=axis)
+        idx = [slice(None)] * arr.ndim
+        idx[axis] = 0
     else:
         raise ValueError("direction must be +1 or -1")
-    return jnp.pad(arr, pad, constant_values=fill)[tuple(sl)]
+    return out.at[tuple(idx)].set(fill)
 
 
 def exposed_face(mask: jax.Array, face: str) -> jax.Array:

@@ -26,7 +26,8 @@ from ..solvers.spectral import phi_solve_spectral
 
 __all__ = ["sharded_cylindrical_step", "sharded_cylindrical_masked_step",
            "sharded_cylindrical_masked_step_pallas",
-           "sharded_cylindrical_masked_clamp_step"]
+           "sharded_cylindrical_masked_clamp_step",
+           "sharded_cyl_varprop_step"]
 
 
 def sharded_cylindrical_step(grid: CylindricalGrid, mat: Material, mesh: Mesh,
@@ -251,5 +252,63 @@ def sharded_cylindrical_masked_clamp_step(grid: CylindricalGrid, mat: Material,
         T1 = T1.at[0].set(jnp.where(active_b[0], T1[0], rin.T_inf))
         return jax.lax.with_sharding_constraint(
             T1, NamedSharding(mesh, P(None, a, b)))
+
+    return step
+
+
+def sharded_cyl_varprop_step(grid: CylindricalGrid, mat_ref: Material,
+                             mesh: Mesh, *, robin_outer: RobinBC,
+                             zbc: ZFaceBC, k_table=None, cp_table=None,
+                             robin_inner: RobinBC | None = None,
+                             h_void: float = 0.0, T_inf_void: float = 20.0,
+                             h_front: float | None = None,
+                             emissivity: float = 0.0,
+                             masked_clamp: bool = False,
+                             robin_void: RobinBC | None = None):
+    """Jitted multi-chip variable-property cylindrical BE step — k(T)/cp(T)/
+    latent heat with element birth across chips.
+
+    ``step(T, active, dt)``: semantics of step/cylindrical_varprop.
+    adi_step_cyl_varprop (``masked_clamp=False``, adiabatic material/void
+    interfaces + optional interface Robin sinks) or adi_step_cyl_varprop_
+    masked (``masked_clamp=True``, the reference's clamp scheme,
+    quick_spiral_deposition_gif_v5.py:31-70).
+
+    Layouts follow _stage_specs: each sweep's solve axis chip-local, batch
+    axes sharded; the property fields k(T^n), 1/(rho cp(T^n)) are elementwise
+    in T so XLA re-shards them with the RHS (the harmonic face folds add one
+    halo collective-permute per axis).  Solvers are the XLA scans — the
+    globally-shaped Pallas field kernels cannot be partitioned (see the
+    constrain note in adi_step_cyl_varprop); a shard_map Pallas tier is a
+    real-multichip optimization.
+    """
+    from ..step.cylindrical_varprop import (adi_step_cyl_varprop,
+                                            adi_step_cyl_varprop_masked)
+
+    specs = _stage_specs(mesh)
+
+    def cz(x, stage):
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, specs[stage]))
+
+    if masked_clamp:
+        @jax.jit
+        def step(T, active, dt):
+            out = adi_step_cyl_varprop_masked(
+                cz(T, "r"), grid, mat_ref, dt=dt, robin_outer=robin_outer,
+                zbc=zbc, active=active, k_table=k_table, cp_table=cp_table,
+                robin_inner=robin_inner, robin_void=robin_void,
+                emissivity=emissivity, implementation="xla", constrain=cz)
+            return cz(out, "r")
+    else:
+        @jax.jit
+        def step(T, active, dt):
+            out = adi_step_cyl_varprop(
+                cz(T, "r"), grid, mat_ref, dt=dt, robin_outer=robin_outer,
+                zbc=zbc, k_table=k_table, cp_table=cp_table,
+                robin_inner=robin_inner, active=active, h_void=h_void,
+                T_inf_void=T_inf_void, h_front=h_front,
+                emissivity=emissivity, implementation="xla", constrain=cz)
+            return cz(out, "r")
 
     return step

@@ -418,6 +418,90 @@ def main_varprop():
     }))
 
 
+def run_cyl_varprop(shape=(64, 512, 256), steps=30, dtype=None):
+    """Variable-property cylindrical step (k(T) + apparent-cp latent heat
+    + radiative films, element birth) on a part-deposited tube — the spiral_tube CLI's varprop
+    configuration (step/cylindrical_varprop.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from adi_thermal_fields_tpu import (CylindricalGrid, Material, RobinBC,
+                                        ZFaceBC)
+    from adi_thermal_fields_tpu.step.cartesian_varprop import (
+        apparent_cp, melt_pool_enhanced_k)
+    from adi_thermal_fields_tpu.step.cylindrical_varprop import (
+        adi_step_cyl_varprop)
+
+    dtype = dtype or jnp.float32
+    nr, nphi, nz = shape
+    grid = CylindricalGrid(nr, nphi, nz, 5e-4, 5e-4, r_inner=0.02)
+    mat = Material(7800.0, 490.0, 54.0)
+    rob = RobinBC(300.0, 20.0)
+    zbc = ZFaceBC(kind_top="robin", h_top=400.0, T_inf_top=20.0)
+    kt = melt_pool_enhanced_k(mat.k, 1420.0, 1470.0, enhancement=4.0)
+    ct = apparent_cp(mat.cp, mat.cp, 2.7e5, 1420.0, 1470.0)
+    act = np.zeros(shape, bool)
+    act[:, :, :nz // 2] = True
+    act[:, :(3 * nphi) // 5, nz // 2:nz // 2 + nz // 8] = True
+    active = jnp.asarray(act)
+
+    @jax.jit
+    def step(T, active, dt):
+        return adi_step_cyl_varprop(
+            T, grid, mat, dt=dt, robin_outer=rob, zbc=zbc,
+            robin_inner=RobinBC(50.0, 20.0), active=active, h_void=80.0,
+            T_inf_void=20.0, h_front=200.0, k_table=kt, cp_table=ct,
+            emissivity=0.5)
+
+    probe = jax.jit(lambda x: jnp.sum(x[::16, ::64, ::64]))
+    T = jnp.where(active, 1600.0, 20.0).astype(dtype)
+    dt = jnp.asarray(0.02, dtype)
+    T = step(T, active, dt)
+    float(probe(T))
+
+    def loop(k, T=T):
+        for _ in range(k):
+            T = step(T, active, dt)
+        float(probe(T))
+        assert bool(jnp.isfinite(T).all())
+
+    el = _timed_median(loop, steps)
+    return nr * nphi * nz / el, el
+
+
+def main_cyl_varprop():
+    probe_compile_service()
+    # traffic model: property eval k(T), w(T) from T (~12 B); per sweep the
+    # XLA prefold builds a/b/c/d fields from k/w folds (~16 B write + 16 B
+    # kernel read + 4 B out ~ 36 B) x3 sweeps + phi/z moveaxis pairs
+    # (~4x8 B) -> ~150 B/cell/step.  Compressing to the masked-Robin
+    # standard (in-kernel rebuild from k/w streams) is the open lever.
+    sol = HBM_BYTES_PER_S / 150.0
+    value = None
+    shape = None
+    for shape in ((64, 512, 256), (64, 256, 128)):
+        for attempt in range(3):
+            try:
+                value, per_step = run_cyl_varprop(shape)
+                print(f"[bench] cyl_varprop {shape}: "
+                      f"{per_step * 1e3:.2f} ms/step -> "
+                      f"{value / 1e9:.3f} Gcell/s", file=sys.stderr)
+                break
+            except Exception as e:
+                print(f"[bench] cyl_varprop {shape} attempt {attempt}: "
+                      f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+                value = None
+        if value is not None:
+            break
+    print(json.dumps({
+        "metric": f"cyl_varprop_cell_updates_per_s_per_chip_{shape}_f32",
+        "value": value or 0.0,
+        "unit": "cell/s",
+        "vs_baseline": (value or 0.0) / sol,
+    }))
+
+
+
 def main():
     probe_compile_service()
     value = None
@@ -454,6 +538,8 @@ if __name__ == "__main__":
         main_bf16()
     elif "--case" in sys.argv and "masked" in sys.argv:
         main_masked()
+    elif "--case" in sys.argv and "cyl_varprop" in sys.argv:
+        main_cyl_varprop()
     elif "--case" in sys.argv and "varprop" in sys.argv:
         main_varprop()
     else:

@@ -509,3 +509,82 @@ def test_sharded_fused_varprop_bf16_mixed():
     assert len(got.sharding.device_set) == 8
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref), rtol=0.02, atol=4.0)
+
+
+def test_sharded_cyl_varprop_matches_single_device():
+    """Sharded variable-property cylindrical step (k(T)+cp(T)+latent,
+    element birth) == single-device adi_step_cyl_varprop to 1e-12 —
+    beyond-reference: the reference's cylindrical core is constant-property
+    and single-device (adi3d_cyl_phi_v3.py)."""
+    from adi_thermal_fields_tpu import (CylindricalGrid, RobinBC, ZFaceBC,
+                                        PropertyTable, apparent_cp)
+    from adi_thermal_fields_tpu.dist.cylindrical import sharded_cyl_varprop_step
+    from adi_thermal_fields_tpu.step.cylindrical_varprop import (
+        adi_step_cyl_varprop)
+
+    grid = CylindricalGrid(6, 16, 16, 5e-4, 1e-3, r_inner=0.02)
+    mat = Material(7800.0, 490.0, 54.0)
+    rob = RobinBC(350.0, 20.0)
+    zbc = ZFaceBC(kind_bot="neumann0", kind_top="robin", h_top=500.0,
+                  T_inf_top=25.0)
+    kt = PropertyTable(jnp.array([0.0, 2000.0]), jnp.array([30.0, 70.0]))
+    cpt = apparent_cp(490.0, 640.0, 2.7e5, 1420.0, 1510.0)
+    rng = np.random.default_rng(3)
+    T0 = jnp.asarray(20.0 + 1600.0 * rng.random(grid.shape))
+    act = jnp.asarray(rng.random(grid.shape) > 0.3)
+    dt = 0.05
+
+    ref = T0
+    for _ in range(2):
+        ref = adi_step_cyl_varprop(ref, grid, mat, dt=dt, robin_outer=rob,
+                                   zbc=zbc, robin_inner=rob, active=act,
+                                   h_void=40.0, T_inf_void=20.0,
+                                   h_front=120.0, k_table=kt, cp_table=cpt)
+
+    mesh = make_mesh()
+    step = sharded_cyl_varprop_step(grid, mat, mesh, robin_outer=rob,
+                                    zbc=zbc, robin_inner=rob, h_void=40.0,
+                                    T_inf_void=20.0, h_front=120.0,
+                                    k_table=kt, cp_table=cpt)
+    sh = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, "a", "b"))
+    T = jax.device_put(T0, sh)
+    a = jax.device_put(act, sh)
+    for _ in range(2):
+        T = step(T, a, dt)
+    assert len(T.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(T), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_sharded_cyl_varprop_masked_clamp_matches_single_device():
+    from adi_thermal_fields_tpu import (CylindricalGrid, RobinBC, ZFaceBC,
+                                        PropertyTable)
+    from adi_thermal_fields_tpu.dist.cylindrical import sharded_cyl_varprop_step
+    from adi_thermal_fields_tpu.step.cylindrical_varprop import (
+        adi_step_cyl_varprop_masked)
+
+    grid = CylindricalGrid(6, 16, 16, 5e-4, 1e-3, r_inner=0.02)
+    mat = Material(7800.0, 490.0, 54.0)
+    rob = RobinBC(350.0, 20.0)
+    zbc = ZFaceBC(kind_bot="neumann0", kind_top="robin", h_top=500.0,
+                  T_inf_top=25.0)
+    kt = PropertyTable(jnp.array([0.0, 2000.0]), jnp.array([35.0, 60.0]))
+    rng = np.random.default_rng(5)
+    T0 = jnp.asarray(20.0 + 1200.0 * rng.random(grid.shape))
+    act = jnp.asarray(rng.random(grid.shape) > 0.4)
+    dt = 0.04
+
+    ref = adi_step_cyl_varprop_masked(T0, grid, mat, dt=dt, robin_outer=rob,
+                                      zbc=zbc, active=act, k_table=kt,
+                                      robin_inner=rob)
+
+    mesh = make_mesh()
+    step = sharded_cyl_varprop_step(grid, mat, mesh, robin_outer=rob,
+                                    zbc=zbc, robin_inner=rob, k_table=kt,
+                                    masked_clamp=True)
+    sh = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, "a", "b"))
+    out = step(jax.device_put(T0, sh), jax.device_put(act, sh), dt)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)
