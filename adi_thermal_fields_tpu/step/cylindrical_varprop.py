@@ -34,9 +34,18 @@ boundaries), and Robin edge rows are gated to active cells.  The
 reference-semantics clamp wrapper (quick_spiral_deposition_gif_v5.py:31-70)
 is ``adi_step_cyl_varprop_masked``.
 
-Solvers: the generic field-coefficient Pallas kernels
-(solvers/pallas_fields.fused_tridiag_fields / fused_cyclic_fields) on TPU,
-the lax.scan Thomas/cyclic-Thomas elsewhere (bit-compared in tests).
+Solvers, by ``implementation``:
+
+  * "pallas" (TPU default): the COMPRESSED variable-property kernels
+    (solvers/pallas_vpfields.py) — tridiagonal coefficients rebuilt in
+    kernel registers from the physical streams (rhs, face-k, dt/(rho cp),
+    Robin sink/srhs), ~24-28 B/cell/sweep, r and phi in the natural
+    layout (the phi solve needs no transposes);
+  * "pallas_fields": the first tier — a/b/c/d materialized by XLA and
+    solved by the generic field kernels (solvers/pallas_fields.py);
+    kept for A/B and as fallback;
+  * "xla": lax.scan Thomas/cyclic-Thomas (CPU/GPU, autodiff, sharding
+    via ``constrain``).
 """
 from __future__ import annotations
 
@@ -85,7 +94,7 @@ def _face_phi(kf, active):
 
 
 def _solve_fields(a, b, c, d, implementation, interpret):
-    if implementation == "pallas":
+    if implementation == "pallas_fields":
         from ..solvers.pallas_fields import fused_tridiag_fields
 
         return fused_tridiag_fields(a, b, c, d, interpret=interpret)
@@ -93,7 +102,7 @@ def _solve_fields(a, b, c, d, implementation, interpret):
 
 
 def _solve_cyclic_fields(a, b, c, d, implementation, interpret):
-    if implementation == "pallas":
+    if implementation == "pallas_fields":
         from ..solvers.pallas_fields import fused_cyclic_fields
 
         return fused_cyclic_fields(a, b, c, d, interpret=interpret)
@@ -199,39 +208,55 @@ def adi_step_cyl_varprop(T: jax.Array, grid: CylindricalGrid,
         R0 = T + gate(dw * source)
 
     # --- r sweep (axis 0) ------------------------------------------------
+    # per-sweep Robin STREAMS (geometry included, dw NOT): sink = sum of
+    # h*(A/V) films, srhs = sum of h*(A/V)*T_inf — each surface against its
+    # own ambient.  The solve consumes b = 1 + dw*(couplings + sink) and
+    # d = rhs + dw*srhs, identically on every implementation tier.
     fr = _face_g(kf, 0, -1, act if act is not None else
                  jnp.ones(T.shape, bool)).astype(dtype)
     fr_hi = jnp.concatenate([fr[1:], jnp.zeros_like(fr[:1])], axis=0)
-    a = -dw * ga_r * fr
-    c = -dw * gc_r * fr_hi
-    b = 1.0 + dw * (ga_r * fr + gc_r * fr_hi)
-    d = constrain(R0, "r")
+    sink_r = jnp.zeros(T.shape, dtype)
+    srhs_r = jnp.zeros(T.shape, dtype)
     # Robin edge rows: h/k ghost elimination — the cell conductivity
     # cancels against the face flux (docstring), leaving dt w h geometry
     if robin_outer is not None and (robin_outer.h != 0.0
                                     or emissivity > 0.0):
         g_out = float(r_iph[nr - 1] / (r[nr - 1] * dr))
-        sink = dw[nr - 1] * g_out * (robin_outer.h
-                                     + hr(T[nr - 1], robin_outer.T_inf))
+        s = g_out * (robin_outer.h + hr(T[nr - 1], robin_outer.T_inf))
         if act is not None:
-            sink = jnp.where(act[nr - 1], sink, 0.0)
-        b = b.at[nr - 1].add(sink)
-        d = d.at[nr - 1].add(sink * robin_outer.T_inf)
+            s = jnp.where(act[nr - 1], s, 0.0)
+        sink_r = sink_r.at[nr - 1].add(s)
+        srhs_r = srhs_r.at[nr - 1].add(s * robin_outer.T_inf)
     if (grid.is_annular and robin_inner is not None
             and (robin_inner.h != 0.0 or emissivity > 0.0)):
         g_in = float(r_imh[0] / (r[0] * dr))
-        sink = dw[0] * g_in * (robin_inner.h + hr(T[0], robin_inner.T_inf))
+        s = g_in * (robin_inner.h + hr(T[0], robin_inner.T_inf))
         if act is not None:
-            sink = jnp.where(act[0], sink, 0.0)
-        b = b.at[0].add(sink)
-        d = d.at[0].add(sink * robin_inner.T_inf)
+            s = jnp.where(act[0], s, 0.0)
+        sink_r = sink_r.at[0].add(s)
+        srhs_r = srhs_r.at[0].add(s * robin_inner.T_inf)
     if sink_on:
-        s_r = dw * (h_void + hr_void) * (
+        s = (h_void + hr_void) * (
             jnp.where(exposed(0, -1), col(r_imh / (r * dr)), zero)
             + jnp.where(exposed(0, +1), col(r_iph / (r * dr)), zero))
-        b = b + s_r
-        d = d + s_r * T_inf_void
-    X = _solve_fields(a, b, c, d, implementation, interpret)
+        sink_r = sink_r + s
+        srhs_r = srhs_r + s * T_inf_void
+    d = constrain(R0, "r")
+    if implementation == "pallas":
+        from ..solvers.pallas_vpfields import fused_vp_fields_sweep
+
+        glo_np = (r_imh / (r * dr * dr)).astype(np.float64)
+        ghi_np = (r_iph / (r * dr * dr)).astype(np.float64)
+        X = fused_vp_fields_sweep(d, fr_hi, dw, sink_r, srhs_r,
+                                  jnp.asarray(glo_np, dtype),
+                                  jnp.asarray(ghi_np, dtype),
+                                  interpret=interpret)
+    else:
+        a = -dw * ga_r * fr
+        c = -dw * gc_r * fr_hi
+        b = 1.0 + dw * (ga_r * fr + gc_r * fr_hi + sink_r)
+        X = _solve_fields(a, b, c, d + dw * srhs_r,
+                          implementation, interpret)
 
     # --- phi solve (axis 1, periodic) ------------------------------------
     if nphi > 1:
@@ -240,24 +265,37 @@ def adi_step_cyl_varprop(T: jax.Array, grid: CylindricalGrid,
         if not grid.is_annular:
             fp = fp.at[0].set(0.0)      # axis-row regularity (full disk)
         fp_hi = jnp.roll(fp, -1, axis=1)
-        ap = -dw * gphi * fp
-        cp = -dw * gphi * fp_hi
-        bp = 1.0 + dw * gphi * (fp + fp_hi)
-        d_phi = constrain(X, "phi")
+        sink_p = jnp.zeros(T.shape, dtype)
+        srhs_p = jnp.zeros(T.shape, dtype)
         if sink_on:
             e_lo = act & ~jnp.roll(act, 1, axis=1)
             e_hi = act & ~jnp.roll(act, -1, axis=1)
             gph = col(1.0 / (np.maximum(r, 1e-15) * grid.dphi))
-            s_p = dw * (h_void + hr_void) * gph * (e_lo.astype(dtype)
-                                                   + e_hi.astype(dtype))
+            s = (h_void + hr_void) * gph * (e_lo.astype(dtype)
+                                            + e_hi.astype(dtype))
             if not grid.is_annular:
-                s_p = s_p.at[0].set(0.0)    # axis-row regularity
-            bp = bp + s_p
-            d_phi = d_phi + s_p * T_inf_void
-        t1 = lambda x: jnp.moveaxis(x, 1, 0)   # (nphi, nr, nz)
-        X = jnp.moveaxis(
-            _solve_cyclic_fields(t1(ap), t1(bp), t1(cp), t1(d_phi),
-                                 implementation, interpret), 0, 1)
+                s = s.at[0].set(0.0)        # axis-row regularity
+            sink_p = sink_p + s
+            srhs_p = srhs_p + s * T_inf_void
+        d_phi = constrain(X, "phi")
+        if implementation == "pallas":
+            from ..solvers.pallas_vpfields import fused_vp_fields_cyclic_axis1
+
+            geo2d = jnp.broadcast_to(
+                jnp.asarray(1.0 / (r * r * grid.dphi * grid.dphi),
+                            dtype)[:, None], (nr, nz))
+            X = fused_vp_fields_cyclic_axis1(d_phi, fp, fp_hi, dw, sink_p,
+                                             srhs_p, geo2d,
+                                             interpret=interpret)
+        else:
+            ap = -dw * gphi * fp
+            cp = -dw * gphi * fp_hi
+            bp = 1.0 + dw * (gphi * (fp + fp_hi) + sink_p)
+            t1 = lambda x: jnp.moveaxis(x, 1, 0)   # (nphi, nr, nz)
+            X = jnp.moveaxis(
+                _solve_cyclic_fields(t1(ap), t1(bp), t1(cp),
+                                     t1(d_phi + dw * srhs_p),
+                                     implementation, interpret), 0, 1)
 
     # --- z sweep (axis 2) -------------------------------------------------
     fz = _face_g(kf, 2, -1, act if act is not None else
@@ -265,48 +303,65 @@ def adi_step_cyl_varprop(T: jax.Array, grid: CylindricalGrid,
     fz_hi = jnp.concatenate([fz[:, :, 1:], jnp.zeros_like(fz[:, :, :1])],
                             axis=2)
     ivz2 = 1.0 / (grid.dz * grid.dz)
-    az = -dw * ivz2 * fz
-    cz = -dw * ivz2 * fz_hi
-    bz = 1.0 + dw * ivz2 * (fz + fz_hi)
-    dz_rhs = constrain(X, "z")
+    sink_z = jnp.zeros(T.shape, dtype)
+    srhs_z = jnp.zeros(T.shape, dtype)
     if sink_on:
-        s_z = dw * ((h_void + hr_void) * exposed(2, -1).astype(dtype)
-                    + (h_f + hr_void) * exposed(2, +1).astype(dtype)
-                    ) / grid.dz
-        bz = bz + s_z
-        dz_rhs = dz_rhs + s_z * T_inf_void
+        s = ((h_void + hr_void) * exposed(2, -1).astype(dtype)
+             + (h_f + hr_void) * exposed(2, +1).astype(dtype)) / grid.dz
+        sink_z = sink_z + s
+        srhs_z = srhs_z + s * T_inf_void
+    dz_rhs = constrain(X, "z")
+    # end faces: Robin rows fold into the sink/srhs streams; Dirichlet rows
+    # zero their STATIC geometry entries and pin the rhs (the shared face
+    # conductivity stays live, so the neighbor keeps its coupling into the
+    # pinned value — identical linear system to explicit row surgery)
+    geoz = np.full(nz, ivz2)
 
-    def z_end(idx, kind, h, t_inf, t_dir, az, bz, cz, dz_rhs):
+    def z_end(idx, kind, h, t_inf, t_dir, sink_z, srhs_z, dz_rhs):
         if kind == "neumann0":
-            return az, bz, cz, dz_rhs      # face conductivity already 0
+            return sink_z, srhs_z, dz_rhs  # face conductivity already 0
         if kind == "robin":
-            sink = dw[:, :, idx] * ((float(h)
-                                     + hr(T[:, :, idx], float(t_inf)))
-                                    / grid.dz)
+            s = (float(h) + hr(T[:, :, idx], float(t_inf))) / grid.dz
             if act is not None:
-                sink = jnp.where(act[:, :, idx], sink, 0.0)
-            bz = bz.at[:, :, idx].add(sink)
-            dz_rhs = dz_rhs.at[:, :, idx].add(sink * float(t_inf))
-            return az, bz, cz, dz_rhs
+                s = jnp.where(act[:, :, idx], s, 0.0)
+            sink_z = sink_z.at[:, :, idx].add(s)
+            srhs_z = srhs_z.at[:, :, idx].add(s * float(t_inf))
+            return sink_z, srhs_z, dz_rhs
         if kind == "dirichlet":
-            az = az.at[:, :, idx].set(0.0)
-            cz = cz.at[:, :, idx].set(0.0)
-            bz = bz.at[:, :, idx].set(1.0)
+            geoz[idx] = 0.0
             pin = jnp.asarray(float(t_dir), dtype)
             if act is not None:   # void end cells hold their value instead
                 pin = jnp.where(act[:, :, idx], pin, dz_rhs[:, :, idx])
             dz_rhs = dz_rhs.at[:, :, idx].set(pin)
-            return az, bz, cz, dz_rhs
+            sink_z = sink_z.at[:, :, idx].set(0.0)
+            srhs_z = srhs_z.at[:, :, idx].set(0.0)
+            return sink_z, srhs_z, dz_rhs
         raise ValueError(f"unknown z-face BC kind: {kind!r}")
 
-    az, bz, cz, dz_rhs = z_end(0, zbc.kind_bot, zbc.h_bot, zbc.T_inf_bot,
-                               zbc.T_bot, az, bz, cz, dz_rhs)
-    az, bz, cz, dz_rhs = z_end(nz - 1, zbc.kind_top, zbc.h_top,
-                               zbc.T_inf_top, zbc.T_top, az, bz, cz, dz_rhs)
+    sink_z, srhs_z, dz_rhs = z_end(0, zbc.kind_bot, zbc.h_bot,
+                                   zbc.T_inf_bot, zbc.T_bot,
+                                   sink_z, srhs_z, dz_rhs)
+    sink_z, srhs_z, dz_rhs = z_end(nz - 1, zbc.kind_top, zbc.h_top,
+                                   zbc.T_inf_top, zbc.T_top,
+                                   sink_z, srhs_z, dz_rhs)
     t2 = lambda x: jnp.moveaxis(x, 2, 0)   # (nz, nr, nphi)
-    out = jnp.moveaxis(
-        _solve_fields(t2(az), t2(bz), t2(cz), t2(dz_rhs),
-                      implementation, interpret), 0, 2)
+    if implementation == "pallas":
+        from ..solvers.pallas_vpfields import fused_vp_fields_sweep
+
+        gz = jnp.asarray(geoz, dtype)
+        out = jnp.moveaxis(
+            fused_vp_fields_sweep(t2(dz_rhs), t2(fz_hi), t2(dw),
+                                  t2(sink_z), t2(srhs_z), gz, gz,
+                                  interpret=interpret), 0, 2)
+    else:
+        colz = lambda v: jnp.asarray(v, dtype)[None, None, :]
+        az = -dw * colz(geoz) * fz
+        cz = -dw * colz(geoz) * fz_hi
+        bz = 1.0 + dw * (colz(geoz) * (fz + fz_hi) + sink_z)
+        out = jnp.moveaxis(
+            _solve_fields(t2(az), t2(bz), t2(cz),
+                          t2(dz_rhs + dw * srhs_z),
+                          implementation, interpret), 0, 2)
     return out
 
 

@@ -5,6 +5,8 @@
 #   2. bench bf16                    -> bf16 mode number
 #   3. bench varprop                 -> the face-streaming kernels' A/B
 #   4. bench cylindrical + masked    -> cylindrical numbers
+#   5a. cyl-varprop kernel gate (compile+parity+A/B of the
+#      compressed stream kernels, scripts/cyl_vp_chip.py)
 #   5. ring-varprop chip gate        -> compile+parity+A/B of the fused
 #      theta+x-sweep varprop kernel (flip FUSE_THETA_DEFAULT on a win)
 #   6. varprop component breakdown   -> where varprop time goes
@@ -25,7 +27,9 @@ run python bench.py --case bf16
 run python bench.py --case varprop
 run python bench.py --case cylindrical
 run python bench.py --case masked
+run python bench.py --case cyl_varprop
 T=1200 run python scripts/vp_ring_chip.py --n 384
+T=1200 run python scripts/cyl_vp_chip.py
 T=1200 run python scripts/varprop_breakdown.py --n 384
 T=1200 run python scripts/trace_512.py --logdir /tmp/trace512
 tail -5 "$LOG"

@@ -346,3 +346,40 @@ def test_radiation_uniform_field_equals_scalar_film_oracle():
     m_rad = float(jnp.where(act, out_rad, jnp.inf).min())
     m_conv = float(jnp.where(act, out_conv, jnp.inf).min())
     assert m_rad < m_conv
+
+
+def test_compressed_tier_matches_materialized_and_xla():
+    """The three implementation tiers — 'pallas' (compressed stream kernels,
+    solvers/pallas_vpfields.py), 'pallas_fields' (materialized a/b/c/d +
+    generic field kernels) and 'xla' (scan) — must agree to solver
+    round-off on the RICHEST configuration: element-birth mask, mixed-
+    ambient interface sinks, growth-front film, radiation, annular inner
+    Robin, and a Dirichlet z end (exercising the zeroed-geometry pin row
+    of the compressed kernel)."""
+    mat = Material(7800.0, 490.0, 54.0)
+    rob = RobinBC(300.0, 20.0)
+    rin = RobinBC(80.0, 30.0)
+    zbc = ZFaceBC(kind_bot="dirichlet", T_bot=140.0, kind_top="robin",
+                  h_top=400.0, T_inf_top=25.0)
+    kt = lambda T: 30.0 + 0.02 * T
+    ct = lambda T: 400.0 + 0.2 * T
+    for grid, annular in ((CylindricalGrid(8, 16, 12, 5e-4, 1e-3,
+                                           r_inner=0.02), True),
+                          (CylindricalGrid(9, 12, 10, 6e-4, 1.2e-3), False)):
+        rng = np.random.default_rng(11)
+        T0 = _smooth_field(grid, seed=4, lo=100.0, hi=1500.0)
+        act = jnp.asarray(rng.random(grid.shape) > 0.3)
+        kw = dict(dt=0.04, robin_outer=rob, zbc=zbc, k_table=kt,
+                  cp_table=ct, robin_inner=rin if annular else None,
+                  active=act, h_void=60.0, T_inf_void=20.0, h_front=150.0,
+                  emissivity=0.55)
+        a = adi_step_cyl_varprop(T0, grid, mat, implementation="xla", **kw)
+        b = adi_step_cyl_varprop(T0, grid, mat, implementation="pallas",
+                                 interpret=True, **kw)
+        c = adi_step_cyl_varprop(T0, grid, mat,
+                                 implementation="pallas_fields",
+                                 interpret=True, **kw)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-12, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                                   rtol=1e-12, atol=1e-9)

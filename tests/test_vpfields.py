@@ -1,0 +1,93 @@
+"""Unit tests for the compressed variable-property field kernels
+(solvers/pallas_vpfields.py) — interpret mode vs the scan solvers, hostile
+(pad-everything) shapes, boundary semantics carried by the data."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from adi_thermal_fields_tpu.solvers.pallas_vpfields import (
+    fused_vp_fields_cyclic_axis1, fused_vp_fields_sweep)
+from adi_thermal_fields_tpu.solvers.thomas import cyclic_thomas, thomas
+
+
+def _open_reference(rhs, fhi, dw, sink, srhs, glo, ghi):
+    flo = jnp.concatenate([jnp.zeros_like(fhi[:1]), fhi[:-1]], axis=0)
+    col = lambda v: v[:, None, None]
+    a = -dw * col(glo) * flo
+    c = -dw * col(ghi) * fhi
+    b = 1.0 + dw * (col(glo) * flo + col(ghi) * fhi + sink)
+    return thomas(a, b, c, rhs + dw * srhs)
+
+
+def test_open_sweep_matches_thomas_with_voids_and_pins():
+    rng = np.random.default_rng(0)
+    n, b1, b2 = 20, 5, 17   # hostile: row, sublane and lane padding
+    rhs = jnp.asarray(rng.random((n, b1, b2)))
+    fhi = np.asarray(30 + 40 * rng.random((n, b1, b2)))
+    fhi[-1] = 0.0                       # domain edge
+    void = rng.random((n, b1, b2)) > 0.8
+    fhi[void] = 0.0                     # faces zero across void
+    fhi[:-1][void[1:]] = 0.0
+    fhi = jnp.asarray(fhi)
+    dw = jnp.asarray(1e-3 * rng.random((n, b1, b2)))
+    sink = np.zeros((n, b1, b2))
+    sink[0], sink[-1] = 55.0, 12.0      # Robin end rows
+    sink[void] = 0.0
+    srhs = sink * 20.0
+    sink, srhs = jnp.asarray(sink), jnp.asarray(srhs)
+    glo = jnp.asarray(1.0 + rng.random(n))
+    ghi = jnp.asarray(1.0 + rng.random(n))
+
+    # dirichlet end row via zeroed geometry + pinned rhs
+    glo = glo.at[n - 1].set(0.0)
+    ghi = ghi.at[n - 1].set(0.0)
+    rhs = rhs.at[n - 1].set(123.0)
+    sink = sink.at[n - 1].set(0.0)
+    srhs = srhs.at[n - 1].set(0.0)
+
+    ref = _open_reference(rhs, fhi, dw, sink, srhs, glo, ghi)
+    out = fused_vp_fields_sweep(rhs, fhi, dw, sink, srhs, glo, ghi,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out[n - 1]), 123.0)
+    # void rows are identities holding rhs
+    v = np.asarray(void) & (np.arange(n)[:, None, None] != n - 1)
+    np.testing.assert_allclose(np.asarray(out)[v], np.asarray(rhs)[v])
+
+
+def test_cyclic_axis1_matches_cyclic_thomas():
+    rng = np.random.default_rng(1)
+    b1, n, b2 = 5, 24, 19
+    rhs = jnp.asarray(rng.random((b1, n, b2)))
+    flo_np = np.asarray(30 + 40 * rng.random((b1, n, b2)))
+    void = rng.random((b1, n, b2)) > 0.85
+    for sh in (0, 1):                   # faces zero across void, periodic
+        flo_np[np.roll(void, sh, axis=1)] = 0.0
+    flo = jnp.asarray(flo_np)
+    fhi = jnp.roll(flo, -1, axis=1)
+    dw = jnp.asarray(1e-3 * rng.random((b1, n, b2)))
+    sink = jnp.asarray(np.where(rng.random((b1, n, b2)) > 0.7, 25.0, 0.0)
+                       * ~void)
+    srhs = sink * 20.0
+    geo = jnp.asarray(0.5 + rng.random((b1, b2)))
+
+    g = geo[:, None, :]
+    a = -dw * g * flo
+    c = -dw * g * fhi
+    b = 1.0 + dw * (g * (flo + fhi) + sink)
+    t1 = lambda x: jnp.moveaxis(x, 1, 0)
+    ref = jnp.moveaxis(cyclic_thomas(t1(a), t1(b), t1(c),
+                                     t1(rhs + dw * srhs)), 0, 1)
+    out = fused_vp_fields_cyclic_axis1(rhs, flo, fhi, dw, sink, srhs, geo,
+                                       interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-11, atol=1e-11)
+
+    # all-zero face lines are identities (full-disk axis rows, void lines)
+    z = jnp.zeros_like(flo)
+    out0 = fused_vp_fields_cyclic_axis1(rhs, z, z, dw, jnp.zeros_like(sink),
+                                        jnp.zeros_like(srhs), geo,
+                                        interpret=True)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(rhs))
