@@ -75,6 +75,15 @@ def build_argparser() -> argparse.ArgumentParser:
                         "radiative film h_rad(T) to every exposed surface "
                         "(dominates convection at WAAM temperatures); "
                         "requires the varprop step (robin void mode)")
+    p.add_argument("--history_t_crit", type=str, default=None,
+                   help="track per-voxel thermal history: peak temperature "
+                        "and seconds above each comma-separated threshold "
+                        "[C] (e.g. '800,500' -> t8/5 = t_above[1] - "
+                        "t_above[0]); same semantics as the WAAM app "
+                        "(engine history: reset at birth, masked by the "
+                        "final active state on output)")
+    p.add_argument("--history_out", type=str, default="spiral_history.npz",
+                   help="npz output path for the thermal-history arrays")
     return p
 
 
@@ -206,6 +215,26 @@ def run(args) -> dict:
     n_steps = int(round(args.t_tot / dt))
     frame_every = max(1, n_steps // max(1, args.nframes))
 
+    # per-voxel thermal history (engine semantics, apps/engine.py:371-406:
+    # peak = max over sub-steps, t_above += dt * (T > crit) per threshold,
+    # reset at birth to the deposit temperature)
+    crits = None
+    if args.history_t_crit is not None:
+        crits = tuple(float(v) for v in str(args.history_t_crit).split(","))
+        tc = jnp.asarray(crits, dtype)
+        pk = jnp.full(grid.shape, args.T_inf, dtype)
+        ta = jnp.zeros((len(crits),) + grid.shape, dtype)
+        log(f"thermal history: peak + t_above{crits} C", tag="history")
+
+        @jax.jit
+        def hist_update(pk, ta, T, newborn2d, dt):
+            nb = jnp.broadcast_to(newborn2d[None, :, :], T.shape)
+            pk = jnp.where(nb, jnp.asarray(args.Ts, T.dtype), pk)
+            ta = jnp.where(nb[None], jnp.zeros((), ta.dtype), ta)
+            pk = jnp.maximum(pk, T)
+            above = T[None] > tc[:, None, None, None]
+            return pk, ta + jnp.asarray(dt, ta.dtype) * above
+
     frames = []
     t = 0.0
     for i in range(n_steps):
@@ -214,6 +243,8 @@ def run(args) -> dict:
         T = jnp.where(newborn[None, :, :], args.Ts, T)
         active = active_at(act, t_next)
         T = step(T, active, jnp.asarray(dt, dtype))
+        if crits is not None:
+            pk, ta = hist_update(pk, ta, T, newborn, jnp.asarray(dt, dtype))
         t = t_next
         if (i + 1) % frame_every == 0 or i == n_steps - 1:
             a_np = np.broadcast_to(np.asarray(active)[None], grid.shape)
@@ -222,10 +253,32 @@ def run(args) -> dict:
             log(f"t={t:8.3f} s  Tmax={tmax:8.1f}", tag="frame")
             frames.append((t, T_np, a_np.copy()))
 
+    out = {"T": T, "frames": frames, "grid": grid}
+    if crits is not None:
+        # mask by the final active state — never-born cells carry
+        # meaningless placeholder history (engine docstring)
+        a_fin = np.broadcast_to(
+            np.asarray(active_at(act, t))[None], grid.shape)
+        pk_np = np.where(a_fin, np.asarray(pk), 0.0)
+        ta_np = np.where(a_fin[None], np.asarray(ta), 0.0)
+        out["history"] = {"peak": pk_np, "t_above": ta_np, "crits": crits}
+        if len(crits) == 2:
+            t85 = ta_np[1] - ta_np[0]
+            log(f"t{crits[0]:g}/{crits[1]:g}: max "
+                f"{float(t85.max()):.3f} s, mean (deposited) "
+                f"{float(t85[a_fin].mean()):.3f} s", tag="history")
+        if args.history_out:
+            np.savez_compressed(
+                args.history_out, peak=pk_np, t_above=ta_np,
+                crits=np.asarray(crits), r=np.asarray(grid.r),
+                dphi=grid.dphi, dz=grid.dz,
+                active=a_fin.astype(np.uint8))
+            log(f"saved {args.history_out}", tag="history")
+
     if args.out:
         _save_gif(args.out, frames, grid, args)
         log(f"saved {args.out}", tag="gif")
-    return {"T": T, "frames": frames, "grid": grid}
+    return out
 
 
 def _save_gif(path, frames, grid, args):

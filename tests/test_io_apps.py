@@ -320,3 +320,31 @@ def test_step_timer_slope_counts_steps():
     assert abs(per_step) < 10.0
     assert len(calls) == 1 + 2 + 8
     assert float(out) == float(len(calls))
+
+
+def test_spiral_tube_varprop_history_smoke(tmp_path):
+    """spiral_tube with the full varprop physics (latent heat + melt-pool k
+    + radiation) and thermal-history tracking: deposits register their
+    birth temperature as peak, t_above thresholds nest, never-born cells
+    are masked to zero, and the npz artifact round-trips."""
+    from adi_thermal_fields_tpu.apps.spiral_tube import build_argparser, run
+
+    out = str(tmp_path / "sp.gif")
+    hout = str(tmp_path / "hist.npz")
+    args = build_argparser().parse_args([
+        "--R_out", "32", "--wall_thickness", "2", "--height", "4",
+        "--z_back", "8", "--nr", "4", "--nphi", "12", "--dz", "2",
+        "--pitch", "2", "--auto_speed", "--t_tot", "2", "--dt_fixed", "0.2",
+        "--nframes", "2", "--out", out, "--latent_J_kg", "250000",
+        "--melt_k_factor", "2", "--emissivity", "0.4",
+        "--history_t_crit", "800,500", "--history_out", hout])
+    res = run(args)
+    h = res["history"]
+    assert h["peak"].max() >= args.Ts - 1.0       # birth temperature seen
+    assert (h["t_above"][1] >= h["t_above"][0]).all()   # 500C ⊇ 800C time
+    t, T, a = res["frames"][-1]
+    assert (h["peak"][~np.broadcast_to(a, h["peak"].shape)] == 0.0).all() \
+        or a.all()
+    d = np.load(hout)
+    np.testing.assert_allclose(d["peak"], h["peak"])
+    assert d["t_above"].shape[0] == 2
