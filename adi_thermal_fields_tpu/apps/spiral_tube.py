@@ -84,6 +84,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "final active state on output)")
     p.add_argument("--history_out", type=str, default="spiral_history.npz",
                    help="npz output path for the thermal-history arrays")
+    p.add_argument("--mesh", type=str, default="",
+                   help="shard over a PxQ device mesh, e.g. '2x4' "
+                        "(dist/cylindrical.py: each sweep's solve axis "
+                        "chip-local, batch axes sharded; identical results "
+                        "to single-device)")
     return p
 
 
@@ -169,7 +174,40 @@ def run(args) -> dict:
             "(the clamp scheme has no material/void interface films)",
             tag="varprop")
 
-    if varprop:
+    # multi-chip: the dist/cylindrical.py wrappers take step(T, active3d, dt)
+    mesh_dev = None
+    if getattr(args, "mesh", ""):
+        from ..dist.cartesian import make_mesh
+        p_, q_ = (int(v) for v in args.mesh.lower().split("x"))
+        mesh_dev = make_mesh(jax.devices()[:p_ * q_], shape=(p_, q_))
+        log(f"sharding over {p_}x{q_} device mesh", tag="mesh")
+
+    if mesh_dev is not None:
+        from ..dist.cylindrical import (sharded_cyl_varprop_step,
+                                        sharded_cylindrical_masked_clamp_step,
+                                        sharded_cylindrical_masked_step)
+        if varprop:
+            step3 = sharded_cyl_varprop_step(
+                grid, mat, mesh_dev, robin_outer=rob_out, zbc=zbc,
+                robin_inner=rob_in, k_table=k_table, cp_table=cp_table,
+                emissivity=args.emissivity,
+                masked_clamp=args.void_mode != "robin",
+                robin_void=RobinBC(h_void, args.T_inf),
+                h_void=h_void, T_inf_void=args.T_inf, h_front=args.h_end)
+        elif args.void_mode == "robin":
+            step3 = sharded_cylindrical_masked_step(
+                grid, mat, mesh_dev, robin_outer=rob_out, zbc=zbc,
+                robin_inner=rob_in, h_void=h_void, T_inf_void=args.T_inf,
+                h_front=args.h_end)
+        else:
+            step3 = sharded_cylindrical_masked_clamp_step(
+                grid, mat, mesh_dev, robin_outer=rob_out, zbc=zbc,
+                robin_inner=rob_in, robin_void=RobinBC(h_void, args.T_inf))
+
+        def step(T, active2d, dt):
+            a3 = jnp.broadcast_to(active2d[None, :, :], grid.shape)
+            return step3(T, a3, dt)
+    elif varprop:
         from ..step.cylindrical_varprop import (adi_step_cyl_varprop,
                                                 adi_step_cyl_varprop_masked)
 
@@ -211,6 +249,14 @@ def run(args) -> dict:
 
     dtype = jnp.float32 if args.precision == "float32" else jnp.float64
     T = jnp.full(grid.shape, args.T_inf, dtype)
+    if mesh_dev is not None:
+        # pre-place the state when the dims divide the mesh; otherwise the
+        # step's in-jit sharding constraints handle the (uneven) layout
+        p_, q_ = mesh_dev.devices.shape
+        if grid.nphi % p_ == 0 and grid.nz % q_ == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            T = jax.device_put(T, NamedSharding(
+                mesh_dev, P(None, *mesh_dev.axis_names)))
     dt = args.dt_fixed
     n_steps = int(round(args.t_tot / dt))
     frame_every = max(1, n_steps // max(1, args.nframes))

@@ -348,3 +348,29 @@ def test_spiral_tube_varprop_history_smoke(tmp_path):
     d = np.load(hout)
     np.testing.assert_allclose(d["peak"], h["peak"])
     assert d["t_above"].shape[0] == 2
+
+
+def test_spiral_tube_app_sharded_matches_single_device(tmp_path):
+    """spiral_tube --mesh 2x4 (sharded cylindrical steps across the virtual
+    8-device mesh) must reproduce the single-device run to 1e-12 at f64,
+    for both the varprop and the constant-property robin paths."""
+    from adi_thermal_fields_tpu.apps.spiral_tube import build_argparser, run
+
+    base = ["--R_out", "32", "--wall_thickness", "2", "--height", "4",
+            "--z_back", "8", "--nr", "4", "--nphi", "16", "--dz", "2",
+            "--pitch", "2", "--auto_speed", "--t_tot", "2",
+            "--dt_fixed", "0.2", "--nframes", "2",
+            "--precision", "float64",
+            "--history_t_crit", "800,500", "--history_out", ""]
+    for extra in ([], ["--latent_J_kg", "250000", "--emissivity", "0.4"]):
+        out1 = str(tmp_path / "a.gif")
+        r1 = run(build_argparser().parse_args(
+            base + extra + ["--out", out1]))
+        out2 = str(tmp_path / "b.gif")
+        r2 = run(build_argparser().parse_args(
+            base + extra + ["--out", out2, "--mesh", "2x4"]))
+        np.testing.assert_allclose(np.asarray(r2["T"]), np.asarray(r1["T"]),
+                                   rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(r2["history"]["t_above"],
+                                   r1["history"]["t_above"],
+                                   rtol=1e-12, atol=1e-12)
