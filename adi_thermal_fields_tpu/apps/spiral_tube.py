@@ -89,6 +89,13 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(dist/cylindrical.py: each sweep's solve axis "
                         "chip-local, batch axes sharded; identical results "
                         "to single-device)")
+    p.add_argument("--checkpoint", type=str, default="",
+                   help="write a resume checkpoint (npz) at every frame")
+    p.add_argument("--resume", type=str, default="",
+                   help="resume from a checkpoint file; the deposition "
+                        "schedule is recomputed from the (identical) CLI "
+                        "args, so only T, t and the thermal history are "
+                        "restored")
     return p
 
 
@@ -281,9 +288,43 @@ def run(args) -> dict:
             above = T[None] > tc[:, None, None, None]
             return pk, ta + jnp.asarray(dt, ta.dtype) * above
 
+    # checkpoint/resume (io/checkpoint.py): resume is by simulation time —
+    # the deposition schedule recomputes from the CLI args, so the state is
+    # T, t and the thermal history only
+    i0 = 0
+    if args.resume:
+        from ..io.checkpoint import load_checkpoint
+        st = load_checkpoint(args.resume)
+        T = jnp.asarray(st.T, dtype)
+        i0 = int(round(st.t / dt))
+        if abs(i0 * dt - st.t) > 1e-9 * max(1.0, st.t):
+            raise SystemExit(f"checkpoint t={st.t} is not a multiple of "
+                             f"--dt_fixed {dt}; resume needs the same dt")
+        if crits is not None:
+            if not (st.meta and "history_peak" in st.meta):
+                raise SystemExit("--history_t_crit set but the checkpoint "
+                                 "carries no thermal-history state")
+            ha = st.meta["history_above"]
+            if ha.shape[0] != len(crits):
+                raise SystemExit(
+                    f"checkpoint thermal-history has {ha.shape[0]} "
+                    f"thresholds, --history_t_crit has {len(crits)}")
+            pk = jnp.asarray(st.meta["history_peak"], dtype)
+            ta = jnp.asarray(ha, dtype)
+        log(f"resumed t={st.t:.3f} s (step {i0}/{n_steps})", tag="resume")
+
+    def _write_checkpoint(T, t, active):
+        from ..io.checkpoint import RunState, save_checkpoint
+        meta = None
+        if crits is not None:
+            meta = {"history_peak": np.asarray(pk),
+                    "history_above": np.asarray(ta)}
+        save_checkpoint(args.checkpoint, RunState(
+            T=np.asarray(T), active=np.asarray(active), t=t, meta=meta))
+
     frames = []
-    t = 0.0
-    for i in range(n_steps):
+    t = i0 * dt
+    for i in range(i0, n_steps):
         t_next = t + dt
         newborn = newborn_between(act, t, t_next)
         T = jnp.where(newborn[None, :, :], args.Ts, T)
@@ -298,6 +339,8 @@ def run(args) -> dict:
             tmax = float(np.nanmax(np.where(a_np, T_np, np.nan)))
             log(f"t={t:8.3f} s  Tmax={tmax:8.1f}", tag="frame")
             frames.append((t, T_np, a_np.copy()))
+            if args.checkpoint:
+                _write_checkpoint(T, t, active)
 
     out = {"T": T, "frames": frames, "grid": grid}
     if crits is not None:

@@ -479,7 +479,7 @@ def main_cyl_varprop():
     sol = HBM_BYTES_PER_S / 150.0
     value = None
     shape = None
-    for shape in ((64, 512, 256), (64, 256, 128)):
+    for shape in ((64, 512, 1024), (64, 512, 256), (64, 256, 128)):
         for attempt in range(3):
             try:
                 value, per_step = run_cyl_varprop(shape)

@@ -374,3 +374,33 @@ def test_spiral_tube_app_sharded_matches_single_device(tmp_path):
         np.testing.assert_allclose(r2["history"]["t_above"],
                                    r1["history"]["t_above"],
                                    rtol=1e-12, atol=1e-12)
+
+
+def test_spiral_tube_app_checkpoint_resume(tmp_path):
+    """Interrupt-and-resume reproduces the uninterrupted run exactly:
+    run to t=1 with --checkpoint, resume to t=2, compare with a straight
+    t=2 run (fixed --speed so the deposition schedule is t_tot-invariant);
+    thermal history resumes too."""
+    from adi_thermal_fields_tpu.apps.spiral_tube import build_argparser, run
+
+    base = ["--R_out", "32", "--wall_thickness", "2", "--height", "4",
+            "--z_back", "8", "--nr", "4", "--nphi", "16", "--dz", "2",
+            "--pitch", "2", "--speed", "40", "--dt_fixed", "0.2",
+            "--nframes", "2", "--precision", "float64",
+            "--latent_J_kg", "250000", "--history_t_crit", "800,500",
+            "--history_out", ""]
+    ck = str(tmp_path / "ck.npz")
+    run(build_argparser().parse_args(
+        base + ["--t_tot", "1", "--checkpoint", ck,
+                "--out", str(tmp_path / "a.gif")]))
+    r_resumed = run(build_argparser().parse_args(
+        base + ["--t_tot", "2", "--resume", ck,
+                "--out", str(tmp_path / "b.gif")]))
+    r_straight = run(build_argparser().parse_args(
+        base + ["--t_tot", "2", "--out", str(tmp_path / "c.gif")]))
+    np.testing.assert_allclose(np.asarray(r_resumed["T"]),
+                               np.asarray(r_straight["T"]),
+                               rtol=1e-13, atol=1e-13)
+    np.testing.assert_allclose(r_resumed["history"]["t_above"],
+                               r_straight["history"]["t_above"],
+                               rtol=1e-13, atol=1e-13)
