@@ -119,10 +119,18 @@ def adi_step_cyl_varprop(T: jax.Array, grid: CylindricalGrid,
                          h_front: float | None = None,
                          source: jax.Array | None = None,
                          emissivity: float = 0.0,
+                         scheme: str = "be", theta: float = 0.5,
                          implementation: str = "auto",
                          interpret: bool | None = None,
                          constrain=None) -> jax.Array:
-    """One variable-property cylindrical BE step (see module docstring).
+    """One variable-property cylindrical step (see module docstring).
+
+    scheme: "be" (backward Euler, default — robust near the latent-heat
+    cp spike) or "douglas" (Douglas–Gunn stabilizing correction, second
+    order in time at theta=0.5; the affine operators are built from the
+    same coupling/sink streams as the implicit solves, so the corrections
+    cancel and steady states are fixed points — the varprop analogue of
+    step/cylindrical.adi_step scheme="douglas").
 
     k_table / cp_table: None (constant), a scalar, or a traceable
     ``T -> field`` callable (e.g. PropertyTable, apparent_cp for latent
@@ -202,16 +210,15 @@ def adi_step_cyl_varprop(T: jax.Array, grid: CylindricalGrid,
         """Active cells whose (ax, d) neighbor exists and is void."""
         return act & ~shift_in(act, ax, d, fill=True)
 
-    # --- explicit part: source only (BE) --------------------------------
-    R0 = T
-    if source is not None:
-        R0 = T + gate(dw * source)
-
-    # --- r sweep (axis 0) ------------------------------------------------
+    # --- per-axis streams --------------------------------------------------
     # per-sweep Robin STREAMS (geometry included, dw NOT): sink = sum of
     # h*(A/V) films, srhs = sum of h*(A/V)*T_inf — each surface against its
     # own ambient.  The solve consumes b = 1 + dw*(couplings + sink) and
-    # d = rhs + dw*srhs, identically on every implementation tier.
+    # d = rhs + dw*srhs, identically on every implementation tier; the
+    # Douglas scheme builds its BC-consistent affine operators
+    # L_i(T) = w*(couplings(T) - (couplings + sink)*T + srhs) from the SAME
+    # streams, so the corrections cancel exactly (steady states are fixed
+    # points, as in step/cylindrical.r_operator/z_operator).
     fr = _face_g(kf, 0, -1, act if act is not None else
                  jnp.ones(T.shape, bool)).astype(dtype)
     fr_hi = jnp.concatenate([fr[1:], jnp.zeros_like(fr[:1])], axis=0)
@@ -241,24 +248,23 @@ def adi_step_cyl_varprop(T: jax.Array, grid: CylindricalGrid,
             + jnp.where(exposed(0, +1), col(r_iph / (r * dr)), zero))
         sink_r = sink_r + s
         srhs_r = srhs_r + s * T_inf_void
-    d = constrain(R0, "r")
-    if implementation == "pallas":
-        from ..solvers.pallas_vpfields import fused_vp_fields_sweep
+    def solve_r(rhs, dwx):
+        d = constrain(rhs, "r")
+        if implementation == "pallas":
+            from ..solvers.pallas_vpfields import fused_vp_fields_sweep
 
-        glo_np = (r_imh / (r * dr * dr)).astype(np.float64)
-        ghi_np = (r_iph / (r * dr * dr)).astype(np.float64)
-        X = fused_vp_fields_sweep(d, fr_hi, dw, sink_r, srhs_r,
-                                  jnp.asarray(glo_np, dtype),
-                                  jnp.asarray(ghi_np, dtype),
-                                  interpret=interpret)
-    else:
-        a = -dw * ga_r * fr
-        c = -dw * gc_r * fr_hi
-        b = 1.0 + dw * (ga_r * fr + gc_r * fr_hi + sink_r)
-        X = _solve_fields(a, b, c, d + dw * srhs_r,
-                          implementation, interpret)
+            return fused_vp_fields_sweep(
+                d, fr_hi, dwx, sink_r, srhs_r,
+                jnp.asarray(r_imh / (r * dr * dr), dtype),
+                jnp.asarray(r_iph / (r * dr * dr), dtype),
+                interpret=interpret)
+        a = -dwx * ga_r * fr
+        c = -dwx * gc_r * fr_hi
+        b = 1.0 + dwx * (ga_r * fr + gc_r * fr_hi + sink_r)
+        return _solve_fields(a, b, c, d + dwx * srhs_r,
+                             implementation, interpret)
 
-    # --- phi solve (axis 1, periodic) ------------------------------------
+    # --- phi streams (axis 1, periodic) -----------------------------------
     if nphi > 1:
         gphi = col(1.0 / (r * r * grid.dphi * grid.dphi))
         fp = _face_phi(kf, act).astype(dtype)
@@ -277,27 +283,30 @@ def adi_step_cyl_varprop(T: jax.Array, grid: CylindricalGrid,
                 s = s.at[0].set(0.0)        # axis-row regularity
             sink_p = sink_p + s
             srhs_p = srhs_p + s * T_inf_void
-        d_phi = constrain(X, "phi")
-        if implementation == "pallas":
-            from ..solvers.pallas_vpfields import fused_vp_fields_cyclic_axis1
+        def solve_phi(rhs, dwx):
+            d_phi = constrain(rhs, "phi")
+            if implementation == "pallas":
+                from ..solvers.pallas_vpfields import (
+                    fused_vp_fields_cyclic_axis1)
 
-            geo2d = jnp.broadcast_to(
-                jnp.asarray(1.0 / (r * r * grid.dphi * grid.dphi),
-                            dtype)[:, None], (nr, nz))
-            X = fused_vp_fields_cyclic_axis1(d_phi, fp, fp_hi, dw, sink_p,
-                                             srhs_p, geo2d,
-                                             interpret=interpret)
-        else:
-            ap = -dw * gphi * fp
-            cp = -dw * gphi * fp_hi
-            bp = 1.0 + dw * (gphi * (fp + fp_hi) + sink_p)
+                geo2d = jnp.broadcast_to(
+                    jnp.asarray(1.0 / (r * r * grid.dphi * grid.dphi),
+                                dtype)[:, None], (nr, nz))
+                return fused_vp_fields_cyclic_axis1(
+                    d_phi, fp, fp_hi, dwx, sink_p, srhs_p, geo2d,
+                    interpret=interpret)
+            ap = -dwx * gphi * fp
+            cp = -dwx * gphi * fp_hi
+            bp = 1.0 + dwx * (gphi * (fp + fp_hi) + sink_p)
             t1 = lambda x: jnp.moveaxis(x, 1, 0)   # (nphi, nr, nz)
-            X = jnp.moveaxis(
+            return jnp.moveaxis(
                 _solve_cyclic_fields(t1(ap), t1(bp), t1(cp),
-                                     t1(d_phi + dw * srhs_p),
+                                     t1(d_phi + dwx * srhs_p),
                                      implementation, interpret), 0, 1)
+    else:
+        solve_phi = None
 
-    # --- z sweep (axis 2) -------------------------------------------------
+    # --- z streams (axis 2) -------------------------------------------------
     fz = _face_g(kf, 2, -1, act if act is not None else
                  jnp.ones(T.shape, bool)).astype(dtype)
     fz_hi = jnp.concatenate([fz[:, :, 1:], jnp.zeros_like(fz[:, :, :1])],
@@ -310,59 +319,107 @@ def adi_step_cyl_varprop(T: jax.Array, grid: CylindricalGrid,
              + (h_f + hr_void) * exposed(2, +1).astype(dtype)) / grid.dz
         sink_z = sink_z + s
         srhs_z = srhs_z + s * T_inf_void
-    dz_rhs = constrain(X, "z")
     # end faces: Robin rows fold into the sink/srhs streams; Dirichlet rows
-    # zero their STATIC geometry entries and pin the rhs (the shared face
-    # conductivity stays live, so the neighbor keeps its coupling into the
-    # pinned value — identical linear system to explicit row surgery)
+    # zero their STATIC geometry entries and pin the rhs per solve (the
+    # shared face conductivity stays live, so the neighbor keeps its
+    # coupling into the pinned value — identical linear system to explicit
+    # row surgery)
     geoz = np.full(nz, ivz2)
+    z_pins = []   # (idx, pin value) applied to every z-solve rhs
 
-    def z_end(idx, kind, h, t_inf, t_dir, sink_z, srhs_z, dz_rhs):
+    def z_end(idx, kind, h, t_inf, t_dir, sink_z, srhs_z):
         if kind == "neumann0":
-            return sink_z, srhs_z, dz_rhs  # face conductivity already 0
+            return sink_z, srhs_z      # face conductivity already 0
         if kind == "robin":
             s = (float(h) + hr(T[:, :, idx], float(t_inf))) / grid.dz
             if act is not None:
                 s = jnp.where(act[:, :, idx], s, 0.0)
             sink_z = sink_z.at[:, :, idx].add(s)
             srhs_z = srhs_z.at[:, :, idx].add(s * float(t_inf))
-            return sink_z, srhs_z, dz_rhs
+            return sink_z, srhs_z
         if kind == "dirichlet":
             geoz[idx] = 0.0
-            pin = jnp.asarray(float(t_dir), dtype)
+            z_pins.append((idx, float(t_dir)))
+            sink_z = sink_z.at[:, :, idx].set(0.0)
+            srhs_z = srhs_z.at[:, :, idx].set(0.0)
+            return sink_z, srhs_z
+        raise ValueError(f"unknown z-face BC kind: {kind!r}")
+
+    sink_z, srhs_z = z_end(0, zbc.kind_bot, zbc.h_bot, zbc.T_inf_bot,
+                           zbc.T_bot, sink_z, srhs_z)
+    sink_z, srhs_z = z_end(nz - 1, zbc.kind_top, zbc.h_top,
+                           zbc.T_inf_top, zbc.T_top, sink_z, srhs_z)
+    t2 = lambda x: jnp.moveaxis(x, 2, 0)   # (nz, nr, nphi)
+
+    def solve_z(rhs, dwx):
+        dz_rhs = constrain(rhs, "z")
+        for idx, t_dir in z_pins:
+            pin = jnp.asarray(t_dir, dtype)
             if act is not None:   # void end cells hold their value instead
                 pin = jnp.where(act[:, :, idx], pin, dz_rhs[:, :, idx])
             dz_rhs = dz_rhs.at[:, :, idx].set(pin)
-            sink_z = sink_z.at[:, :, idx].set(0.0)
-            srhs_z = srhs_z.at[:, :, idx].set(0.0)
-            return sink_z, srhs_z, dz_rhs
-        raise ValueError(f"unknown z-face BC kind: {kind!r}")
+        if implementation == "pallas":
+            from ..solvers.pallas_vpfields import fused_vp_fields_sweep
 
-    sink_z, srhs_z, dz_rhs = z_end(0, zbc.kind_bot, zbc.h_bot,
-                                   zbc.T_inf_bot, zbc.T_bot,
-                                   sink_z, srhs_z, dz_rhs)
-    sink_z, srhs_z, dz_rhs = z_end(nz - 1, zbc.kind_top, zbc.h_top,
-                                   zbc.T_inf_top, zbc.T_top,
-                                   sink_z, srhs_z, dz_rhs)
-    t2 = lambda x: jnp.moveaxis(x, 2, 0)   # (nz, nr, nphi)
-    if implementation == "pallas":
-        from ..solvers.pallas_vpfields import fused_vp_fields_sweep
-
-        gz = jnp.asarray(geoz, dtype)
-        out = jnp.moveaxis(
-            fused_vp_fields_sweep(t2(dz_rhs), t2(fz_hi), t2(dw),
-                                  t2(sink_z), t2(srhs_z), gz, gz,
-                                  interpret=interpret), 0, 2)
-    else:
+            gz = jnp.asarray(geoz, dtype)
+            return jnp.moveaxis(
+                fused_vp_fields_sweep(t2(dz_rhs), t2(fz_hi), t2(dwx),
+                                      t2(sink_z), t2(srhs_z), gz, gz,
+                                      interpret=interpret), 0, 2)
         colz = lambda v: jnp.asarray(v, dtype)[None, None, :]
-        az = -dw * colz(geoz) * fz
-        cz = -dw * colz(geoz) * fz_hi
-        bz = 1.0 + dw * (colz(geoz) * (fz + fz_hi) + sink_z)
-        out = jnp.moveaxis(
+        az = -dwx * colz(geoz) * fz
+        cz = -dwx * colz(geoz) * fz_hi
+        bz = 1.0 + dwx * (colz(geoz) * (fz + fz_hi) + sink_z)
+        return jnp.moveaxis(
             _solve_fields(t2(az), t2(bz), t2(cz),
-                          t2(dz_rhs + dw * srhs_z),
+                          t2(dz_rhs + dwx * srhs_z),
                           implementation, interpret), 0, 2)
-    return out
+
+    # --- scheme dispatch ---------------------------------------------------
+    if scheme == "be":
+        R0 = T
+        if source is not None:
+            R0 = T + gate(dw * source)
+        X = solve_r(R0, dw)
+        if solve_phi is not None:
+            X = solve_phi(X, dw)
+        return solve_z(X, dw)
+
+    if scheme != "douglas":
+        raise ValueError(f"unknown scheme: {scheme!r}")
+
+    # Douglas–Gunn with stabilizing correction, second-order in time for
+    # theta = 0.5 (step/cylindrical.adi_step scheme="douglas" structure),
+    # with the affine operators built from the SAME streams the solves
+    # consume — so (I - th*dt*L_i')Y = X - th*dt*L_i(T) + th*dt*w*srhs_i
+    # cancels exactly and steady states are fixed points.
+    th = theta if 0.0 < theta <= 1.0 else 0.5
+
+    def shift_ax(x, axis, d):
+        return shift_in(x, axis, d, fill=0.0)
+
+    colz = lambda v: jnp.asarray(v, dtype)[None, None, :]
+    Lr = w * (ga_r * fr * shift_ax(T, 0, -1) + gc_r * fr_hi
+              * shift_ax(T, 0, +1)
+              - (ga_r * fr + gc_r * fr_hi + sink_r) * T + srhs_r)
+    if solve_phi is not None:
+        Lp = w * (gphi * fp * jnp.roll(T, 1, axis=1)
+                  + gphi * fp_hi * jnp.roll(T, -1, axis=1)
+                  - (gphi * (fp + fp_hi) + sink_p) * T + srhs_p)
+    else:
+        Lp = jnp.zeros((), dtype)
+    Lz = w * (colz(geoz) * fz * shift_ax(T, 2, -1)
+              + colz(geoz) * fz_hi * shift_ax(T, 2, +1)
+              - (colz(geoz) * (fz + fz_hi) + sink_z) * T + srhs_z)
+    Y0 = T + dt * (Lr + Lp + Lz)
+    if source is not None:
+        Y0 = Y0 + gate(dw * source)
+    thdw = th * dw
+    thdt = jnp.asarray(th, dtype) * dt
+    X = solve_r(Y0 - thdt * Lr, thdw)
+    if solve_phi is not None:
+        X = solve_phi(X - thdt * Lp, thdw)
+    return solve_z(X - thdt * Lz, thdw)
 
 
 def adi_step_cyl_varprop_masked(T: jax.Array, grid: CylindricalGrid,
@@ -374,6 +431,7 @@ def adi_step_cyl_varprop_masked(T: jax.Array, grid: CylindricalGrid,
                                 robin_void: RobinBC | None = None,
                                 source: jax.Array | None = None,
                                 emissivity: float = 0.0,
+                                scheme: str = "be", theta: float = 0.5,
                                 implementation: str = "auto",
                                 interpret: bool | None = None,
                                 constrain=None) -> jax.Array:
@@ -390,7 +448,8 @@ def adi_step_cyl_varprop_masked(T: jax.Array, grid: CylindricalGrid,
                               robin_outer=robin_outer, zbc=zbc,
                               k_table=k_table, cp_table=cp_table,
                               robin_inner=robin_inner, source=source,
-                              emissivity=emissivity,
+                              emissivity=emissivity, scheme=scheme,
+                              theta=theta,
                               implementation=implementation,
                               interpret=interpret, constrain=constrain)
     T1 = jnp.where(active, T1, rvd.T_inf)

@@ -383,3 +383,65 @@ def test_compressed_tier_matches_materialized_and_xla():
                                    rtol=1e-12, atol=1e-9)
         np.testing.assert_allclose(np.asarray(c), np.asarray(a),
                                    rtol=1e-12, atol=1e-9)
+
+
+def test_douglas_constant_tables_reduce_to_constant_douglas():
+    """scheme='douglas' with constant tables must reproduce the constant-
+    property Douglas–Gunn step (step/cylindrical.adi_step scheme='douglas')
+    to f64 round-off — the affine operators and solves are the same
+    discretization, built from streams instead of closed-form operators."""
+    mat = Material(7800.0, 490.0, 54.0)
+    rob = RobinBC(300.0, 20.0)
+    rin = RobinBC(120.0, 25.0)
+    zbc = ZFaceBC(kind_bot="robin", h_bot=90.0, T_inf_bot=40.0,
+                  kind_top="robin", h_top=500.0, T_inf_top=25.0)
+    grid = CylindricalGrid(6, 16, 12, 5e-4, 1e-3, r_inner=0.02)
+    T0 = _smooth_field(grid, seed=3)
+    ref = adi_step(T0, grid, mat, dt=0.05, robin_outer=rob, robin_inner=rin,
+                   zbc=zbc, scheme="douglas", theta=0.5)
+    out = adi_step_cyl_varprop(T0, grid, mat, dt=0.05, robin_outer=rob,
+                               robin_inner=rin, zbc=zbc, scheme="douglas",
+                               theta=0.5, implementation="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-11, atol=1e-8)
+
+
+def test_douglas_second_order_in_time():
+    """Douglas at theta=0.5 converges ~O(dt^2) toward a tiny-dt reference
+    while BE converges ~O(dt): halving dt must shrink the Douglas error by
+    ~4x (>=3 demanded) and the BE error by ~2x, with variable k(T)
+    (the Picard property freeze is evaluated per sub-step in the reference
+    too, so it is not the limiting term at these rates)."""
+    mat = Material(7800.0, 490.0, 54.0)
+    rob = RobinBC(600.0, 20.0)
+    zbc = ZFaceBC(kind_bot="neumann0", kind_top="robin", h_top=700.0,
+                  T_inf_top=20.0)
+    grid = CylindricalGrid(6, 12, 10, 5e-4, 1e-3, r_inner=0.02)
+    kt = lambda T: 30.0 + 0.01 * T
+    T0 = _smooth_field(grid, seed=5, lo=100.0, hi=900.0)
+    t_end = 0.4
+
+    import functools
+
+    @functools.lru_cache(maxsize=None)
+    def stepper(scheme):
+        return jax.jit(lambda T, dt: adi_step_cyl_varprop(
+            T, grid, mat, dt=dt, robin_outer=rob, zbc=zbc, k_table=kt,
+            scheme=scheme, implementation="xla"))
+
+    def march(scheme, n):
+        T = T0
+        f = stepper(scheme)
+        dt = jnp.asarray(t_end / n, T0.dtype)
+        for _ in range(n):
+            T = f(T, dt)
+        return np.asarray(T)
+
+    ref = march("douglas", 128)
+    e_dg = [np.abs(march("douglas", n) - ref).max() for n in (8, 16)]
+    e_be = [np.abs(march("be", n) - ref).max() for n in (8, 16)]
+    r_dg = e_dg[0] / e_dg[1]
+    r_be = e_be[0] / e_be[1]
+    assert r_dg > 3.0, (e_dg, r_dg)          # ~4 = second order
+    assert 1.5 < r_be < 3.0, (e_be, r_be)    # ~2 = first order
+    assert e_dg[0] < e_be[0]                 # and Douglas is just better
