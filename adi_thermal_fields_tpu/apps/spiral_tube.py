@@ -58,6 +58,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--out", type=str, default="spiral_tube.gif")
     p.add_argument("--iphi_slice", type=int, default=0)
     p.add_argument("--precision", choices=["float32", "float64"], default="float32")
+    p.add_argument("--scheme", choices=["be", "douglas"], default="be",
+                   help="time scheme on the varprop step: backward Euler "
+                        "(robust near the latent-heat cp spike) or "
+                        "Douglas-Gunn (second order in time); varprop "
+                        "physics flags only")
     # variable-property physics (step/cylindrical_varprop.py) — the
     # reference's cylindrical core is constant-property; these flags mirror
     # the WAAM CLI's (apps/waam_from_stl.py)
@@ -189,6 +194,9 @@ def run(args) -> dict:
         mesh_dev = make_mesh(jax.devices()[:p_ * q_], shape=(p_, q_))
         log(f"sharding over {p_}x{q_} device mesh", tag="mesh")
 
+    if mesh_dev is not None and args.scheme != "be":
+        raise SystemExit("--scheme douglas is single-device for now "
+                         "(the sharded varprop wrapper chains BE sweeps)")
     if mesh_dev is not None:
         from ..dist.cylindrical import (sharded_cyl_varprop_step,
                                         sharded_cylindrical_masked_clamp_step,
@@ -227,7 +235,7 @@ def run(args) -> dict:
                     robin_inner=rob_in, active=a3, h_void=h_void,
                     T_inf_void=args.T_inf, h_front=args.h_end,
                     k_table=k_table, cp_table=cp_table,
-                    emissivity=args.emissivity)
+                    emissivity=args.emissivity, scheme=args.scheme)
         else:
             @jax.jit
             def step(T, active2d, dt):
@@ -237,7 +245,7 @@ def run(args) -> dict:
                     active=a3, robin_inner=rob_in,
                     robin_void=RobinBC(h_void, args.T_inf),
                     k_table=k_table, cp_table=cp_table,
-                    emissivity=args.emissivity)
+                    emissivity=args.emissivity, scheme=args.scheme)
     elif args.void_mode == "robin":
         @jax.jit
         def step(T, active2d, dt):
