@@ -94,6 +94,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(dist/cylindrical.py: each sweep's solve axis "
                         "chip-local, batch axes sharded; identical results "
                         "to single-device)")
+    p.add_argument("--vtk", type=str, default="",
+                   help="write the final state as a legacy VTK "
+                        "STRUCTURED_GRID with TRUE tube geometry [mm] "
+                        "(T, active, + thermal-history fields when "
+                        "tracked); ParaView renders the actual annulus")
     p.add_argument("--checkpoint", type=str, default="",
                    help="write a resume checkpoint (npz) at every frame")
     p.add_argument("--resume", type=str, default="",
@@ -371,6 +376,22 @@ def run(args) -> dict:
                 dphi=grid.dphi, dz=grid.dz,
                 active=a_fin.astype(np.uint8))
             log(f"saved {args.history_out}", tag="history")
+
+    if args.vtk:
+        from ..io.vtk import write_vtk_cylindrical_grid
+        a_fin = np.broadcast_to(
+            np.asarray(active_at(act, t))[None], grid.shape)
+        fields = {"T": np.where(a_fin, np.asarray(T), args.T_inf),
+                  "active": a_fin.astype(np.float32)}
+        if crits is not None:
+            fields["T_peak"] = out["history"]["peak"]
+            for kk, cc in enumerate(crits):
+                fields[f"t_above_{cc:g}C"] = out["history"]["t_above"][kk]
+        write_vtk_cylindrical_grid(
+            args.vtk, fields, r=np.asarray(grid.r) * 1e3,
+            dphi=grid.dphi, dz=grid.dz * 1e3, binary=True,
+            comment="adi_thermal_fields_tpu spiral_tube [mm]")
+        log(f"saved {args.vtk}", tag="vtk")
 
     if args.out:
         _save_gif(args.out, frames, grid, args)

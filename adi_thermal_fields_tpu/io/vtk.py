@@ -14,7 +14,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["write_vtk_structured_points", "read_vtk_structured_points"]
+__all__ = ["write_vtk_structured_points", "read_vtk_structured_points",
+           "write_vtk_cylindrical_grid"]
 
 
 def write_vtk_structured_points(path: str, fields: dict[str, np.ndarray], *,
@@ -94,3 +95,72 @@ def read_vtk_structured_points(path: str) -> dict[str, np.ndarray]:
                 arr = np.asarray(vals)
             fields[name] = arr.reshape(dims[2], dims[1], dims[0]).transpose(2, 1, 0)
     return fields
+
+
+def write_vtk_cylindrical_grid(path: str, fields: dict[str, np.ndarray], *,
+                               r, dphi: float, dz: float,
+                               z0: float = 0.0, phi0: float = 0.0,
+                               comment: str = "adi_thermal_fields_tpu",
+                               binary: bool = False,
+                               close_phi: bool = True) -> None:
+    """Legacy VTK STRUCTURED_GRID writer for cylindrical (nr, nphi, nz)
+    fields with TRUE tube geometry (explicit x,y,z points), so ParaView
+    renders the actual annulus instead of an index-space box — the
+    reference has no cylindrical output path at all (its spiral driver
+    writes GIFs only, quick_spiral_deposition_gif_v5.py).
+
+    r: cell-center radii, shape (nr,).  ``close_phi=True`` appends a
+    duplicate of the phi=0 plane so the tube renders closed (legacy VTK
+    has no periodic topology); point count becomes nr*(nphi+1)*nz.
+    Units are the caller's (the spiral app passes mm).
+    """
+    items = list(fields.items())
+    if not items:
+        raise ValueError("no fields to write")
+    nr, nphi, nz = np.asarray(items[0][1]).shape
+    r = np.asarray(r, float)
+    if r.shape != (nr,):
+        raise ValueError(f"r shape {r.shape} != ({nr},)")
+    npx = nphi + 1 if close_phi else nphi
+    phi = phi0 + dphi * np.arange(npx)
+    z = z0 + dz * np.arange(nz)
+    # point array in VTK F-order: first index (r) fastest, z slowest
+    R, PHI, Z = np.meshgrid(r, phi, z, indexing="ij")    # (nr, npx, nz)
+    pts = np.stack([R * np.cos(PHI), R * np.sin(PHI), Z], axis=-1)
+    pts_f = pts.transpose(2, 1, 0, 3).reshape(-1, 3)     # z, phi, r -> rows
+
+    def closed(a):
+        a = np.asarray(a)
+        if close_phi:
+            a = np.concatenate([a, a[:, :1]], axis=1)
+        return a
+
+    with open(path, "wb") as f:
+        w = lambda s: f.write(s.encode("ascii"))
+        w("# vtk DataFile Version 3.0\n")
+        w(comment + "\n")
+        w("BINARY\n" if binary else "ASCII\n")
+        w("DATASET STRUCTURED_GRID\n")
+        w(f"DIMENSIONS {nr} {npx} {nz}\n")
+        w(f"POINTS {nr * npx * nz} float\n")
+        if binary:
+            f.write(pts_f.astype(">f4").tobytes())
+            w("\n")
+        else:
+            for p in pts_f:
+                w(f"{p[0]:.9g} {p[1]:.9g} {p[2]:.9g}\n")
+        w(f"POINT_DATA {nr * npx * nz}\n")
+        for name, arr in items:
+            arr = closed(arr)
+            if arr.shape != (nr, npx, nz):
+                raise ValueError(f"field {name!r} shape mismatch")
+            w(f"SCALARS {name} float 1\n")
+            w("LOOKUP_TABLE default\n")
+            flat = np.asarray(arr, np.float32).transpose(2, 1, 0)
+            if binary:
+                f.write(flat.astype(">f4").tobytes())
+                w("\n")
+            else:
+                for plane in flat:
+                    for row in plane:
+                        w(" ".join(f"{v:.6g}" for v in row) + "\n")

@@ -404,3 +404,55 @@ def test_spiral_tube_app_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(r_resumed["history"]["t_above"],
                                r_straight["history"]["t_above"],
                                rtol=1e-13, atol=1e-13)
+
+
+def test_cylindrical_vtk_structured_grid(tmp_path):
+    """The cylindrical STRUCTURED_GRID writer emits valid legacy VTK with
+    true tube points: header geometry, closed phi seam (duplicated first
+    plane), and big-endian f32 payload sizes that account for every point."""
+    from adi_thermal_fields_tpu.io.vtk import write_vtk_cylindrical_grid
+
+    nr, nphi, nz = 3, 8, 5
+    rng = np.random.default_rng(0)
+    T = rng.random((nr, nphi, nz)).astype(np.float32)
+    r = 10.0 + np.arange(nr)
+    path = str(tmp_path / "tube.vtk")
+    write_vtk_cylindrical_grid(path, {"T": T}, r=r, dphi=2 * np.pi / nphi,
+                               dz=0.5, binary=True)
+    raw = open(path, "rb").read()
+    head = raw.split(b"LOOKUP_TABLE default\n")[0].decode("ascii",
+                                                          "ignore")
+    npts = nr * (nphi + 1) * nz
+    assert f"DIMENSIONS {nr} {nphi + 1} {nz}" in head
+    assert f"POINTS {npts} float" in head
+    assert f"POINT_DATA {npts}" in head
+    # payload: points block + one scalar block, both f32 big-endian
+    pts_start = raw.index(b"float\n") + len(b"float\n")
+    pts = np.frombuffer(raw[pts_start:pts_start + npts * 12], ">f4")
+    xyz = pts.reshape(-1, 3)
+    # radii recovered from the points match the input cell radii
+    rr = np.hypot(xyz[:, 0], xyz[:, 1])
+    assert np.isclose(rr.min(), r.min()) and np.isclose(rr.max(), r.max())
+    # the duplicated seam plane carries the phi=0 data
+    data_start = raw.index(b"LOOKUP_TABLE default\n") \
+        + len(b"LOOKUP_TABLE default\n")
+    vals = np.frombuffer(raw[data_start:data_start + npts * 4], ">f4")
+    grid_vals = vals.reshape(nz, nphi + 1, nr)
+    np.testing.assert_allclose(grid_vals[:, -1, :], grid_vals[:, 0, :])
+    np.testing.assert_allclose(grid_vals[0, 0, :], T[:, 0, 0])
+
+
+def test_spiral_tube_vtk_output(tmp_path):
+    from adi_thermal_fields_tpu.apps.spiral_tube import build_argparser, run
+
+    vtk = str(tmp_path / "tube.vtk")
+    args = build_argparser().parse_args([
+        "--R_out", "32", "--wall_thickness", "2", "--height", "4",
+        "--z_back", "8", "--nr", "4", "--nphi", "12", "--dz", "2",
+        "--pitch", "2", "--auto_speed", "--t_tot", "2", "--dt_fixed", "0.2",
+        "--nframes", "2", "--out", str(tmp_path / "sp.gif"),
+        "--history_t_crit", "800", "--history_out", "", "--vtk", vtk])
+    run(args)
+    raw = open(vtk, "rb").read()
+    assert b"DATASET STRUCTURED_GRID" in raw
+    assert b"SCALARS T_peak" in raw and b"SCALARS t_above_800C" in raw
