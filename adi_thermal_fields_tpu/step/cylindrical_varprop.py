@@ -64,7 +64,13 @@ __all__ = ["adi_step_cyl_varprop", "adi_step_cyl_varprop_masked"]
 
 
 def _props(T, mat_ref: Material, k_table, cp_table):
-    """k(T^n) and w = 1/(rho cp(T^n)) fields in T.dtype."""
+    """Per-axis (k_r, k_phi, k_z)(T^n) and w = 1/(rho cp(T^n)) in T.dtype.
+
+    k_table: None/scalar/callable (isotropic — one evaluation shared by all
+    three axes) or a 3-tuple of those (anisotropic conductivity, e.g. WAAM
+    beads conducting better along the deposition direction than across
+    layer interfaces — mirroring step/cartesian_varprop.adi_step_varprop's
+    per-axis tables)."""
     dtype = T.dtype
 
     def ev(tab, const):
@@ -74,10 +80,17 @@ def _props(T, mat_ref: Material, k_table, cp_table):
             return tab(T).astype(dtype)
         return jnp.full(T.shape, float(tab), dtype)
 
-    kf = ev(k_table, mat_ref.k)
+    if isinstance(k_table, (tuple, list)):
+        if len(k_table) != 3:
+            raise ValueError("anisotropic k_table must be a 3-tuple "
+                             "(k_r, k_phi, k_z)")
+        ks = tuple(ev(t, mat_ref.k) for t in k_table)
+    else:
+        kf = ev(k_table, mat_ref.k)
+        ks = (kf, kf, kf)
     cpf = ev(cp_table, mat_ref.cp)
     w = (1.0 / (mat_ref.rho * cpf)).astype(dtype)
-    return kf, w
+    return ks, w
 
 
 def _face_phi(kf, active):
@@ -134,7 +147,9 @@ def adi_step_cyl_varprop(T: jax.Array, grid: CylindricalGrid,
 
     k_table / cp_table: None (constant), a scalar, or a traceable
     ``T -> field`` callable (e.g. PropertyTable, apparent_cp for latent
-    heat, melt_pool_enhanced_k — step/cartesian_varprop.py).
+    heat, melt_pool_enhanced_k — step/cartesian_varprop.py).  k_table may
+    also be a 3-tuple (k_r, k_phi, k_z) of those for ANISOTROPIC
+    conductivity (mirroring the Cartesian per-axis tables).
     With both None and no mask this reduces exactly to the constant
     backward-Euler step (tested to f64 tolerance vs cylindrical.adi_step).
 
@@ -176,7 +191,7 @@ def adi_step_cyl_varprop(T: jax.Array, grid: CylindricalGrid,
     dt = jnp.asarray(dt, dtype)
     act = None if active is None else active.astype(bool)
 
-    kf, w = _props(T, mat_ref, k_table, cp_table)
+    (kf_r, kf_p, kf_z), w = _props(T, mat_ref, k_table, cp_table)
     dw = dt * w
 
     # --- geometry columns (static numpy, as step/cylindrical._r_geometry) --
@@ -219,7 +234,7 @@ def adi_step_cyl_varprop(T: jax.Array, grid: CylindricalGrid,
     # L_i(T) = w*(couplings(T) - (couplings + sink)*T + srhs) from the SAME
     # streams, so the corrections cancel exactly (steady states are fixed
     # points, as in step/cylindrical.r_operator/z_operator).
-    fr = _face_g(kf, 0, -1, act if act is not None else
+    fr = _face_g(kf_r, 0, -1, act if act is not None else
                  jnp.ones(T.shape, bool)).astype(dtype)
     fr_hi = jnp.concatenate([fr[1:], jnp.zeros_like(fr[:1])], axis=0)
     sink_r = jnp.zeros(T.shape, dtype)
@@ -267,7 +282,7 @@ def adi_step_cyl_varprop(T: jax.Array, grid: CylindricalGrid,
     # --- phi streams (axis 1, periodic) -----------------------------------
     if nphi > 1:
         gphi = col(1.0 / (r * r * grid.dphi * grid.dphi))
-        fp = _face_phi(kf, act).astype(dtype)
+        fp = _face_phi(kf_p, act).astype(dtype)
         if not grid.is_annular:
             fp = fp.at[0].set(0.0)      # axis-row regularity (full disk)
         fp_hi = jnp.roll(fp, -1, axis=1)
@@ -307,7 +322,7 @@ def adi_step_cyl_varprop(T: jax.Array, grid: CylindricalGrid,
         solve_phi = None
 
     # --- z streams (axis 2) -------------------------------------------------
-    fz = _face_g(kf, 2, -1, act if act is not None else
+    fz = _face_g(kf_z, 2, -1, act if act is not None else
                  jnp.ones(T.shape, bool)).astype(dtype)
     fz_hi = jnp.concatenate([fz[:, :, 1:], jnp.zeros_like(fz[:, :, :1])],
                             axis=2)

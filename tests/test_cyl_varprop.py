@@ -445,3 +445,31 @@ def test_douglas_second_order_in_time():
     assert r_dg > 3.0, (e_dg, r_dg)          # ~4 = second order
     assert 1.5 < r_be < 3.0, (e_be, r_be)    # ~2 = first order
     assert e_dg[0] < e_be[0]                 # and Douglas is just better
+
+
+def test_anisotropic_k_tuple():
+    """k_table as a 3-tuple (k_r, k_phi, k_z): identical entries reproduce
+    the isotropic run exactly, and killing one axis' conductivity leaves
+    that direction's gradients standing (direction sensitivity)."""
+    mat = Material(7800.0, 490.0, 54.0)
+    rob = RobinBC(0.0, 20.0)
+    zbc = ZFaceBC(kind_bot="neumann0", kind_top="neumann0")
+    grid = CylindricalGrid(5, 12, 10, 6e-4, 8e-4, r_inner=0.015)
+    kt = lambda T: 30.0 + 0.01 * T
+    T0 = _smooth_field(grid, seed=6, lo=100.0, hi=900.0)
+    kw = dict(dt=0.2, robin_outer=rob, zbc=zbc, implementation="xla")
+
+    iso = adi_step_cyl_varprop(T0, grid, mat, k_table=kt, **kw)
+    tup = adi_step_cyl_varprop(T0, grid, mat, k_table=(kt, kt, kt), **kw)
+    np.testing.assert_array_equal(np.asarray(tup), np.asarray(iso))
+
+    no_z = adi_step_cyl_varprop(T0, grid, mat, k_table=(kt, kt, 1e-9), **kw)
+    zvar = lambda X: float(jnp.var(jnp.diff(X, axis=2)))
+    assert zvar(no_z) > 3.0 * zvar(iso)      # z gradients survive
+    # the phi cell pitch (r dphi) is ~10x coarser than dz here, so compare
+    # a killed k_phi against a strongly ENHANCED one instead of isotropic
+    no_p = adi_step_cyl_varprop(T0, grid, mat, k_table=(kt, 1e-9, kt), **kw)
+    hi_p = adi_step_cyl_varprop(
+        T0, grid, mat, k_table=(kt, lambda T: 100.0 * kt(T), kt), **kw)
+    pvar = lambda X: float(jnp.var(X - jnp.roll(X, 1, axis=1)))
+    assert pvar(no_p) > 3.0 * pvar(hi_p)     # phi gradients survive
