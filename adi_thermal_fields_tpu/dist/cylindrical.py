@@ -27,7 +27,7 @@ from ..solvers.spectral import phi_solve_spectral
 __all__ = ["sharded_cylindrical_step", "sharded_cylindrical_masked_step",
            "sharded_cylindrical_masked_step_pallas",
            "sharded_cylindrical_masked_clamp_step",
-           "sharded_cyl_varprop_step"]
+           "sharded_cyl_varprop_step", "sharded_cyl_varprop_longz"]
 
 
 def sharded_cylindrical_step(grid: CylindricalGrid, mat: Material, mesh: Mesh,
@@ -310,5 +310,52 @@ def sharded_cyl_varprop_step(grid: CylindricalGrid, mat_ref: Material,
                 T_inf_void=T_inf_void, h_front=h_front,
                 emissivity=emissivity, implementation="xla", constrain=cz)
             return cz(out, "r")
+
+    return step
+
+
+def sharded_cyl_varprop_longz(grid: CylindricalGrid, mat_ref: Material,
+                              mesh: Mesh, *, robin_outer: RobinBC,
+                              zbc: ZFaceBC, k_table=None, cp_table=None,
+                              robin_inner: RobinBC | None = None,
+                              h_void: float = 0.0, T_inf_void: float = 20.0,
+                              h_front: float | None = None,
+                              emissivity: float = 0.0):
+    """Long-axis decomposition for TALL TUBES: the z axis ITSELF is sharded
+    over a 1-D mesh and the field NEVER reshards — the natural layout for
+    the cylindrical family's dominant shape (nz >> nr, nphi).
+
+    The r sweep and the cyclic phi solve are chip-local with z as a batch
+    axis (the varprop property/face/sink streams are elementwise + one-cell
+    z shifts, which lower to collective-permutes); the z sweep runs the
+    substructured distributed tridiagonal solve (dist/substructured.py,
+    one tiny interface all-gather) through adi_step_cyl_varprop's
+    ``z_solver`` hook.  ``step(T, active, dt)``; substructuring rounds
+    differ by ~ulps from the sequential Thomas."""
+    from ..step.cylindrical_varprop import adi_step_cyl_varprop
+    from .substructured import substructured_thomas
+
+    if len(mesh.axis_names) != 1:
+        raise ValueError("longz decomposition expects a 1-D mesh")
+    ax = mesh.axis_names[0]
+    spec = P(None, None, ax)
+
+    def cz(x, stage):
+        # every stage keeps the SAME z-sharded layout (no resharding)
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    def zsolve(a, b, c, d):
+        # z-leading (nz, nr, nphi): solve axis sharded over ax
+        return substructured_thomas(a, b, c, d, mesh, ax)
+
+    @jax.jit
+    def step(T, active, dt):
+        out = adi_step_cyl_varprop(
+            cz(T, "r"), grid, mat_ref, dt=dt, robin_outer=robin_outer,
+            zbc=zbc, k_table=k_table, cp_table=cp_table,
+            robin_inner=robin_inner, active=active, h_void=h_void,
+            T_inf_void=T_inf_void, h_front=h_front, emissivity=emissivity,
+            implementation="xla", constrain=cz, z_solver=zsolve)
+        return cz(out, "r")
 
     return step

@@ -135,7 +135,7 @@ def adi_step_cyl_varprop(T: jax.Array, grid: CylindricalGrid,
                          scheme: str = "be", theta: float = 0.5,
                          implementation: str = "auto",
                          interpret: bool | None = None,
-                         constrain=None) -> jax.Array:
+                         constrain=None, z_solver=None) -> jax.Array:
     """One variable-property cylindrical step (see module docstring).
 
     scheme: "be" (backward Euler, default — robust near the latent-heat
@@ -178,6 +178,12 @@ def adi_step_cyl_varprop(T: jax.Array, grid: CylindricalGrid,
     here so every solve axis is chip-local.  With a constrain hook the
     "auto" implementation stays on the XLA scan solvers (globally-shaped
     Pallas calls cannot be partitioned).
+
+    z_solver: optional ``(a, b, c, d) -> x`` tridiagonal solver in the
+    z-LEADING (nz, nr, nphi) layout replacing the default z solve — the
+    long-axis decomposition (dist/cylindrical.sharded_cyl_varprop_longz)
+    passes the substructured distributed Thomas here so a z-sharded field
+    never reshards.
     """
     if implementation == "auto":
         implementation = ("pallas" if (jax.default_backend() == "tpu"
@@ -373,6 +379,14 @@ def adi_step_cyl_varprop(T: jax.Array, grid: CylindricalGrid,
             if act is not None:   # void end cells hold their value instead
                 pin = jnp.where(act[:, :, idx], pin, dz_rhs[:, :, idx])
             dz_rhs = dz_rhs.at[:, :, idx].set(pin)
+        if z_solver is not None:
+            colz = lambda v: jnp.asarray(v, dtype)[None, None, :]
+            az = -dwx * colz(geoz) * fz
+            cz = -dwx * colz(geoz) * fz_hi
+            bz = 1.0 + dwx * (colz(geoz) * (fz + fz_hi) + sink_z)
+            return jnp.moveaxis(
+                z_solver(t2(az), t2(bz), t2(cz),
+                         t2(dz_rhs + dwx * srhs_z)), 0, 2)
         if implementation == "pallas":
             from ..solvers.pallas_vpfields import fused_vp_fields_sweep
 

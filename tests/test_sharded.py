@@ -588,3 +588,45 @@ def test_sharded_cyl_varprop_masked_clamp_matches_single_device():
     out = step(jax.device_put(T0, sh), jax.device_put(act, sh), dt)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_sharded_cyl_varprop_longz_matches_single_device():
+    """Tall-tube decomposition: z itself sharded over a 1-D 8-device mesh,
+    r/phi solves chip-local, z solved by the substructured distributed
+    Thomas — matches the single-device varprop step to substructuring
+    round-off (~1e-9 at f64)."""
+    from adi_thermal_fields_tpu import (CylindricalGrid, RobinBC, ZFaceBC,
+                                        PropertyTable)
+    from adi_thermal_fields_tpu.dist.cylindrical import (
+        sharded_cyl_varprop_longz)
+    from adi_thermal_fields_tpu.step.cylindrical_varprop import (
+        adi_step_cyl_varprop)
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    grid = CylindricalGrid(5, 12, 32, 5e-4, 1e-3, r_inner=0.02)
+    mat = Material(7800.0, 490.0, 54.0)
+    rob = RobinBC(350.0, 20.0)
+    zbc = ZFaceBC(kind_bot="neumann0", kind_top="robin", h_top=500.0,
+                  T_inf_top=25.0)
+    kt = PropertyTable(jnp.array([0.0, 2000.0]), jnp.array([30.0, 70.0]))
+    rng = np.random.default_rng(9)
+    T0 = jnp.asarray(20.0 + 1500.0 * rng.random(grid.shape))
+    act = jnp.asarray(rng.random(grid.shape) > 0.25)
+    dt = 0.05
+    kw = dict(robin_outer=rob, zbc=zbc, robin_inner=rob, k_table=kt,
+              h_void=40.0, T_inf_void=20.0, h_front=120.0, emissivity=0.4)
+
+    ref = T0
+    for _ in range(2):
+        ref = adi_step_cyl_varprop(ref, grid, mat, dt=dt, active=act, **kw)
+
+    mesh = Mesh(np.asarray(jax.devices()), ("z",))
+    step = sharded_cyl_varprop_longz(grid, mat, mesh, **kw)
+    sh = NamedSharding(mesh, P(None, None, "z"))
+    T = jax.device_put(T0, sh)
+    a = jax.device_put(act, sh)
+    for _ in range(2):
+        T = step(T, a, dt)
+    assert len(T.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(T), np.asarray(ref),
+                               rtol=1e-9, atol=1e-8)
