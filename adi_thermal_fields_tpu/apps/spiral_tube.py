@@ -80,6 +80,15 @@ def build_argparser() -> argparse.ArgumentParser:
                         "radiative film h_rad(T) to every exposed surface "
                         "(dominates convection at WAAM temperatures); "
                         "requires the varprop step (robin void mode)")
+    p.add_argument("--torch_Q", type=float, default=0.0,
+                   help="moving torch power [W]: a Gaussian volumetric "
+                        "source of width --torch_sigma centred on the "
+                        "nozzle (position derived from the deposition "
+                        "kinematics), normalized so the domain integral "
+                        "is exactly Q — heat INPUT physics on top of the "
+                        "hot-deposit births (single-device)")
+    p.add_argument("--torch_sigma", type=float, default=3.0,
+                   help="torch Gaussian sigma [mm]")
     p.add_argument("--history_t_crit", type=str, default=None,
                    help="track per-voxel thermal history: peak temperature "
                         "and seconds above each comma-separated threshold "
@@ -233,39 +242,40 @@ def run(args) -> dict:
 
         if args.void_mode == "robin":
             @jax.jit
-            def step(T, active2d, dt):
+            def step(T, active2d, dt, src=None):
                 a3 = jnp.broadcast_to(active2d[None, :, :], grid.shape)
                 return adi_step_cyl_varprop(
                     T, grid, mat, dt=dt, robin_outer=rob_out, zbc=zbc,
                     robin_inner=rob_in, active=a3, h_void=h_void,
                     T_inf_void=args.T_inf, h_front=args.h_end,
-                    k_table=k_table, cp_table=cp_table,
+                    k_table=k_table, cp_table=cp_table, source=src,
                     emissivity=args.emissivity, scheme=args.scheme)
         else:
             @jax.jit
-            def step(T, active2d, dt):
+            def step(T, active2d, dt, src=None):
                 a3 = jnp.broadcast_to(active2d[None, :, :], grid.shape)
                 return adi_step_cyl_varprop_masked(
                     T, grid, mat, dt=dt, robin_outer=rob_out, zbc=zbc,
                     active=a3, robin_inner=rob_in,
                     robin_void=RobinBC(h_void, args.T_inf),
-                    k_table=k_table, cp_table=cp_table,
+                    k_table=k_table, cp_table=cp_table, source=src,
                     emissivity=args.emissivity, scheme=args.scheme)
     elif args.void_mode == "robin":
         @jax.jit
-        def step(T, active2d, dt):
+        def step(T, active2d, dt, src=None):
             a3 = jnp.broadcast_to(active2d[None, :, :], grid.shape)
             return adi_step_masked_robin(
                 T, grid, mat, dt=dt, active=a3, robin_outer=rob_out, zbc=zbc,
                 robin_inner=rob_in, h_void=h_void, T_inf_void=args.T_inf,
-                h_front=args.h_end)
+                h_front=args.h_end, source=src)
     else:
         @jax.jit
-        def step(T, active2d, dt):
+        def step(T, active2d, dt, src=None):
             a3 = jnp.broadcast_to(active2d[None, :, :], grid.shape)
             return step_clamp(T, grid, mat, dt=dt, robin_outer=rob_out,
                               zbc=zbc, active=a3, robin_inner=rob_in,
-                              robin_void=RobinBC(h_void, args.T_inf))
+                              robin_void=RobinBC(h_void, args.T_inf),
+                              source=src)
 
     dtype = jnp.float32 if args.precision == "float32" else jnp.float64
     T = jnp.full(grid.shape, args.T_inf, dtype)
@@ -300,6 +310,41 @@ def run(args) -> dict:
             pk = jnp.maximum(pk, T)
             above = T[None] > tc[:, None, None, None]
             return pk, ta + jnp.asarray(dt, ta.dtype) * above
+
+    # moving torch: Gaussian volumetric source [W/m^3] centred on the
+    # nozzle; position derived from the SAME kinematics as the activation
+    # times (birth/spiral.py: layer L, loop fraction t/tau_loop)
+    torch_on = args.torch_Q > 0.0
+    if torch_on:
+        if mesh_dev is not None:
+            raise SystemExit("--torch_Q is single-device for now (the "
+                             "sharded step wrappers take no source field)")
+        log(f"torch: Q={args.torch_Q:g} W, sigma={args.torch_sigma:g} mm",
+            tag="torch")
+        r_np = np.asarray(grid.r)
+        vol = jnp.asarray((r_np * grid.dr * grid.dphi * grid.dz)
+                          [:, None, None], dtype)      # cell volumes
+        phis = jnp.asarray(grid.dphi * np.arange(grid.nphi), dtype)
+        zs = jnp.asarray(grid.dz * (np.arange(grid.nz) + 0.5), dtype)
+        sig = jnp.asarray(args.torch_sigma * mm, dtype)
+        r_mid_t = jnp.asarray(r_mid, dtype)
+        tau_layer = tau_loop * args.loops_per_layer
+
+        @jax.jit
+        def torch_source(t, active2d):
+            frac = (t / tau_loop) % 1.0
+            phi_n = 2.0 * jnp.pi * frac
+            lay = jnp.clip(jnp.floor(t / tau_layer), 0, n_layers - 1)
+            z_n = (iz_base + (lay + 1.0) * layer_cells - 0.5) * grid.dz
+            dphi_w = jnp.abs(((phis - phi_n) + jnp.pi) % (2 * jnp.pi)
+                             - jnp.pi)
+            arc2 = (r_mid_t * dphi_w) ** 2                 # (nphi,)
+            dz2 = (zs - z_n) ** 2                          # (nz,)
+            G = jnp.exp(-(arc2[:, None] + dz2[None, :]) / (2.0 * sig * sig))
+            G3 = jnp.broadcast_to(G[None], grid.shape) \
+                * jnp.broadcast_to(active2d[None], grid.shape)
+            norm = jnp.sum(G3 * vol) + jnp.asarray(1e-30, dtype)
+            return (args.torch_Q / norm) * G3              # [W/m^3]
 
     # checkpoint/resume (io/checkpoint.py): resume is by simulation time —
     # the deposition schedule recomputes from the CLI args, so the state is
@@ -342,7 +387,11 @@ def run(args) -> dict:
         newborn = newborn_between(act, t, t_next)
         T = jnp.where(newborn[None, :, :], args.Ts, T)
         active = active_at(act, t_next)
-        T = step(T, active, jnp.asarray(dt, dtype))
+        if torch_on:
+            src = torch_source(jnp.asarray(t + 0.5 * dt, dtype), active)
+            T = step(T, active, jnp.asarray(dt, dtype), src)
+        else:
+            T = step(T, active, jnp.asarray(dt, dtype))
         if crits is not None:
             pk, ta = hist_update(pk, ta, T, newborn, jnp.asarray(dt, dtype))
         t = t_next

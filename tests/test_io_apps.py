@@ -456,3 +456,33 @@ def test_spiral_tube_vtk_output(tmp_path):
     raw = open(vtk, "rb").read()
     assert b"DATASET STRUCTURED_GRID" in raw
     assert b"SCALARS T_peak" in raw and b"SCALARS t_above_800C" in raw
+
+
+def test_spiral_tube_torch_source(tmp_path):
+    """--torch_Q injects normalized Gaussian power at the nozzle: the run
+    is strictly hotter than the no-torch run, and the extra energy in the
+    part is of order Q*t (loose bound — films bleed some off)."""
+    from adi_thermal_fields_tpu.apps.spiral_tube import build_argparser, run
+
+    base = ["--R_out", "32", "--wall_thickness", "2", "--height", "4",
+            "--z_back", "8", "--nr", "4", "--nphi", "16", "--dz", "2",
+            "--pitch", "2", "--auto_speed", "--t_tot", "2",
+            "--dt_fixed", "0.2", "--nframes", "2",
+            "--precision", "float64", "--history_out", ""]
+    r0 = run(build_argparser().parse_args(
+        base + ["--out", str(tmp_path / "a.gif")]))
+    rq = run(build_argparser().parse_args(
+        base + ["--out", str(tmp_path / "b.gif"),
+                "--torch_Q", "2000", "--torch_sigma", "4"]))
+    t, T0f, a = r0["frames"][-1]
+    _, TQf, _ = rq["frames"][-1]
+    assert (TQf[a] >= T0f[a] - 1e-9).all()
+    dE = float(((TQf - T0f) * a).sum())    # proportional to added energy
+    assert dE > 0.0
+    # rho*cp*sum(dT*V) <= Q*t (films only REMOVE energy)
+    import numpy as np_
+    grid = rq["grid"]
+    vol = (np_.asarray(grid.r) * grid.dr * grid.dphi
+           * grid.dz)[:, None, None]
+    E = 7800.0 * 490.0 * float(((TQf - T0f) * a * vol).sum())
+    assert 0.0 < E <= 2000.0 * t * 1.01, E
