@@ -473,3 +473,33 @@ def test_anisotropic_k_tuple():
         T0, grid, mat, k_table=(kt, lambda T: 100.0 * kt(T), kt), **kw)
     pvar = lambda X: float(jnp.var(X - jnp.roll(X, 1, axis=1)))
     assert pvar(no_p) > 3.0 * pvar(hi_p)     # phi gradients survive
+
+
+def test_xla_tier_is_differentiable():
+    """jax.grad flows through the varprop step's scan tier: gradients of a
+    final-field loss wrt the base conductivity and wrt the initial field
+    match central finite differences."""
+    mat = Material(7800.0, 490.0, 54.0)
+    rob = RobinBC(300.0, 20.0)
+    zbc = ZFaceBC(kind_bot="neumann0", kind_top="robin", h_top=400.0,
+                  T_inf_top=20.0)
+    grid = CylindricalGrid(4, 8, 6, 6e-4, 8e-4, r_inner=0.015)
+    T0 = _smooth_field(grid, seed=8, lo=100.0, hi=900.0)
+
+    def loss(k0, T0):
+        kt = lambda T: k0 + 0.02 * T
+        T = T0
+        for _ in range(2):
+            T = adi_step_cyl_varprop(T, grid, mat, dt=0.05, robin_outer=rob,
+                                     zbc=zbc, k_table=kt,
+                                     implementation="xla")
+        return jnp.mean(T * T)
+
+    g_k, g_T = jax.grad(loss, argnums=(0, 1))(30.0, T0)
+    eps = 1e-4
+    fd_k = (loss(30.0 + eps, T0) - loss(30.0 - eps, T0)) / (2 * eps)
+    np.testing.assert_allclose(float(g_k), float(fd_k), rtol=1e-6)
+    v = _smooth_field(grid, seed=9, lo=-1.0, hi=1.0)
+    fd_T = (loss(30.0, T0 + eps * v) - loss(30.0, T0 - eps * v)) / (2 * eps)
+    np.testing.assert_allclose(float(jnp.vdot(g_T, v)), float(fd_T),
+                               rtol=1e-6)
