@@ -33,6 +33,22 @@ _masked_finite = jax.jit(
     lambda T, m: jnp.isfinite(jnp.where(m, T, 0.0)).all())
 
 
+def history_update(pk, ta, T, dt, tc, multi):
+    """One sub-step of the per-voxel thermal-history state: running peak
+    and dt-weighted time-above-threshold (leading threshold axis on ``ta``
+    when ``multi``).  The SINGLE definition of the history semantics —
+    shared by the engine's fused advance loop and the spiral_tube app."""
+    import jax.numpy as jnp
+
+    pk = jnp.maximum(pk, T)
+    if multi:
+        above = T[None] > tc[(slice(None),) + (None,) * T.ndim]
+    else:
+        above = T > tc[0]
+    ta = ta + jnp.asarray(dt, ta.dtype) * above
+    return pk, ta
+
+
 def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
                           theta: float = 0.5, t_inf: float = 20.0,
                           robin_h=None, neumann=None,
@@ -395,12 +411,7 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
             def body(i, carry):
                 Tp, pk, ta = carry
                 Tp = step1(Tp, prep, dt, *clock(i))
-                pk = jnp.maximum(pk, Tp)
-                if multi:
-                    above = Tp[None] > tc[(slice(None),) + (None,) * Tp.ndim]
-                else:
-                    above = Tp > tc[0]
-                ta = ta + jnp.asarray(dt, ta.dtype) * above
+                pk, ta = history_update(pk, ta, Tp, dt, tc, multi)
                 return (Tp, pk, ta)
 
             Tp, pk, ta = lax.fori_loop(0, n_sub, body, carry)

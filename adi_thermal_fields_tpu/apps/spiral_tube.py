@@ -59,10 +59,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--iphi_slice", type=int, default=0)
     p.add_argument("--precision", choices=["float32", "float64"], default="float32")
     p.add_argument("--scheme", choices=["be", "douglas"], default="be",
-                   help="time scheme on the varprop step: backward Euler "
-                        "(robust near the latent-heat cp spike) or "
-                        "Douglas-Gunn (second order in time); varprop "
-                        "physics flags only")
+                   help="time scheme: backward Euler (robust near the "
+                        "latent-heat cp spike) or Douglas-Gunn (second "
+                        "order in time; routes through the varprop step, "
+                        "single-device)")
     # variable-property physics (step/cylindrical_varprop.py) — the
     # reference's cylindrical core is constant-property; these flags mirror
     # the WAAM CLI's (apps/waam_from_stl.py)
@@ -194,7 +194,11 @@ def run(args) -> dict:
         log(f"radiative film: eps={args.emissivity:g} on every exposed "
             "surface (Picard h_rad(T))", tag="varprop")
     varprop = (k_table is not None or cp_table is not None
-               or args.emissivity > 0.0)
+               or args.emissivity > 0.0 or args.scheme != "be")
+    if args.scheme != "be" and k_table is None and cp_table is None \
+            and args.emissivity == 0.0:
+        log("scheme=douglas routes through the varprop step with constant "
+            "tables (identical physics, second-order time)", tag="scheme")
     if args.emissivity > 0.0 and args.void_mode != "robin":
         log("clamp void mode: radiation applies on the domain faces only "
             "(the clamp scheme has no material/void interface films)",
@@ -302,14 +306,16 @@ def run(args) -> dict:
         ta = jnp.zeros((len(crits),) + grid.shape, dtype)
         log(f"thermal history: peak + t_above{crits} C", tag="history")
 
+        from .engine import history_update
+
         @jax.jit
         def hist_update(pk, ta, T, newborn2d, dt):
+            # birth reset (EventLoop does this for the Cartesian engine),
+            # then the SHARED engine history semantics (apps/engine.py)
             nb = jnp.broadcast_to(newborn2d[None, :, :], T.shape)
             pk = jnp.where(nb, jnp.asarray(args.Ts, T.dtype), pk)
             ta = jnp.where(nb[None], jnp.zeros((), ta.dtype), ta)
-            pk = jnp.maximum(pk, T)
-            above = T[None] > tc[:, None, None, None]
-            return pk, ta + jnp.asarray(dt, ta.dtype) * above
+            return history_update(pk, ta, T, dt, tc, multi=True)
 
     # moving torch: Gaussian volumetric source [W/m^3] centred on the
     # nozzle; position derived from the SAME kinematics as the activation
@@ -367,6 +373,14 @@ def run(args) -> dict:
                 raise SystemExit(
                     f"checkpoint thermal-history has {ha.shape[0]} "
                     f"thresholds, --history_t_crit has {len(crits)}")
+            ck_crits = tuple(float(v) for v in
+                             np.atleast_1d(st.meta.get("history_crits",
+                                                       np.asarray(crits))))
+            if ck_crits != crits:
+                raise SystemExit(
+                    f"checkpoint thermal-history thresholds {ck_crits} != "
+                    f"--history_t_crit {crits}; resuming would mix "
+                    "accumulators measured against different temperatures")
             pk = jnp.asarray(st.meta["history_peak"], dtype)
             ta = jnp.asarray(ha, dtype)
         log(f"resumed t={st.t:.3f} s (step {i0}/{n_steps})", tag="resume")
@@ -376,7 +390,8 @@ def run(args) -> dict:
         meta = None
         if crits is not None:
             meta = {"history_peak": np.asarray(pk),
-                    "history_above": np.asarray(ta)}
+                    "history_above": np.asarray(ta),
+                    "history_crits": np.asarray(crits)}
         save_checkpoint(args.checkpoint, RunState(
             T=np.asarray(T), active=np.asarray(active), t=t, meta=meta))
 
@@ -442,9 +457,11 @@ def run(args) -> dict:
             comment="adi_thermal_fields_tpu spiral_tube [mm]")
         log(f"saved {args.vtk}", tag="vtk")
 
-    if args.out:
+    if args.out and frames:
         _save_gif(args.out, frames, grid, args)
         log(f"saved {args.out}", tag="gif")
+    elif args.out:
+        log("no steps ran (resume at/past t_tot); gif skipped", tag="gif")
     return out
 
 

@@ -486,3 +486,28 @@ def test_spiral_tube_torch_source(tmp_path):
            * grid.dz)[:, None, None]
     E = 7800.0 * 490.0 * float(((TQf - T0f) * a * vol).sum())
     assert 0.0 < E <= 2000.0 * t * 1.01, E
+
+
+def test_spiral_tube_resume_at_end_and_crit_mismatch(tmp_path):
+    """Resume edge cases: resuming AT t_tot runs zero steps without
+    crashing (gif skipped, result returned), and resuming with different
+    --history_t_crit VALUES of the same arity is rejected."""
+    import pytest
+    from adi_thermal_fields_tpu.apps.spiral_tube import build_argparser, run
+
+    base = ["--R_out", "32", "--wall_thickness", "2", "--height", "4",
+            "--z_back", "8", "--nr", "4", "--nphi", "16", "--dz", "2",
+            "--pitch", "2", "--speed", "40", "--dt_fixed", "0.2",
+            "--nframes", "2", "--history_out", ""]
+    ck = str(tmp_path / "ck.npz")
+    run(build_argparser().parse_args(
+        base + ["--t_tot", "1", "--history_t_crit", "800,500",
+                "--checkpoint", ck, "--out", str(tmp_path / "a.gif")]))
+    r = run(build_argparser().parse_args(
+        base + ["--t_tot", "1", "--history_t_crit", "800,500",
+                "--resume", ck, "--out", str(tmp_path / "b.gif")]))
+    assert "history" in r and not (tmp_path / "b.gif").exists()
+    with pytest.raises(SystemExit, match="thresholds"):
+        run(build_argparser().parse_args(
+            base + ["--t_tot", "2", "--history_t_crit", "900,400",
+                    "--resume", ck, "--out", str(tmp_path / "c.gif")]))
