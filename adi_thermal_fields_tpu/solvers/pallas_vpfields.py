@@ -158,7 +158,8 @@ def _vp_fields_kernel(glo_ref, ghi_ref, d_hbm, f_hbm, w_hbm, sink_hbm,
 
 def fused_vp_fields_sweep(rhs, fhi, dw, sink, srhs, geo_lo, geo_hi, *,
                           interpret: bool = False, block_b1: int = 8,
-                          block_b2: int = 256, chunk: int = 64):
+                          block_b2: int = 256, chunk: int = 64,
+                          pipelined: bool | None = None):
     """Variable-property implicit sweep along axis 0 of (n, B1, B2) arrays
     with per-row geometry columns (module docstring).
 
@@ -194,6 +195,48 @@ def fused_vp_fields_sweep(rhs, fhi, dw, sink, srhs, geo_lo, geo_hi, *,
     grid = (P1 // block_b1, P2 // block_b2)
     hbm = pl.BlockSpec(memory_space=pl.ANY)
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    # short lines (whole line = one chunk) have zero DMA/compute overlap in
+    # the streaming form — pipeline across batch tiles instead whenever the
+    # whole-line tile buffers fit (the masked family's measured ~18% win)
+    itemsz = jnp.dtype(dtype).itemsize
+    tile_bytes = n_pad * block_b1 * block_b2 * (
+        2 * 5 * itemsz                  # 2 slots x 5 streams
+        + 2 * jnp.dtype(cdt).itemsize   # cp/dp line buffers
+        + itemsz)                       # obuf
+    if pipelined is None:
+        pipelined = n_pad <= cn and tile_bytes <= 48 * 1024 * 1024
+
+    if pipelined:
+        scratch = [
+            pltpu.VMEM((n_pad, block_b1, block_b2), cdt),        # x / cp
+            pltpu.VMEM((n_pad, block_b1, block_b2), cdt),        # dp
+            pltpu.VMEM((2, n_pad, block_b1, block_b2), dtype),   # rhs tiles
+            pltpu.VMEM((2, n_pad, block_b1, block_b2), dtype),   # fhi tiles
+            pltpu.VMEM((2, n_pad, block_b1, block_b2), dtype),   # dw tiles
+            pltpu.VMEM((2, n_pad, block_b1, block_b2), dtype),   # sink tiles
+            pltpu.VMEM((2, n_pad, block_b1, block_b2), dtype),   # srhs tiles
+            pltpu.VMEM((n_pad, block_b1, block_b2), dtype),      # out stage
+            pltpu.SemaphoreType.DMA((5,)),
+            pltpu.SemaphoreType.DMA,
+        ]
+        out = pl.pallas_call(
+            functools.partial(_vp_fields_pipe_kernel, n=n_pad,
+                              b1=block_b1, b2=block_b2,
+                              nt1=P1 // block_b1, nt2=P2 // block_b2),
+            grid=grid,
+            in_specs=[sspec, sspec, hbm, hbm, hbm, hbm, hbm],
+            out_specs=hbm,
+            out_shape=jax.ShapeDtypeStruct((n_pad, P1, P2), dtype),
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(geo_lo.astype(cdt), geo_hi.astype(cdt), rhs, fhi, dw, sink, srhs)
+        if p1 or p2 or pn:
+            out = out[:n, :b1, :b2]
+        return out
 
     scratch = [
         pltpu.VMEM((n_pad, block_b1, block_b2), cdt),    # x / cp
@@ -443,3 +486,123 @@ def fused_vp_fields_cyclic_axis1(rhs, flo, fhi, dw, sink, srhs, geo, *,
     if p1 or p2 or pn:
         out = out[:b1, :n, :b2]
     return out
+
+
+def _vp_fields_pipe_kernel(glo_ref, ghi_ref, d_hbm, f_hbm, w_hbm, sink_hbm,
+                           srhs_hbm, out_hbm, xbuf, dpbuf, dbuf, fbuf, wbuf,
+                           sbuf, rbuf, obuf, in_sem, out_sem, *,
+                           n, b1, b2, nt1, nt2):
+    """Cross-grid-step PIPELINED variant of _vp_fields_kernel for short
+    lines (whole line = one chunk — e.g. the cylindrical r sweep's
+    nr ~ 64): the per-program streaming form has ZERO DMA/compute overlap
+    at nchunks == 1, so this form pipelines across batch tiles exactly
+    like pallas_fields._masked_sweep_pipe_kernel — tile q+1 prefetches
+    while q computes; q-1's output drains during q's forward pass."""
+    f32 = xbuf.dtype
+    G = 8
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    q = i * nt2 + j
+    ntiles = nt1 * nt2
+    slot = q % 2
+
+    def coords(t):
+        return (t // nt2) * b1, (t % nt2) * b2
+
+    def in_dmas(t):
+        r0, c0 = coords(t)
+        sl = t % 2
+        src = lambda ref: ref.at[:, pl.ds(r0, b1), pl.ds(c0, b2)]
+        return (
+            pltpu.make_async_copy(src(d_hbm), dbuf.at[sl], in_sem.at[0]),
+            pltpu.make_async_copy(src(f_hbm), fbuf.at[sl], in_sem.at[1]),
+            pltpu.make_async_copy(src(w_hbm), wbuf.at[sl], in_sem.at[2]),
+            pltpu.make_async_copy(src(sink_hbm), sbuf.at[sl], in_sem.at[3]),
+            pltpu.make_async_copy(src(srhs_hbm), rbuf.at[sl], in_sem.at[4]),
+        )
+
+    def out_dma(t):
+        r0, c0 = coords(t)
+        return pltpu.make_async_copy(
+            obuf, out_hbm.at[:, pl.ds(r0, b1), pl.ds(c0, b2)], out_sem)
+
+    @pl.when(q == 0)
+    def _first():
+        for dma in in_dmas(0):
+            dma.start()
+
+    for dma in in_dmas(q):
+        dma.wait()
+
+    @pl.when(q + 1 < ntiles)
+    def _prefetch():
+        for dma in in_dmas(q + 1):
+            dma.start()
+
+    zero = jnp.zeros((b1, b2), f32)
+
+    # compute body emitted twice under parity guards: static slot indices
+    # keep the hot per-group loads statically addressed (pallas_fields
+    # pipe-kernel note: a traced slot measured ~20% slower)
+    def forward(sl):
+        def grp(g, carry):
+            cp_prev, dp_prev, f_lo = carry
+            s = pl.multiple_of(g * G, G)
+            d_g = dbuf[sl, pl.ds(s, G)].astype(f32)
+            f_g = fbuf[sl, pl.ds(s, G)].astype(f32)
+            w_g = wbuf[sl, pl.ds(s, G)].astype(f32)
+            sink_g = sbuf[sl, pl.ds(s, G)].astype(f32)
+            srhs_g = rbuf[sl, pl.ds(s, G)].astype(f32)
+            cps, dps = [], []
+            for r in range(G):
+                glo = glo_ref[s + r]
+                ghi = ghi_ref[s + r]
+                f_hi = f_g[r]
+                al = glo * f_lo
+                ch = ghi * f_hi
+                dw_r = w_g[r]
+                a_r = -dw_r * al
+                c_r = -dw_r * ch
+                b_r = 1.0 + dw_r * (al + ch + sink_g[r])
+                d_r = d_g[r] + dw_r * srhs_g[r]
+                inv = 1.0 / (b_r - a_r * cp_prev)
+                cp_prev = c_r * inv
+                dp_prev = (d_r - a_r * dp_prev) * inv
+                cps.append(cp_prev)
+                dps.append(dp_prev)
+                f_lo = f_hi
+            xbuf[pl.ds(s, G)] = jnp.stack(cps)
+            dpbuf[pl.ds(s, G)] = jnp.stack(dps)
+            return cp_prev, dp_prev, f_lo
+
+        lax.fori_loop(0, n // G, grp, (zero, zero, zero))
+
+    @pl.when(slot == 0)
+    def _fwd0():
+        forward(0)
+
+    @pl.when(slot == 1)
+    def _fwd1():
+        forward(1)
+
+    @pl.when(q >= 1)
+    def _drain_prev():
+        out_dma(q - 1).wait()
+
+    def grp_b(gg, x_next):
+        s = pl.multiple_of((n // G - 1 - gg) * G, G)
+        cp_g = xbuf[pl.ds(s, G)]
+        dp_g = dpbuf[pl.ds(s, G)]
+        xs = [None] * G
+        for r in range(G - 1, -1, -1):
+            x_next = dp_g[r] - cp_g[r] * x_next
+            xs[r] = x_next
+        obuf[pl.ds(s, G)] = jnp.stack(xs)
+        return x_next
+
+    lax.fori_loop(0, n // G, grp_b, zero)
+    out_dma(q).start()
+
+    @pl.when(q == ntiles - 1)
+    def _drain_last():
+        out_dma(q).wait()

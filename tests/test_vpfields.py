@@ -91,3 +91,30 @@ def test_cyclic_axis1_matches_cyclic_thomas():
                                         jnp.zeros_like(srhs), geo,
                                         interpret=True)
     np.testing.assert_allclose(np.asarray(out0), np.asarray(rhs))
+
+
+def test_pipelined_variant_matches_streaming():
+    """The cross-grid-step pipelined form (short lines) computes exactly
+    what the streaming form does, including the face-lag carry and the
+    whole boundary-semantics-in-data contract."""
+    rng = np.random.default_rng(2)
+    n, b1, b2 = 24, 20, 300   # multiple batch tiles; n fits one chunk
+    rhs = jnp.asarray(rng.random((n, b1, b2)))
+    fhi = np.asarray(30 + 40 * rng.random((n, b1, b2)))
+    fhi[-1] = 0.0
+    void = rng.random((n, b1, b2)) > 0.85
+    fhi[void] = 0.0
+    fhi[:-1][void[1:]] = 0.0
+    fhi = jnp.asarray(fhi)
+    dw = jnp.asarray(1e-3 * rng.random((n, b1, b2)))
+    sink = jnp.asarray(np.where(rng.random((n, b1, b2)) > 0.8, 35.0, 0.0)
+                       * ~void)
+    srhs = sink * 20.0
+    glo = jnp.asarray(1.0 + rng.random(n)).at[0].set(0.0)
+    ghi = jnp.asarray(1.0 + rng.random(n)).at[n - 1].set(0.0)
+
+    a = fused_vp_fields_sweep(rhs, fhi, dw, sink, srhs, glo, ghi,
+                              interpret=True, pipelined=False)
+    b = fused_vp_fields_sweep(rhs, fhi, dw, sink, srhs, glo, ghi,
+                              interpret=True, pipelined=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
