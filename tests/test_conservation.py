@@ -101,3 +101,34 @@ def test_cylindrical_adiabatic_conserves_volume_weighted_sum():
         Tn = adi_step(Tn, grid, mat, dt=0.05, robin_outer=rob0, zbc=zbc,
                       robin_inner=rob0)
     np.testing.assert_allclose(float(jnp.sum(w * Tn)), e0, rtol=1e-12)
+
+
+def test_cyl_varprop_adiabatic_conserves_volume_weighted_sum():
+    """Cylindrical VARPROP FV with element birth: variable harmonic face
+    conductivities stay symmetric per face and the masked void faces carry
+    zero flux, so with no films anywhere the volume-weighted sum over the
+    ACTIVE cells (r_i T_i) is invariant — and void cells hold their value
+    exactly (identity rows).  Pins the whole variable-coefficient
+    discretization including the mask gating."""
+    from adi_thermal_fields_tpu import RobinBC, ZFaceBC
+    from adi_thermal_fields_tpu.step.cylindrical_varprop import (
+        adi_step_cyl_varprop)
+
+    grid = CylindricalGrid(10, 16, 12, 5e-4, 1e-3, r_inner=0.02)
+    mat = Material(7800.0, 490.0, 54.0)
+    rng = np.random.default_rng(15)
+    act = jnp.asarray(rng.random(grid.shape) > 0.3)
+    T = jnp.asarray(np.where(np.asarray(act),
+                             300 + 900 * rng.random(grid.shape), 55.0))
+    kt = lambda T: 30.0 + 0.02 * T
+    w = jnp.asarray(grid.r)[:, None, None]
+    e0 = float(jnp.sum(jnp.where(act, w * T, 0.0)))
+    Tn = T
+    for _ in range(6):
+        Tn = adi_step_cyl_varprop(Tn, grid, mat, dt=0.1,
+                                  robin_outer=RobinBC(0.0, 20.0),
+                                  zbc=ZFaceBC(), k_table=kt, active=act,
+                                  implementation="xla")
+    np.testing.assert_allclose(
+        float(jnp.sum(jnp.where(act, w * Tn, 0.0))), e0, rtol=1e-12)
+    np.testing.assert_array_equal(np.asarray(Tn)[~np.asarray(act)], 55.0)
