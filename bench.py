@@ -502,6 +502,34 @@ def main_cyl_varprop():
 
 
 
+def main_capacity():
+    """768^3 (453M cells) single-chip capacity: the largest cube that fits
+    one v5e chip on the ring-fused path (round 2 hit an OOM wall at 768;
+    the ring kernel never materializes R0 and the bench donates its
+    state).  Roofline: the 35 B/cell fused model."""
+    probe_compile_service()
+    sol = HBM_BYTES_PER_S / 35.0
+    value = None
+    n = 768
+    for attempt in range(3):
+        try:
+            value, per_step = run(n, steps=12)
+            print(f"[bench] capacity {n}^3: {per_step * 1e3:.2f} ms/step "
+                  f"-> {value / 1e9:.3f} Gcell/s", file=sys.stderr)
+            break
+        except Exception as e:
+            print(f"[bench] capacity {n}^3 attempt {attempt}: "
+                  f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+            value = None
+    print(json.dumps({
+        "metric": f"adi_cell_updates_per_s_per_chip_{n}^3_f32_capacity",
+        "value": value or 0.0,
+        "unit": "cell/s",
+        "vs_baseline": (value or 0.0) / sol,
+    }))
+
+
+
 def main():
     probe_compile_service()
     value = None
@@ -538,6 +566,8 @@ if __name__ == "__main__":
         main_bf16()
     elif "--case" in sys.argv and "masked" in sys.argv:
         main_masked()
+    elif "--case" in sys.argv and "capacity" in sys.argv:
+        main_capacity()
     elif "--case" in sys.argv and "cyl_varprop" in sys.argv:
         main_cyl_varprop()
     elif "--case" in sys.argv and "varprop" in sys.argv:

@@ -28,6 +28,7 @@ run python bench.py --case varprop
 run python bench.py --case cylindrical
 run python bench.py --case masked
 run python bench.py --case cyl_varprop
+T=1500 run python bench.py --case capacity
 T=1200 run python scripts/vp_ring_chip.py --n 384
 T=1200 run python scripts/cyl_vp_chip.py
 T=1200 run python scripts/varprop_breakdown.py --n 384
