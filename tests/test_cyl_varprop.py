@@ -503,3 +503,59 @@ def test_xla_tier_is_differentiable():
     fd_T = (loss(30.0, T0 + eps * v) - loss(30.0, T0 - eps * v)) / (2 * eps)
     np.testing.assert_allclose(float(jnp.vdot(g_T, v)), float(fd_T),
                                rtol=1e-6)
+
+
+def test_radiation_lumped_ode_oracle():
+    """Small-Biot validation of the radiative cooling physics: a thin
+    uniform annulus with identical films on every exposed surface follows
+    the lumped-capacitance ODE
+        rho cp V dT/dt = -(h + h_rad(T)) A (T - T_inf)
+    with A the TOTAL exposed area (inner + outer + both ends).  The BE
+    step's Picard linearization evaluates h_rad at T^n — integrate the ODE
+    with the SAME per-step freeze and demand agreement to the spatial
+    nonuniformity level (Bi_z ~ 0.01 here -> <0.4%), then sanity-check
+    against a fine-step fully-nonlinear RK4 (<1%)."""
+    from adi_thermal_fields_tpu.bc.radiation import radiative_h
+
+    mat = Material(7800.0, 490.0, 54.0)
+    eps, h, T_inf = 0.7, 40.0, 20.0
+    grid = CylindricalGrid(3, 16, 8, 4e-4, 8e-4, r_inner=0.05)
+    rob = RobinBC(h, T_inf)
+    zbc = ZFaceBC(kind_bot="robin", h_bot=h, T_inf_bot=T_inf,
+                  kind_top="robin", h_top=h, T_inf_top=T_inf)
+    r_in, r_out = grid.r_imh[0], grid.r_iph[-1]
+    height = grid.nz * grid.dz
+    A = 2 * np.pi * height * (r_in + r_out) \
+        + 2 * np.pi * (r_out ** 2 - r_in ** 2)
+    V = np.pi * (r_out ** 2 - r_in ** 2) * height
+    aov = A / V
+
+    dt, nsteps = 0.5, 30
+    T0 = 1200.0
+    T = jnp.full(grid.shape, T0)
+    for _ in range(nsteps):
+        T = adi_step_cyl_varprop(T, grid, mat, dt=dt, robin_outer=rob,
+                                 robin_inner=RobinBC(h, T_inf), zbc=zbc,
+                                 emissivity=eps, implementation="xla")
+    got = float(T.mean())
+
+    def hrad(t):
+        return float(radiative_h(jnp.asarray(t, jnp.float64), eps, T_inf))
+
+    # lumped ODE with the SAME per-step Picard freeze + implicit update:
+    # (T1 - T0)/dt = -w (h + hrad(T0)) aov (T1 - Tinf)
+    Tl = T0
+    for _ in range(nsteps):
+        s = dt * (h + hrad(Tl)) * aov / (mat.rho * mat.cp)
+        Tl = (Tl + s * T_inf) / (1.0 + s)
+    np.testing.assert_allclose(got, Tl, rtol=4e-3)
+
+    # fully nonlinear fine-step RK4 of the exact ODE
+    Tr, nfine = T0, 3000
+    dtf = dt * nsteps / nfine
+    f = lambda t: -(h + hrad(t)) * aov * (t - T_inf) / (mat.rho * mat.cp)
+    for _ in range(nfine):
+        k1 = f(Tr); k2 = f(Tr + 0.5 * dtf * k1)
+        k3 = f(Tr + 0.5 * dtf * k2); k4 = f(Tr + dtf * k3)
+        Tr += dtf / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
+    np.testing.assert_allclose(got, Tr, rtol=1e-2)
