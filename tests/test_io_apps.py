@@ -511,3 +511,23 @@ def test_spiral_tube_resume_at_end_and_crit_mismatch(tmp_path):
         run(build_argparser().parse_args(
             base + ["--t_tot", "2", "--history_t_crit", "900,400",
                     "--resume", ck, "--out", str(tmp_path / "c.gif")]))
+
+
+def test_spiral_tube_douglas_routing(tmp_path):
+    """--scheme douglas with no varprop flags routes through the varprop
+    step with constant tables (previously silently ignored): the run
+    completes and differs from the BE run (second-order correction)."""
+    from adi_thermal_fields_tpu.apps.spiral_tube import build_argparser, run
+
+    base = ["--R_out", "32", "--wall_thickness", "2", "--height", "4",
+            "--z_back", "8", "--nr", "4", "--nphi", "12", "--dz", "2",
+            "--pitch", "2", "--auto_speed", "--t_tot", "2",
+            "--dt_fixed", "0.2", "--nframes", "2",
+            "--precision", "float64", "--history_out", ""]
+    r_be = run(build_argparser().parse_args(
+        base + ["--out", str(tmp_path / "a.gif")]))
+    r_dg = run(build_argparser().parse_args(
+        base + ["--scheme", "douglas", "--out", str(tmp_path / "b.gif")]))
+    d = np.abs(np.asarray(r_dg["T"]) - np.asarray(r_be["T"]))
+    assert np.isfinite(np.asarray(r_dg["T"])).all()
+    assert d.max() > 1e-6          # the scheme actually changed the answer
