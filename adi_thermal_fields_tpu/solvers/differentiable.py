@@ -31,7 +31,7 @@ import numpy as np
 from .thomas import thomas
 
 __all__ = ["sweep_solve", "sweep_solve_lite", "theta_rhs_diff",
-           "fused_theta_solve_lite"]
+           "fused_theta_solve_lite", "vp_sweep_solve", "vp_cyclic_solve"]
 
 
 def _f0(x):
@@ -352,3 +352,115 @@ def theta_rhs_diff(T, mask_i8, c, inv_dx2, *, interpret: bool = False):
     dtype = T.dtype
     return _theta_rhs_diff(interpret)(T, mask_i8, jnp.asarray(c, dtype),
                                       jnp.asarray(inv_dx2, dtype))
+
+
+# ---------------------------------------------------------------------------
+# Variable-property STREAM kernels (solvers/pallas_vpfields.py): the
+# cylindrical varprop tier.  System per line (leading axis), streams
+# (rhs, fhi, dw, sink, srhs) + static geometry columns glo/ghi:
+#
+#   flo_i = fhi_{i-1} (flo_0 = 0),
+#   a_i = -dw_i glo_i flo_i,  c_i = -dw_i ghi_i fhi_i,
+#   b_i = 1 + dw_i (glo_i flo_i + ghi_i fhi_i + sink_i),
+#   d_i = rhs_i + dw_i srhs_i.
+#
+# Pullback: y = A^{-T} g (transposed Thomas, scan), then for any stream p
+# p_bar = y^T (dd/dp) - y^T (dA/dp) x — all elementwise contractions:
+#   rhs_bar  = y
+#   srhs_bar = y dw
+#   dw_bar   = y [glo flo (x_dn - x) + ghi fhi (x_up - x) - sink x + srhs]
+#   sink_bar = -y dw x
+#   fhi_bar_i = dw_i ghi_i y_i (x_{i+1} - x_i)
+#             + dw_{i+1} glo_{i+1} y_{i+1} (x_i - x_{i+1})
+# (geometry columns are static numpy — zero cotangents).
+# ---------------------------------------------------------------------------
+
+
+@functools.cache
+def _vp_sweep_solve(interpret: bool):
+    from .pallas_vpfields import fused_vp_fields_sweep
+
+    @jax.custom_vjp
+    def solve(rhs, fhi, dw, sink, srhs, glo, ghi):
+        return fused_vp_fields_sweep(rhs, fhi, dw, sink, srhs, glo, ghi,
+                                     interpret=interpret)
+
+    def fwd(rhs, fhi, dw, sink, srhs, glo, ghi):
+        x = solve(rhs, fhi, dw, sink, srhs, glo, ghi)
+        return x, (x, fhi, dw, sink, srhs, glo, ghi)
+
+    def bwd(res, g):
+        x, fhi, dw, sink, srhs, glo, ghi = res
+        col = lambda v: v[:, None, None]
+        flo = _shift_dn(fhi)
+        a = -dw * col(glo) * flo
+        c = -dw * col(ghi) * fhi
+        b = 1.0 + dw * (col(glo) * flo + col(ghi) * fhi + sink)
+        # transposed system: a_t[i] = c[i-1], c_t[i] = a[i+1]
+        y = thomas(_shift_dn(c), b, _shift_up(a), g)
+        x_dn, x_up = _shift_dn(x), _shift_up(x)
+        y_up = _shift_up(y)
+        dw_bar = y * (col(glo) * flo * (x_dn - x)
+                      + col(ghi) * fhi * (x_up - x) - sink * x + srhs)
+        sink_bar = -y * dw * x
+        fhi_bar = (dw * col(ghi) * y * (x_up - x)
+                   + _shift_up(dw * col(glo)) * y_up * (x - x_up))
+        return (y, fhi_bar, dw_bar, sink_bar, y * dw,
+                jnp.zeros_like(glo), jnp.zeros_like(ghi))
+
+    solve.defvjp(fwd, bwd)
+    return solve
+
+
+def vp_sweep_solve(rhs, fhi, dw, sink, srhs, glo, ghi, *,
+                   interpret: bool = False):
+    """Differentiable fused_vp_fields_sweep: primal on the compressed
+    stream kernel, pullback via the transposed scan Thomas (module note)."""
+    return _vp_sweep_solve(interpret)(rhs, fhi, dw, sink, srhs, glo, ghi)
+
+
+@functools.cache
+def _vp_cyclic_solve(interpret: bool):
+    from .pallas_vpfields import fused_vp_fields_cyclic_axis1
+    from .thomas import cyclic_thomas
+
+    @jax.custom_vjp
+    def solve(rhs, flo, fhi, dw, sink, srhs, geo):
+        return fused_vp_fields_cyclic_axis1(rhs, flo, fhi, dw, sink, srhs,
+                                            geo, interpret=interpret)
+
+    def fwd(rhs, flo, fhi, dw, sink, srhs, geo):
+        x = solve(rhs, flo, fhi, dw, sink, srhs, geo)
+        return x, (x, flo, fhi, dw, sink, srhs, geo)
+
+    def bwd(res, g):
+        x, flo, fhi, dw, sink, srhs, geo = res
+        gg = geo[:, None, :]
+        a = -dw * gg * flo
+        c = -dw * gg * fhi
+        b = 1.0 + dw * (gg * (flo + fhi) + sink)
+        rup = lambda v: jnp.roll(v, -1, axis=1)    # v_{i+1}, periodic
+        rdn = lambda v: jnp.roll(v, 1, axis=1)     # v_{i-1}, periodic
+        # transposed cyclic system: a_t[i] = c[i-1], c_t[i] = a[i+1]
+        t1 = lambda v: jnp.moveaxis(v, 1, 0)
+        y = jnp.moveaxis(cyclic_thomas(t1(rdn(c)), t1(b), t1(rup(a)),
+                                       t1(g)), 0, 1)
+        x_dn, x_up = rdn(x), rup(x)
+        dw_bar = y * (gg * (flo * (x_dn - x) + fhi * (x_up - x))
+                      - sink * x + srhs)
+        sink_bar = -y * dw * x
+        flo_bar = y * dw * gg * (x_dn - x)
+        fhi_bar = y * dw * gg * (x_up - x)
+        geo_bar = jnp.sum(y * dw * (flo * (x_dn - x) + fhi * (x_up - x)),
+                          axis=1)
+        return (y, flo_bar, fhi_bar, dw_bar, sink_bar, y * dw, geo_bar)
+
+    solve.defvjp(fwd, bwd)
+    return solve
+
+
+def vp_cyclic_solve(rhs, flo, fhi, dw, sink, srhs, geo, *,
+                    interpret: bool = False):
+    """Differentiable fused_vp_fields_cyclic_axis1 (natural-layout phi):
+    pullback via the transposed cyclic Thomas."""
+    return _vp_cyclic_solve(interpret)(rhs, flo, fhi, dw, sink, srhs, geo)

@@ -272,9 +272,11 @@ def adi_step_cyl_varprop(T: jax.Array, grid: CylindricalGrid,
     def solve_r(rhs, dwx):
         d = constrain(rhs, "r")
         if implementation == "pallas":
-            from ..solvers.pallas_vpfields import fused_vp_fields_sweep
+            # differentiable wrapper: primal on the compressed kernel,
+            # pullback via the transposed scan (solvers/differentiable.py)
+            from ..solvers.differentiable import vp_sweep_solve
 
-            return fused_vp_fields_sweep(
+            return vp_sweep_solve(
                 d, fr_hi, dwx, sink_r, srhs_r,
                 jnp.asarray(r_imh / (r * dr * dr), dtype),
                 jnp.asarray(r_iph / (r * dr * dr), dtype),
@@ -307,13 +309,12 @@ def adi_step_cyl_varprop(T: jax.Array, grid: CylindricalGrid,
         def solve_phi(rhs, dwx):
             d_phi = constrain(rhs, "phi")
             if implementation == "pallas":
-                from ..solvers.pallas_vpfields import (
-                    fused_vp_fields_cyclic_axis1)
+                from ..solvers.differentiable import vp_cyclic_solve
 
                 geo2d = jnp.broadcast_to(
                     jnp.asarray(1.0 / (r * r * grid.dphi * grid.dphi),
                                 dtype)[:, None], (nr, nz))
-                return fused_vp_fields_cyclic_axis1(
+                return vp_cyclic_solve(
                     d_phi, fp, fp_hi, dwx, sink_p, srhs_p, geo2d,
                     interpret=interpret)
             ap = -dwx * gphi * fp
@@ -388,13 +389,13 @@ def adi_step_cyl_varprop(T: jax.Array, grid: CylindricalGrid,
                 z_solver(t2(az), t2(bz), t2(cz),
                          t2(dz_rhs + dwx * srhs_z)), 0, 2)
         if implementation == "pallas":
-            from ..solvers.pallas_vpfields import fused_vp_fields_sweep
+            from ..solvers.differentiable import vp_sweep_solve
 
             gz = jnp.asarray(geoz, dtype)
             return jnp.moveaxis(
-                fused_vp_fields_sweep(t2(dz_rhs), t2(fz_hi), t2(dwx),
-                                      t2(sink_z), t2(srhs_z), gz, gz,
-                                      interpret=interpret), 0, 2)
+                vp_sweep_solve(t2(dz_rhs), t2(fz_hi), t2(dwx),
+                               t2(sink_z), t2(srhs_z), gz, gz,
+                               interpret=interpret), 0, 2)
         colz = lambda v: jnp.asarray(v, dtype)[None, None, :]
         az = -dwx * colz(geoz) * fz
         cz = -dwx * colz(geoz) * fz_hi

@@ -559,3 +559,37 @@ def test_radiation_lumped_ode_oracle():
         k3 = f(Tr + 0.5 * dtf * k2); k4 = f(Tr + dtf * k3)
         Tr += dtf / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
     np.testing.assert_allclose(got, Tr, rtol=1e-2)
+
+
+def test_pallas_tier_gradients_match_xla():
+    """jax.grad through the COMPRESSED kernel tier (custom VJPs,
+    solvers/differentiable.vp_sweep_solve / vp_cyclic_solve) matches the
+    scan tier's gradients on the full masked+sinks+Dirichlet
+    configuration — both wrt the initial field and a conductivity
+    parameter (which flows into every stream: faces, dw, sinks)."""
+    mat = Material(7800.0, 490.0, 54.0)
+    rob = RobinBC(300.0, 20.0)
+    zbc = ZFaceBC(kind_bot="dirichlet", T_bot=140.0, kind_top="robin",
+                  h_top=400.0, T_inf_top=25.0)
+    grid = CylindricalGrid(5, 12, 10, 6e-4, 8e-4, r_inner=0.015)
+    rng = np.random.default_rng(12)
+    act = jnp.asarray(rng.random(grid.shape) > 0.3)
+    T0 = _smooth_field(grid, seed=10, lo=100.0, hi=900.0)
+
+    def loss(k0, T0, impl):
+        kt = lambda T: k0 + 0.01 * T
+        ct = lambda T: 430.0 + 0.1 * T
+        T = adi_step_cyl_varprop(T0, grid, mat, dt=0.05, robin_outer=rob,
+                                 zbc=zbc, k_table=kt, cp_table=ct,
+                                 active=act, h_void=50.0, T_inf_void=20.0,
+                                 h_front=120.0, implementation=impl,
+                                 interpret=True)
+        return jnp.mean(T * T)
+
+    gk_x, gT_x = jax.grad(lambda k, T: loss(k, T, "xla"),
+                          argnums=(0, 1))(30.0, T0)
+    gk_p, gT_p = jax.grad(lambda k, T: loss(k, T, "pallas"),
+                          argnums=(0, 1))(30.0, T0)
+    np.testing.assert_allclose(float(gk_p), float(gk_x), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(gT_p), np.asarray(gT_x),
+                               rtol=1e-9, atol=1e-12)
