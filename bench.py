@@ -559,7 +559,38 @@ def main():
     }))
 
 
+def _install_watchdog():
+    """The axon tunnel has HARD OUTAGES where device init itself hangs
+    forever (NOTES.md, 2026-08-18: jax.devices() hung > 3.5 h) — blocked in
+    a C RPC call, so SIGALRM handlers never run.  A daemon THREAD instead:
+    the driver must still receive ONE JSON line, so emit a zero-value
+    record and hard-exit if the bench hasn't finished in BENCH_WATCHDOG_S
+    (default 50 min; healthy runs take ~5-10, degraded compile windows
+    legitimately more)."""
+    import os
+    import threading
+
+    budget = int(os.environ.get("BENCH_WATCHDOG_S", "3000"))
+
+    def _expired():
+        print("[bench] WATCHDOG: no result within "
+              f"{budget}s — tunnel outage; emitting zero record",
+              file=sys.stderr)
+        print(json.dumps({"metric": "adi_cell_updates_per_s_per_chip",
+                          "value": 0.0, "unit": "cell/s",
+                          "vs_baseline": 0.0,
+                          "error": f"watchdog: tunnel unresponsive {budget}s"}),
+              flush=True)
+        os._exit(2)
+
+    t = threading.Timer(budget, _expired)
+    t.daemon = True
+    t.start()
+    return t
+
+
 if __name__ == "__main__":
+    _install_watchdog()
     if "--case" in sys.argv and "cylindrical" in sys.argv:
         main_cylindrical()
     elif "--case" in sys.argv and "bf16" in sys.argv:
