@@ -411,8 +411,9 @@ def run(args) -> dict:
             pk, ta = hist_update(pk, ta, T, newborn, jnp.asarray(dt, dtype))
         t = t_next
         if (i + 1) % frame_every == 0 or i == n_steps - 1:
+            from ..dist.gather import gather_to_host
             a_np = np.broadcast_to(np.asarray(active)[None], grid.shape)
-            T_np = np.asarray(T)
+            T_np = gather_to_host(T)   # multihost-safe (dist/gather.py)
             tmax = float(np.nanmax(np.where(a_np, T_np, np.nan)))
             log(f"t={t:8.3f} s  Tmax={tmax:8.1f}", tag="frame")
             frames.append((t, T_np, a_np.copy()))
@@ -425,8 +426,9 @@ def run(args) -> dict:
         # meaningless placeholder history (engine docstring)
         a_fin = np.broadcast_to(
             np.asarray(active_at(act, t))[None], grid.shape)
-        pk_np = np.where(a_fin, np.asarray(pk), 0.0)
-        ta_np = np.where(a_fin[None], np.asarray(ta), 0.0)
+        from ..dist.gather import gather_to_host
+        pk_np = np.where(a_fin, gather_to_host(pk), 0.0)
+        ta_np = np.where(a_fin[None], gather_to_host(ta), 0.0)
         out["history"] = {"peak": pk_np, "t_above": ta_np, "crits": crits}
         if len(crits) == 2:
             t85 = ta_np[1] - ta_np[0]
