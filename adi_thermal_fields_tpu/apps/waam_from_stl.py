@@ -341,6 +341,18 @@ def run(args) -> dict:
                     f"not match --history_t_crit {args.history_t_crit} "
                     f"(expected {want}); resume with the same threshold list "
                     "the checkpoint was written with")
+            ck_crits = st.meta.get("history_crits")
+            want_crits = np.atleast_1d(np.asarray(
+                hist_crits if isinstance(hist_crits, tuple)
+                else (hist_crits,)))
+            if ck_crits is not None and not np.array_equal(
+                    np.atleast_1d(ck_crits), want_crits):
+                raise SystemExit(
+                    f"checkpoint thermal-history thresholds "
+                    f"{np.atleast_1d(ck_crits).tolist()} != "
+                    f"--history_t_crit {want_crits.tolist()}; resuming "
+                    "would mix accumulators measured against different "
+                    "temperatures")
             # t_above accumulates at solve precision (>= f32) in-run; a f32
             # restore would silently downgrade float64 runs
             resume_history = (
@@ -384,8 +396,12 @@ def run(args) -> dict:
             if args.history_t_crit is not None and loop.history_state is not None:
                 from ..dist.gather import gather_to_host
                 pk_c, ta_c = loop.history_state
+                crits_np = np.atleast_1d(np.asarray(
+                    hist_crits if isinstance(hist_crits, tuple)
+                    else (hist_crits,)))
                 meta = {"history_peak": gather_to_host(pk_c),
-                        "history_above": gather_to_host(ta_c)}
+                        "history_above": gather_to_host(ta_c),
+                        "history_crits": crits_np}
             save_checkpoint(args.checkpoint,
                             RunState(T=T_np, active=a_np, t=t, meta=meta))
 
