@@ -185,6 +185,20 @@ def adi_step_cyl_varprop(T: jax.Array, grid: CylindricalGrid,
     passes the substructured distributed Thomas here so a z-sharded field
     never reshards.
     """
+    if jnp.dtype(T.dtype).itemsize < 4:
+        # sub-f32 states (bf16): solve at f32 and downcast once — the
+        # compressed kernels' stores/DMAs are f32 (a bandwidth-format bf16
+        # tier with stochastic rounding, like the Cartesian kernels', is
+        # future chip work)
+        out = adi_step_cyl_varprop(
+            T.astype(jnp.float32), grid, mat_ref, dt=dt,
+            robin_outer=robin_outer, zbc=zbc, k_table=k_table,
+            cp_table=cp_table, robin_inner=robin_inner, active=active,
+            h_void=h_void, T_inf_void=T_inf_void, h_front=h_front,
+            source=source, emissivity=emissivity, scheme=scheme,
+            theta=theta, implementation=implementation,
+            interpret=interpret, constrain=constrain, z_solver=z_solver)
+        return out.astype(T.dtype)
     if implementation == "auto":
         implementation = ("pallas" if (jax.default_backend() == "tpu"
                                        and constrain is None) else "xla")

@@ -593,3 +593,28 @@ def test_pallas_tier_gradients_match_xla():
     np.testing.assert_allclose(float(gk_p), float(gk_x), rtol=1e-9)
     np.testing.assert_allclose(np.asarray(gT_p), np.asarray(gT_x),
                                rtol=1e-9, atol=1e-12)
+
+
+def test_bf16_state_upcast_solve():
+    """bfloat16 states solve at f32 and downcast once (the compressed
+    kernels' stores are f32): the result tracks the f64 scan run within
+    the bf16 quantum over a short cooldown, on both tiers."""
+    mat = Material(7800.0, 490.0, 54.0)
+    rob = RobinBC(300.0, 20.0)
+    zbc = ZFaceBC(kind_top="robin", h_top=400.0, T_inf_top=20.0)
+    grid = CylindricalGrid(6, 16, 12, 5e-4, 1e-3, r_inner=0.02)
+    kt = lambda T: 30.0 + 0.02 * T
+    ref = jnp.full(grid.shape, 900.0, jnp.float64)
+    for impl in ("xla", "pallas"):
+        got = jnp.full(grid.shape, 900.0, jnp.bfloat16)
+        r = ref
+        for _ in range(5):
+            r = adi_step_cyl_varprop(r, grid, mat, dt=0.05, robin_outer=rob,
+                                     zbc=zbc, k_table=kt,
+                                     implementation="xla")
+            got = adi_step_cyl_varprop(got, grid, mat, dt=0.05,
+                                       robin_outer=rob, zbc=zbc, k_table=kt,
+                                       implementation=impl, interpret=True)
+        assert got.dtype == jnp.bfloat16
+        d = np.abs(np.asarray(got, np.float64) - np.asarray(r))
+        assert d.max() < 8.0, d.max()   # ~bf16 quantum at 900 C is 4
