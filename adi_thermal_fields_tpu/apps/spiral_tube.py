@@ -101,8 +101,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", type=str, default="",
                    help="shard over a PxQ device mesh, e.g. '2x4' "
                         "(dist/cylindrical.py: each sweep's solve axis "
-                        "chip-local, batch axes sharded; identical results "
-                        "to single-device)")
+                        "chip-local, batch axes sharded), or 'zN' (e.g. "
+                        "'z8') for the TALL-TUBE long-axis decomposition — "
+                        "z itself sharded over N chips, the field never "
+                        "reshards, substructured z solve; identical "
+                        "results to single-device")
     p.add_argument("--vtk", type=str, default="",
                    help="write the final state as a legacy VTK "
                         "STRUCTURED_GRID with TRUE tube geometry [mm] "
@@ -206,16 +209,42 @@ def run(args) -> dict:
 
     # multi-chip: the dist/cylindrical.py wrappers take step(T, active3d, dt)
     mesh_dev = None
+    longz = False
     if getattr(args, "mesh", ""):
-        from ..dist.cartesian import make_mesh
-        p_, q_ = (int(v) for v in args.mesh.lower().split("x"))
-        mesh_dev = make_mesh(jax.devices()[:p_ * q_], shape=(p_, q_))
-        log(f"sharding over {p_}x{q_} device mesh", tag="mesh")
+        spec = args.mesh.lower()
+        if spec.startswith("z"):
+            from jax.sharding import Mesh
+            n_ = int(spec[1:])
+            mesh_dev = Mesh(np.asarray(jax.devices()[:n_]), ("z",))
+            longz = True
+            if args.void_mode != "robin":
+                raise SystemExit("--mesh zN (long-axis decomposition) "
+                                 "supports --void_mode robin only")
+            log(f"tall-tube longz decomposition over {n_} devices "
+                "(z sharded, field never reshards)", tag="mesh")
+        else:
+            from ..dist.cartesian import make_mesh
+            p_, q_ = (int(v) for v in spec.split("x"))
+            mesh_dev = make_mesh(jax.devices()[:p_ * q_], shape=(p_, q_))
+            log(f"sharding over {p_}x{q_} device mesh", tag="mesh")
 
     if mesh_dev is not None and args.scheme != "be":
         raise SystemExit("--scheme douglas is single-device for now "
                          "(the sharded varprop wrapper chains BE sweeps)")
-    if mesh_dev is not None:
+    if mesh_dev is not None and longz:
+        # long-axis tall-tube path: the varprop step covers the constant
+        # configuration exactly (constant tables reduce to it, tested)
+        from ..dist.cylindrical import sharded_cyl_varprop_longz
+        step3 = sharded_cyl_varprop_longz(
+            grid, mat, mesh_dev, robin_outer=rob_out, zbc=zbc,
+            robin_inner=rob_in, k_table=k_table, cp_table=cp_table,
+            emissivity=args.emissivity, h_void=h_void,
+            T_inf_void=args.T_inf, h_front=args.h_end)
+
+        def step(T, active2d, dt):
+            a3 = jnp.broadcast_to(active2d[None, :, :], grid.shape)
+            return step3(T, a3, dt)
+    elif mesh_dev is not None:
         from ..dist.cylindrical import (sharded_cyl_varprop_step,
                                         sharded_cylindrical_masked_clamp_step,
                                         sharded_cylindrical_masked_step)
@@ -283,7 +312,11 @@ def run(args) -> dict:
 
     dtype = jnp.float32 if args.precision == "float32" else jnp.float64
     T = jnp.full(grid.shape, args.T_inf, dtype)
-    if mesh_dev is not None:
+    if mesh_dev is not None and longz:
+        if grid.nz % mesh_dev.devices.size == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            T = jax.device_put(T, NamedSharding(mesh_dev, P(None, None, "z")))
+    elif mesh_dev is not None:
         # pre-place the state when the dims divide the mesh; otherwise the
         # step's in-jit sharding constraints handle the (uneven) layout
         p_, q_ = mesh_dev.devices.shape

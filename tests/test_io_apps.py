@@ -531,3 +531,22 @@ def test_spiral_tube_douglas_routing(tmp_path):
     d = np.abs(np.asarray(r_dg["T"]) - np.asarray(r_be["T"]))
     assert np.isfinite(np.asarray(r_dg["T"])).all()
     assert d.max() > 1e-6          # the scheme actually changed the answer
+
+
+def test_spiral_tube_app_longz_matches_single_device(tmp_path):
+    """--mesh z8 (tall-tube long-axis decomposition) reproduces the
+    single-device run to substructuring round-off at f64."""
+    from adi_thermal_fields_tpu.apps.spiral_tube import build_argparser, run
+
+    base = ["--R_out", "32", "--wall_thickness", "2", "--height", "24",
+            "--z_back", "8", "--nr", "4", "--nphi", "12", "--dz", "2",
+            "--pitch", "4", "--auto_speed", "--t_tot", "2",
+            "--dt_fixed", "0.2", "--nframes", "2",
+            "--precision", "float64", "--latent_J_kg", "250000",
+            "--emissivity", "0.4", "--history_out", ""]
+    r1 = run(build_argparser().parse_args(
+        base + ["--out", str(tmp_path / "a.gif")]))
+    r2 = run(build_argparser().parse_args(
+        base + ["--out", str(tmp_path / "b.gif"), "--mesh", "z8"]))
+    np.testing.assert_allclose(np.asarray(r2["T"]), np.asarray(r1["T"]),
+                               rtol=1e-9, atol=1e-9)
