@@ -8,6 +8,12 @@ annular grids actually work (r_inner is first-class — the reference's
 ``GridCyl(..., R_in=...)`` call crashes), and the masked step defaults to
 physical Robin material/void interfaces (step/cylindrical_masked.py) with
 the reference's ambient-clamp mode available via --void_mode clamp.
+Beyond the reference driver: variable-property physics (--latent_J_kg,
+--melt_k_factor, --emissivity, per-axis k via the library), --scheme
+douglas (second-order time), a moving torch source (--torch_Q), per-voxel
+thermal history (--history_t_crit, t8/5), multi-chip sharding (--mesh PxQ
+or zN tall-tube decomposition), checkpoints (--checkpoint/--resume) and
+true-geometry VTK output (--vtk).
 
 Example:
     python -m adi_thermal_fields_tpu.apps.spiral_tube --R_out 32 \
@@ -78,8 +84,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--emissivity", type=float, default=0.0,
                    help="surface emissivity: adds the Picard-linearized "
                         "radiative film h_rad(T) to every exposed surface "
-                        "(dominates convection at WAAM temperatures); "
-                        "requires the varprop step (robin void mode)")
+                        "(dominates convection at WAAM temperatures); in "
+                        "clamp void mode it applies on the domain faces "
+                        "only")
     p.add_argument("--torch_Q", type=float, default=0.0,
                    help="moving torch power [W]: a Gaussian volumetric "
                         "source of width --torch_sigma centred on the "
