@@ -175,6 +175,11 @@ def fused_vp_fields_sweep(rhs, fhi, dw, sink, srhs, geo_lo, geo_hi, *,
     """
     n, b1, b2 = rhs.shape
     dtype = rhs.dtype
+    if jnp.dtype(dtype).itemsize < 4:
+        raise ValueError(
+            "fused_vp_fields kernels take f32/f64 streams (their stores "
+            "and line buffers are f32); upcast sub-f32 states first — "
+            "adi_step_cyl_varprop does this automatically")
     cn = min(chunk, _round_up(n, 8))
     pn = _round_up(n, cn) - n
     p1 = _round_up(b1, block_b1) - b1
@@ -438,6 +443,11 @@ def fused_vp_fields_cyclic_axis1(rhs, flo, fhi, dw, sink, srhs, geo, *,
     """
     b1, n, b2 = rhs.shape
     dtype = rhs.dtype
+    if jnp.dtype(dtype).itemsize < 4:
+        raise ValueError(
+            "fused_vp_fields kernels take f32/f64 streams (their stores "
+            "and line buffers are f32); upcast sub-f32 states first — "
+            "adi_step_cyl_varprop does this automatically")
     cn = min(chunk, _round_up(n, 8))
     pn = _round_up(n, cn) - n
     p1 = _round_up(b1, block_b1) - b1
