@@ -266,7 +266,9 @@ def sharded_cyl_varprop_step(grid: CylindricalGrid, mat_ref: Material,
                              masked_clamp: bool = False,
                              robin_void: RobinBC | None = None):
     """Jitted multi-chip variable-property cylindrical BE step — k(T)/cp(T)/
-    latent heat with element birth across chips.
+    latent heat with element birth across chips.  (Backward Euler only;
+    the Douglas scheme is single-device — spiral_tube guards the
+    combination.)
 
     ``step(T, active, dt)``: semantics of step/cylindrical_varprop.
     adi_step_cyl_varprop (``masked_clamp=False``, adiabatic material/void
