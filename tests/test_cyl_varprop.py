@@ -618,3 +618,43 @@ def test_bf16_state_upcast_solve():
         assert got.dtype == jnp.bfloat16
         d = np.abs(np.asarray(got, np.float64) - np.asarray(r))
         assert d.max() < 8.0, d.max()   # ~bf16 quantum at 900 C is 4
+
+
+def test_bimetal_substrate_deposit():
+    """MULTI-MATERIAL support falls out of the callable-table design: a
+    table may close over a static material-id field, so substrate and
+    deposit can be different alloys (the reference is single-material).
+    Gates: (a) a bimetal with IDENTICAL alloys reduces exactly to the
+    uniform run; (b) heat soaks into a high-diffusivity substrate
+    (k x10, same rho cp) strictly faster than into the matched one —
+    interface flux continuity via the harmonic face mean."""
+    mat = Material(7800.0, 490.0, 54.0)
+    rob = RobinBC(0.0, 20.0)
+    zbc = ZFaceBC()
+    grid = CylindricalGrid(5, 12, 16, 6e-4, 8e-4, r_inner=0.015)
+    substrate = jnp.arange(grid.nz)[None, None, :] < 8   # lower half
+    hot_top = jnp.where(jnp.arange(grid.nz)[None, None, :] >= 8,
+                        900.0, 20.0) * jnp.ones(grid.shape)
+
+    def kt_bimetal(k_sub):
+        return lambda T: jnp.where(substrate, k_sub, 54.0 + 0.0 * T)
+
+    kw = dict(dt=0.1, robin_outer=rob, zbc=zbc, implementation="xla")
+    uni = adi_step_cyl_varprop(hot_top, grid, mat, k_table=54.0, **kw)
+    same = adi_step_cyl_varprop(hot_top, grid, mat,
+                                k_table=kt_bimetal(54.0), **kw)
+    np.testing.assert_array_equal(np.asarray(same), np.asarray(uni))
+
+    fast = adi_step_cyl_varprop(hot_top, grid, mat,
+                                k_table=kt_bimetal(540.0), **kw)
+    # more energy crossed into the high-k substrate (the interface flux
+    # is harmonic-mean limited: harm(54, 540) ~ 98, so expect ~1.5x)
+    e_sub = lambda X: float(jnp.sum(jnp.where(substrate, X - 20.0, 0.0)))
+    assert e_sub(fast) > 1.3 * e_sub(same)
+    # and the compressed tier agrees on the bimetal configuration
+    fast_p = adi_step_cyl_varprop(hot_top, grid, mat,
+                                  k_table=kt_bimetal(540.0),
+                                  implementation="pallas", interpret=True,
+                                  dt=0.1, robin_outer=rob, zbc=zbc)
+    np.testing.assert_allclose(np.asarray(fast_p), np.asarray(fast),
+                               rtol=1e-12, atol=1e-9)
