@@ -696,3 +696,31 @@ def test_adi_step_varprop_fused_fuse_theta():
                                      fuse_theta=True, **kw)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-13, atol=0.0)
+
+
+def test_bimetal_substrate_deposit_cartesian():
+    """Multi-material via closure tables on the Cartesian family (mirrors
+    tests/test_cyl_varprop.py::test_bimetal_substrate_deposit): identical
+    alloys reduce exactly to the uniform run; a high-k substrate absorbs
+    heat faster through the harmonic-mean interface."""
+    grid = CartesianGrid(8, 8, 16, 1e-3)
+    mat = Material(7800.0, 490.0, 54.0)
+    mask = jnp.ones(grid.shape, bool)
+    packs = build_coeff_packs(mask, grid, mat)     # adiabatic domain
+    substrate = jnp.arange(grid.nz)[None, None, :] < 8
+    T0 = jnp.where(jnp.arange(grid.nz)[None, None, :] >= 8, 900.0, 20.0) \
+        * jnp.ones(grid.shape)
+
+    def kt(k_sub):
+        return lambda T: jnp.where(substrate, k_sub, 54.0 + 0.0 * T)
+
+    step = lambda ktab: adi_step_varprop(T0, mask, packs, grid, mat,
+                                         k_table=ktab, dt=0.2, theta=1.0,
+                                         implementation="xla")
+    uni = step(None)
+    same = step(kt(54.0))
+    np.testing.assert_allclose(np.asarray(same), np.asarray(uni),
+                               rtol=1e-13, atol=1e-13)
+    fast = step(kt(540.0))
+    e_sub = lambda X: float(jnp.sum(jnp.where(substrate, X - 20.0, 0.0)))
+    assert e_sub(fast) > 1.3 * e_sub(same)
