@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["write_vtk_structured_points", "read_vtk_structured_points",
-           "write_vtk_cylindrical_grid"]
+           "write_vtk_cylindrical_grid", "read_vtk_structured_grid"]
 
 
 def write_vtk_structured_points(path: str, fields: dict[str, np.ndarray], *,
@@ -164,3 +164,59 @@ def write_vtk_cylindrical_grid(path: str, fields: dict[str, np.ndarray], *,
                 for plane in flat:
                     for row in plane:
                         w(" ".join(f"{v:.6g}" for v in row) + "\n")
+
+
+def read_vtk_structured_grid(path: str):
+    """Read back this module's STRUCTURED_GRID output: returns
+    ``(points, fields)`` with points (N, 3) float64 and each field in the
+    writer's (nr, nphi[+1], nz) layout (the duplicated phi seam plane is
+    kept; drop ``[:, -1]`` to recover the periodic field)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    fields: dict[str, np.ndarray] = {}
+    dims = None
+    pts = None
+    binary = False
+    pos = 0
+
+    def next_line():
+        nonlocal pos
+        end = data.index(b"\n", pos)
+        ln = data[pos:end].decode("ascii", errors="replace")
+        pos = end + 1
+        return ln
+
+    while pos < len(data):
+        ln = next_line()
+        if ln.startswith("BINARY"):
+            binary = True
+        elif ln.startswith("DIMENSIONS"):
+            dims = tuple(int(v) for v in ln.split()[1:4])
+        elif ln.startswith("POINTS"):
+            need = 3 * dims[0] * dims[1] * dims[2]
+            if binary:
+                pts = np.frombuffer(data, dtype=">f4", count=need,
+                                    offset=pos).astype(np.float64)
+                pos += 4 * need
+            else:
+                vals: list[float] = []
+                while len(vals) < need:
+                    vals.extend(float(v) for v in next_line().split())
+                pts = np.asarray(vals)
+            pts = pts.reshape(-1, 3)
+        elif ln.startswith("SCALARS"):
+            name = ln.split()[1]
+            next_line()  # LOOKUP_TABLE
+            need = dims[0] * dims[1] * dims[2]
+            if binary:
+                arr = np.frombuffer(data, dtype=">f4", count=need,
+                                    offset=pos).astype(np.float64)
+                pos += 4 * need
+            else:
+                vals = []
+                while len(vals) < need:
+                    vals.extend(float(v) for v in next_line().split())
+                arr = np.asarray(vals)
+            fields[name] = arr.reshape(dims[2], dims[1],
+                                       dims[0]).transpose(2, 1, 0)
+    return pts, fields

@@ -550,3 +550,30 @@ def test_spiral_tube_app_longz_matches_single_device(tmp_path):
         base + ["--out", str(tmp_path / "b.gif"), "--mesh", "z8"]))
     np.testing.assert_allclose(np.asarray(r2["T"]), np.asarray(r1["T"]),
                                rtol=1e-9, atol=1e-9)
+
+
+def test_cylindrical_vtk_roundtrip(tmp_path):
+    """write_vtk_cylindrical_grid -> read_vtk_structured_grid roundtrip:
+    fields recover exactly (minus the seam duplicate) and the points
+    reproduce the (r, phi, z) lattice, in both binary and ASCII forms."""
+    from adi_thermal_fields_tpu.io.vtk import (read_vtk_structured_grid,
+                                               write_vtk_cylindrical_grid)
+
+    nr, nphi, nz = 3, 8, 5
+    rng = np.random.default_rng(1)
+    T = rng.random((nr, nphi, nz)).astype(np.float32)
+    r = 10.0 + np.arange(nr)
+    for binary in (True, False):
+        path = str(tmp_path / f"t_{binary}.vtk")
+        write_vtk_cylindrical_grid(path, {"T": T}, r=r,
+                                   dphi=2 * np.pi / nphi, dz=0.5,
+                                   binary=binary)
+        pts, fields = read_vtk_structured_grid(path)
+        got = fields["T"][:, :nphi, :]           # drop the seam plane
+        # binary is exact f32; ASCII goes through %.6g formatting
+        np.testing.assert_allclose(got, T, rtol=1e-6 if binary else 1e-5)
+        rr = np.hypot(pts[:, 0], pts[:, 1]).reshape(nz, nphi + 1, nr)
+        np.testing.assert_allclose(rr[0, 0], r, rtol=1e-6)
+        zz = pts[:, 2].reshape(nz, nphi + 1, nr)
+        np.testing.assert_allclose(zz[:, 0, 0], 0.5 * np.arange(nz),
+                                   atol=1e-6)
