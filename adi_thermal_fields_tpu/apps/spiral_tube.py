@@ -222,6 +222,9 @@ def run(args) -> dict:
         if spec.startswith("z"):
             from jax.sharding import Mesh
             n_ = int(spec[1:])
+            if len(jax.devices()) < n_:
+                raise SystemExit(f"--mesh z{n_} needs {n_} devices, "
+                                 f"have {len(jax.devices())}")
             mesh_dev = Mesh(np.asarray(jax.devices()[:n_]), ("z",))
             longz = True
             if args.void_mode != "robin":
@@ -425,15 +428,16 @@ def run(args) -> dict:
             ta = jnp.asarray(ha, dtype)
         log(f"resumed t={st.t:.3f} s (step {i0}/{n_steps})", tag="resume")
 
-    def _write_checkpoint(T, t, active):
+    def _write_checkpoint(T_np, t, active):
+        from ..dist.gather import gather_to_host
         from ..io.checkpoint import RunState, save_checkpoint
         meta = None
         if crits is not None:
-            meta = {"history_peak": np.asarray(pk),
-                    "history_above": np.asarray(ta),
+            meta = {"history_peak": gather_to_host(pk),
+                    "history_above": gather_to_host(ta),
                     "history_crits": np.asarray(crits)}
         save_checkpoint(args.checkpoint, RunState(
-            T=np.asarray(T), active=np.asarray(active), t=t, meta=meta))
+            T=T_np, active=np.asarray(active), t=t, meta=meta))
 
     frames = []
     t = i0 * dt
@@ -458,7 +462,7 @@ def run(args) -> dict:
             log(f"t={t:8.3f} s  Tmax={tmax:8.1f}", tag="frame")
             frames.append((t, T_np, a_np.copy()))
             if args.checkpoint:
-                _write_checkpoint(T, t, active)
+                _write_checkpoint(T_np, t, active)
 
     out = {"T": T, "frames": frames, "grid": grid}
     if crits is not None:

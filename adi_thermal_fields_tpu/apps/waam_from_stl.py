@@ -258,9 +258,11 @@ def run(args) -> dict:
         log(f"sharding over {p_}x{q_} device mesh", tag="mesh")
 
     hist_crits = None
+    crits_np = None     # canonical threshold array (checkpoint meta/guard)
     if args.history_t_crit is not None:
         vals = tuple(float(v) for v in str(args.history_t_crit).split(","))
         hist_crits = vals if len(vals) > 1 else vals[0]
+        crits_np = np.atleast_1d(np.asarray(vals))
 
     # bf16 with round-to-nearest freezes slow cooling (sub-quantum update
     # dropout); stochastic rounding is the documented fix.  It needs the
@@ -342,15 +344,12 @@ def run(args) -> dict:
                     f"(expected {want}); resume with the same threshold list "
                     "the checkpoint was written with")
             ck_crits = st.meta.get("history_crits")
-            want_crits = np.atleast_1d(np.asarray(
-                hist_crits if isinstance(hist_crits, tuple)
-                else (hist_crits,)))
             if ck_crits is not None and not np.array_equal(
-                    np.atleast_1d(ck_crits), want_crits):
+                    np.atleast_1d(ck_crits), crits_np):
                 raise SystemExit(
                     f"checkpoint thermal-history thresholds "
                     f"{np.atleast_1d(ck_crits).tolist()} != "
-                    f"--history_t_crit {want_crits.tolist()}; resuming "
+                    f"--history_t_crit {crits_np.tolist()}; resuming "
                     "would mix accumulators measured against different "
                     "temperatures")
             # t_above accumulates at solve precision (>= f32) in-run; a f32
@@ -396,9 +395,6 @@ def run(args) -> dict:
             if args.history_t_crit is not None and loop.history_state is not None:
                 from ..dist.gather import gather_to_host
                 pk_c, ta_c = loop.history_state
-                crits_np = np.atleast_1d(np.asarray(
-                    hist_crits if isinstance(hist_crits, tuple)
-                    else (hist_crits,)))
                 meta = {"history_peak": gather_to_host(pk_c),
                         "history_above": gather_to_host(ta_c),
                         "history_crits": crits_np}

@@ -571,12 +571,25 @@ def _install_watchdog():
     import threading
 
     budget = int(os.environ.get("BENCH_WATCHDOG_S", "3000"))
+    case = "headline"
+    if "--case" in sys.argv:
+        i = sys.argv.index("--case")
+        if i + 1 < len(sys.argv):
+            case = sys.argv[i + 1]
+    metric = {"headline": "adi_cell_updates_per_s_per_chip",
+              "bf16": "adi_cell_updates_per_s_per_chip_bf16",
+              "cylindrical": "cyl_cell_updates_per_s_per_chip",
+              "masked": "masked_cyl_cell_updates_per_s_per_chip",
+              "varprop": "varprop_cell_updates_per_s_per_chip",
+              "cyl_varprop": "cyl_varprop_cell_updates_per_s_per_chip",
+              "capacity": "adi_cell_updates_per_s_per_chip_capacity",
+              }.get(case, f"{case}_cell_updates_per_s_per_chip")
 
     def _expired():
         print("[bench] WATCHDOG: no result within "
               f"{budget}s — tunnel outage; emitting zero record",
               file=sys.stderr)
-        print(json.dumps({"metric": "adi_cell_updates_per_s_per_chip",
+        print(json.dumps({"metric": metric,
                           "value": 0.0, "unit": "cell/s",
                           "vs_baseline": 0.0,
                           "error": f"watchdog: tunnel unresponsive {budget}s"}),

@@ -19,7 +19,9 @@ LOG=${1:-/tmp/chip_session.log}
 : > "$LOG"
 run() {
     echo "=== $* ===" | tee -a "$LOG"
-    timeout "${T:-900}" "$@" >> "$LOG" 2>&1
+    # keep bench's internal watchdog BELOW the outer timeout so a tunnel
+    # outage still yields the guaranteed zero JSON line in the log
+    BENCH_WATCHDOG_S=$(( ${T:-900} - 60 )) timeout "${T:-900}" "$@" >> "$LOG" 2>&1
     echo "--- exit $? ---" | tee -a "$LOG"
 }
 run python bench.py
