@@ -1,0 +1,92 @@
+"""Adjoint process-optimization gates (apps/optimize_process.py).
+
+Validates the beyond-reference inverse-design capability: (1) the adjoint
+gradient through the full multi-layer ADI build matches central finite
+differences, (2) a few Adam iterations actually reduce the t8/5-uniformity
+loss and tighten the per-layer t8/5 spread, (3) the CLI runs end-to-end.
+The reference framework cannot do any of this (Numba/CuPy cores are not
+differentiable).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adi_thermal_fields_tpu.apps.optimize_process import (
+    build_argparser, build_wall_problem, make_forward, optimize, run)
+from adi_thermal_fields_tpu.core.material import Material
+
+
+def _tiny_problem(n_layers=3, target=2.0):
+    mat = Material(7800.0, 490.0, 30.0)
+    dtype = jnp.float64
+    grid, masks, newborn, probe_w = build_wall_problem(
+        nx=10, ny=6, nz_plate=3, n_layers=n_layers, layer_vox=1,
+        wall_w_vox=2, dx=2e-3, mat=mat, h=200.0, t_inf=25.0, dtype=dtype)
+    forward = make_forward(grid, masks, newborn, probe_w, mat, h=200.0,
+                           t_inf=25.0, n_sub=8, target_t85=target,
+                           dtype=dtype)
+    L = n_layers
+    dep0 = jnp.full((L,), 1500.0, dtype)
+    dw0 = jnp.full((L,), 3.0, dtype)
+    return forward, dep0, dw0
+
+
+def test_adjoint_gradient_matches_finite_differences():
+    forward, dep0, dw0 = _tiny_problem()
+
+    def loss_dep(p):
+        return forward(p, dw0)[0]
+
+    def loss_dw(p):
+        return forward(dep0, p)[0]
+
+    for loss_fn, x0, eps in ((loss_dep, dep0, 1e-2), (loss_dw, dw0, 1e-5)):
+        g = jax.grad(loss_fn)(x0)
+        assert bool(jnp.all(jnp.isfinite(g)))
+        for i in (0, len(x0) - 1):
+            e = jnp.zeros_like(x0).at[i].set(eps)
+            fd = (loss_fn(x0 + e) - loss_fn(x0 - e)) / (2 * eps)
+            ref = max(abs(float(fd)), 1e-9)
+            assert abs(float(g[i]) - float(fd)) / ref < 5e-4, (
+                f"coord {i}: adjoint {float(g[i])} vs FD {float(fd)}")
+
+
+def test_optimization_reduces_loss_and_spread():
+    forward, dep0, dw0 = _tiny_problem(n_layers=4, target=1.5)
+    loss0, aux0 = forward(dep0, dw0)
+    dep, dw, hist = optimize(forward, "deposit_T", dep0, dw0, iters=25,
+                             lr=15.0, log=None)
+    loss1, aux1 = forward(dep, dw)
+    assert float(loss1) < 0.5 * float(loss0), (float(loss0), float(loss1))
+    spread0 = float(jnp.max(aux0["t85"]) - jnp.min(aux0["t85"]))
+    spread1 = float(jnp.max(aux1["t85"]) - jnp.min(aux1["t85"]))
+    # equalizing t8/5 across layers is the point of the exercise
+    assert spread1 < spread0
+    # monotone-ish descent: final entry below the first
+    assert hist[-1] < hist[0]
+
+
+def test_dwell_mode_stays_positive_and_descends():
+    forward, dep0, dw0 = _tiny_problem(n_layers=3, target=1.0)
+    loss0, _ = forward(dep0, dw0)
+    dep, dw, hist = optimize(forward, "dwell", dep0, dw0, iters=15,
+                             lr=0.3, log=None)
+    loss1, _ = forward(dep, dw)
+    assert bool(jnp.all(dw > 0.0))
+    assert float(loss1) < float(loss0)
+
+
+def test_cli_end_to_end(tmp_path):
+    out = tmp_path / "sched.json"
+    args = build_argparser().parse_args([
+        "--nx", "10", "--ny", "6", "--nz_plate", "3", "--layers", "3",
+        "--layer_vox", "1", "--wall_w_vox", "2", "--dx_mm", "2.0",
+        "--n_sub", "6", "--iters", "6", "--target_t85", "2.0",
+        "--out", str(out)])
+    result = run(args)
+    assert result["loss_final"] < result["loss_initial"]
+    assert out.exists()
+    import json
+    sched = json.loads(out.read_text())
+    assert len(sched["deposit_T"]) == 3
