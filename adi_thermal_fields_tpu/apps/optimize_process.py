@@ -88,17 +88,24 @@ def build_wall_problem(*, nx: int, ny: int, nz_plate: int, n_layers: int,
 def make_forward(grid, masks, newborn, probe_w, mat, *, h: float,
                  t_inf: float, n_sub: int, target_t85: float,
                  band=(500.0, 800.0), band_w: float = 15.0,
-                 time_penalty: float = 0.0, dtype=None):
+                 time_penalty: float = 0.0, dtype=None,
+                 k_table=None, cp_table=None):
     """Build the differentiable ``forward(deposit_T, dwell_s) -> (loss, aux)``.
 
     Fully jittable; BE time stepping (theta=1) so traced dwell lengths of any
-    size stay stable.  aux = dict(t85=(L,), loss_terms=...).
+    size stay stable.  aux = dict(t85=(L,), T_final=...).
+
+    ``k_table``/``cp_table``: optional T-dependent properties (e.g.
+    ``apparent_cp`` with latent heat — solidification released in the very
+    band t8/5 measures); routes through the differentiable varprop scan tier
+    (`step/cartesian_varprop.adi_step_varprop(implementation="xla")`).
     """
     import jax
     import jax.numpy as jnp
 
     from ..bc.packs import build_coeff_packs
     from ..step.cartesian import adi_step
+    from ..step.cartesian_varprop import adi_step_varprop
 
     if dtype is None:
         dtype = jnp.result_type(float)
@@ -121,8 +128,14 @@ def make_forward(grid, masks, newborn, probe_w, mat, *, h: float,
 
         def sub(carry, _):
             T, t85 = carry
-            T = adi_step(T, mask_i, pk_i, grid, mat, dt=dt, theta=1.0,
-                         t_inf=t_inf)
+            if k_table is not None or cp_table is not None:
+                T = adi_step_varprop(T, mask_i, pk_i, grid, mat, dt=dt,
+                                     theta=1.0, t_inf=t_inf,
+                                     k_table=k_table, cp_table=cp_table,
+                                     implementation="xla")
+            else:
+                T = adi_step(T, mask_i, pk_i, grid, mat, dt=dt, theta=1.0,
+                             t_inf=t_inf)
             tm = probe_w @ T.reshape(-1)           # (L,) layer-mean probes
             t85 = t85 + dt * deposited * band_ind(tm)
             return (T, t85), None
@@ -236,6 +249,15 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="Adam step (default: 20 for deposit_T, 0.2 for dwell)")
     p.add_argument("--time_penalty", type=float, default=0.0,
                    help="loss += penalty * total dwell [1/s] (dwell mode)")
+    p.add_argument("--latent_J_kg", type=float, default=0.0,
+                   help="latent heat of fusion [J/kg]; releases inside the "
+                        "solidus..liquidus band via apparent cp(T) — the "
+                        "varprop (differentiable) forward.  NOTE: apparent "
+                        "cp acts on steps whose starting T lies in the band; "
+                        "pick n_sub so the cooling trajectory samples it "
+                        "(a first deposit step can drop hundreds of K)")
+    p.add_argument("--solidus_C", type=float, default=1420.0)
+    p.add_argument("--liquidus_C", type=float, default=1470.0)
     p.add_argument("--out", type=str, default=None,
                    help="write the optimized schedule as JSON")
     return p
@@ -254,10 +276,16 @@ def run(args) -> dict:
         n_layers=args.layers, layer_vox=args.layer_vox,
         wall_w_vox=args.wall_w_vox, dx=args.dx_mm * 1e-3, mat=mat,
         h=args.h, t_inf=args.T_inf, dtype=dtype)
+    cp_table = None
+    if args.latent_J_kg > 0.0:
+        from ..step.cartesian_varprop import apparent_cp
+        cp_table = apparent_cp(args.cp, args.cp, args.latent_J_kg,
+                               args.solidus_C, args.liquidus_C)
     forward = make_forward(grid, masks, newborn, probe_w, mat, h=args.h,
                            t_inf=args.T_inf, n_sub=args.n_sub,
                            target_t85=args.target_t85, band_w=args.band_w,
-                           time_penalty=args.time_penalty, dtype=dtype)
+                           time_penalty=args.time_penalty, dtype=dtype,
+                           cp_table=cp_table)
 
     L = args.layers
     dep0 = jnp.full((L,), args.deposit_T, dtype)

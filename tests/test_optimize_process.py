@@ -77,6 +77,42 @@ def test_dwell_mode_stays_positive_and_descends():
     assert float(loss1) < float(loss0)
 
 
+def test_varprop_forward_differentiable():
+    """Latent-heat (apparent-cp) forward: differs from constant-cp and its
+    adjoint gradient still matches finite differences."""
+    from adi_thermal_fields_tpu.step.cartesian_varprop import apparent_cp
+
+    mat = Material(7800.0, 490.0, 30.0)
+    dtype = jnp.float64
+    grid, masks, newborn, probe_w = build_wall_problem(
+        nx=10, ny=6, nz_plate=3, n_layers=2, layer_vox=1,
+        wall_w_vox=2, dx=2e-3, mat=mat, h=200.0, t_inf=25.0, dtype=dtype)
+    kw = dict(h=200.0, t_inf=25.0, n_sub=12, target_t85=2.0, dtype=dtype)
+    f_const = make_forward(grid, masks, newborn, probe_w, mat, **kw)
+    # place the latent band (solidus..liquidus) inside the range the coarse
+    # trajectory actually samples: an explicit-in-T apparent cp only acts on
+    # steps whose STARTING temperature lies in the band, and the first
+    # deposit step drops ~600 K — a 1420..1470 band would be stepped over
+    f_vp = make_forward(grid, masks, newborn, probe_w, mat,
+                        cp_table=apparent_cp(490.0, 490.0, 2.7e5,
+                                             350.0, 650.0), **kw)
+    dep0 = jnp.full((2,), 1550.0, dtype)
+    dw0 = jnp.full((2,), 3.0, dtype)
+    t85_c = f_const(dep0, dw0)[1]["t85"]
+    t85_v = f_vp(dep0, dw0)[1]["t85"]
+    # solidification heat above the band delays cooling into it
+    assert not np.allclose(np.asarray(t85_c), np.asarray(t85_v))
+
+    def loss(p):
+        return f_vp(p, dw0)[0]
+
+    g = jax.grad(loss)(dep0)
+    eps = 1e-2
+    e = jnp.zeros_like(dep0).at[0].set(eps)
+    fd = (loss(dep0 + e) - loss(dep0 - e)) / (2 * eps)
+    assert abs(float(g[0]) - float(fd)) / max(abs(float(fd)), 1e-9) < 1e-3
+
+
 def test_cli_end_to_end(tmp_path):
     out = tmp_path / "sched.json"
     args = build_argparser().parse_args([
