@@ -113,6 +113,75 @@ def test_varprop_forward_differentiable():
     assert abs(float(g[0]) - float(fd)) / max(abs(float(fd)), 1e-9) < 1e-3
 
 
+def test_t85_proxy_matches_hard_indicator():
+    """With a narrow sigmoid width the smooth band-occupancy proxy must equal
+    the dt-quantized hard-indicator time of the same trajectory (recomputed
+    here by stepping the identical schedule and summing dt over steps whose
+    layer-mean lies in (500, 800))."""
+    from adi_thermal_fields_tpu.bc.packs import build_coeff_packs
+    from adi_thermal_fields_tpu.step.cartesian import adi_step
+
+    mat = Material(7800.0, 490.0, 30.0)
+    dtype = jnp.float64
+    grid, masks, newborn, probe_w = build_wall_problem(
+        nx=10, ny=6, nz_plate=3, n_layers=2, layer_vox=1,
+        wall_w_vox=2, dx=2e-3, mat=mat, h=200.0, t_inf=25.0, dtype=dtype)
+    n_sub, dwell = 8, 3.0
+    forward = make_forward(grid, masks, newborn, probe_w, mat, h=200.0,
+                           t_inf=25.0, n_sub=n_sub, target_t85=2.0,
+                           band_w=1e-3, dtype=dtype)
+    dep0 = jnp.full((2,), 1550.0, dtype)
+    dw0 = jnp.full((2,), dwell, dtype)
+    t85 = np.asarray(forward(dep0, dw0)[1]["t85"])
+
+    # replay the identical schedule with hard counting
+    T = jnp.full(grid.shape, 25.0, dtype)
+    hard = np.zeros(2)
+    dt = dwell / n_sub
+    for i in range(2):
+        pk = build_coeff_packs(masks[i], grid, mat, robin_h=200.0,
+                               dtype=dtype)
+        T = jnp.where(newborn[i], 1550.0, T)
+        for _ in range(n_sub):
+            T = adi_step(T, masks[i], pk, grid, mat, dt=dt, theta=1.0,
+                         t_inf=25.0)
+            tm = np.asarray(probe_w @ T.reshape(-1))
+            for j in range(i + 1):
+                if 500.0 < tm[j] < 800.0:
+                    hard[j] += dt
+    np.testing.assert_allclose(t85, hard, atol=1e-6)
+
+
+def test_sharded_adjoint_matches_single_device():
+    """Pod-scale inverse design: the adjoint gradient computed with the
+    problem fields sharded over the 8-device mesh must equal the
+    single-device gradient (GSPMD partitions the forward AND the
+    reverse-mode sweep; collectives are inserted automatically)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mat = Material(7800.0, 490.0, 30.0)
+    dtype = jnp.float64
+    # mesh-divisible extents: y=8 over 2 devices, z=8 over 4
+    grid, masks, newborn, probe_w = build_wall_problem(
+        nx=8, ny=8, nz_plate=4, n_layers=4, layer_vox=1,
+        wall_w_vox=2, dx=2e-3, mat=mat, h=200.0, t_inf=25.0, dtype=dtype)
+    kw = dict(h=200.0, t_inf=25.0, n_sub=8, target_t85=2.0, dtype=dtype)
+    dep0 = jnp.full((4,), 1500.0, dtype)
+    dw0 = jnp.full((4,), 3.0, dtype)
+    f_ref = make_forward(grid, masks, newborn, probe_w, mat, **kw)
+    g_ref = jax.grad(lambda p: f_ref(p, dw0)[0])(dep0)
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("a", "b"))
+    sh = NamedSharding(mesh, P(None, None, "a", "b"))   # (L, x, y, z)
+    masks = jax.device_put(masks, sh)
+    newborn = jax.device_put(newborn, sh)
+    f_sh = make_forward(grid, masks, newborn, probe_w, mat, **kw)
+    g_sh = jax.jit(jax.grad(lambda p: f_sh(p, dw0)[0]))(dep0)
+    np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref),
+                               rtol=1e-12, atol=1e-12)
+
+
 def test_cli_end_to_end(tmp_path):
     out = tmp_path / "sched.json"
     args = build_argparser().parse_args([
