@@ -47,6 +47,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--bead_width_mm", type=float, default=6.0)
     p.add_argument("--scan_speed_mm_s", type=float, default=8.0)
     p.add_argument("--eta_fill", type=float, default=1.0)
+    p.add_argument("--layer_times_s", type=str, default=None,
+                   help="MEASURED per-layer print durations [s] instead of "
+                        "the slab-area estimate: a comma list "
+                        "('12.5,13.1,...') or '@file' with one duration per "
+                        "line (e.g. from the slicer/G-code); the count must "
+                        "match the extracted layer count")
     # BCs
     p.add_argument("--h_side", type=float, default=30.0)
     p.add_argument("--T_inf", type=float, default=20.0)
@@ -179,6 +185,23 @@ def extract_layers(mask: np.ndarray, cells_per_layer: int):
     return layers
 
 
+def parse_layer_times(spec: str) -> list:
+    """Per-layer print durations [s] from a comma list or '@file' (one
+    duration per line; blank lines and '#' comments ignored)."""
+    if spec.startswith("@"):
+        with open(spec[1:]) as f:
+            items = [ln.split("#")[0].strip() for ln in f]
+        items = [x for x in items if x]
+    else:
+        items = [x.strip() for x in spec.split(",") if x.strip()]
+    durations = [float(x) for x in items]
+    bad = [d for d in durations if not (d > 0.0)]
+    if bad:
+        raise SystemExit(f"--layer_times_s durations must be positive; "
+                         f"got {bad[:3]}")
+    return durations
+
+
 def layer_birth_times(mask, layers, dx, bead_width_m, scan_speed_m_s,
                       eta_fill):
     """Cumulative print-time estimate per layer from mean slab area
@@ -218,9 +241,19 @@ def run(args) -> dict:
 
     n_per_layer = max(1, int(round(args.bead_height_mm * 1e-3 / dz)))
     layers = extract_layers(mask_full, n_per_layer)
-    births = layer_birth_times(mask_full, layers, dx,
-                               args.bead_width_mm * 1e-3,
-                               args.scan_speed_mm_s * 1e-3, args.eta_fill)
+    if getattr(args, "layer_times_s", None):
+        durations = parse_layer_times(args.layer_times_s)
+        if len(durations) != len(layers):
+            raise SystemExit(
+                f"--layer_times_s supplies {len(durations)} durations but "
+                f"{len(layers)} layers were extracted (bead_height "
+                f"{args.bead_height_mm} mm over {dz*1e3:g} mm voxels)")
+        births = list(np.cumsum(durations))
+    else:
+        births = layer_birth_times(mask_full, layers, dx,
+                                   args.bead_width_mm * 1e-3,
+                                   args.scan_speed_mm_s * 1e-3,
+                                   args.eta_fill)
     total_time = (births[-1] if births else 0.0) + args.t_hold_s
     log(f"{len(layers)} layers, n_per_layer={n_per_layer}, "
         f"total print time ~{births[-1] if births else 0.0:.2f} s"
@@ -453,7 +486,7 @@ def run(args) -> dict:
             "adi_thermal_fields_tpu.apps.viewer on saved checkpoints",
             tag="viewer")
     return {"T": T, "active": active, "t": t, "frames": frames_meta,
-            "grid": grid, "layers": layers}
+            "grid": grid, "layers": layers, "births": births}
 
 
 def main(argv=None):

@@ -577,3 +577,34 @@ def test_cylindrical_vtk_roundtrip(tmp_path):
         zz = pts[:, 2].reshape(nz, nphi + 1, nr)
         np.testing.assert_allclose(zz[:, 0, 0], 0.5 * np.arange(nz),
                                    atol=1e-6)
+
+
+def test_waam_app_measured_layer_times(tmp_path):
+    """--layer_times_s: measured per-layer durations (comma list and @file)
+    replace the slab-area estimate; the birth schedule must be their
+    cumulative sum, and a count mismatch must fail with a clear error."""
+    import pytest
+
+    from adi_thermal_fields_tpu.apps.waam_from_stl import build_argparser, run
+    from adi_thermal_fields_tpu.geometry.primitives import box_mesh
+    from adi_thermal_fields_tpu.geometry.stl import save_stl_binary
+
+    stl = str(tmp_path / "cube_mm.stl")
+    save_stl_binary(stl, box_mesh(size=(6.0, 6.0, 8.0), center=(3, 3, 4)))
+    outdir = str(tmp_path / "out")
+    base = ["--stl", stl, "--dx_mm", "1", "--nframes", "2", "--outdir",
+            outdir, "--precision", "float64", "--bead_height_mm", "2"]
+
+    res = run(build_argparser().parse_args(
+        base + ["--layer_times_s", "2.0,3.0,4.0,5.0"]))
+    np.testing.assert_allclose(res["births"], [2.0, 5.0, 9.0, 14.0])
+
+    tf = tmp_path / "times.txt"
+    tf.write_text("2.0\n3.0  # layer 2\n\n4.0\n5.0\n")
+    res2 = run(build_argparser().parse_args(
+        base + ["--layer_times_s", f"@{tf}"]))
+    np.testing.assert_allclose(res2["births"], [2.0, 5.0, 9.0, 14.0])
+
+    with pytest.raises(SystemExit, match="3 durations but 4 layers"):
+        run(build_argparser().parse_args(
+            base + ["--layer_times_s", "2,3,4"]))
