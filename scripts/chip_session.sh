@@ -34,6 +34,7 @@ T=1500 run python bench.py --case capacity
 T=1200 run python scripts/vp_ring_chip.py --n 384
 T=1200 run python scripts/cyl_vp_chip.py
 T=1200 run python scripts/varprop_breakdown.py --n 384
+T=900 run python scripts/opt_chip.py
 T=1200 run python scripts/trace_512.py --logdir /tmp/trace512
 tail -5 "$LOG"
 echo "session log: $LOG"
