@@ -89,7 +89,9 @@ def make_forward(grid, masks, newborn, probe_w, mat, *, h: float,
                  t_inf: float, n_sub: int, target_t85: float,
                  band=(500.0, 800.0), band_w: float = 15.0,
                  time_penalty: float = 0.0, dtype=None,
-                 k_table=None, cp_table=None):
+                 k_table=None, cp_table=None,
+                 interpass_limit=None, interpass_penalty: float = 1.0,
+                 target_weight: float = 1.0):
     """Build the differentiable ``forward(deposit_T, dwell_s) -> (loss, aux)``.
 
     Fully jittable; BE time stepping (theta=1) so traced dwell lengths of any
@@ -99,6 +101,13 @@ def make_forward(grid, masks, newborn, probe_w, mat, *, h: float,
     ``apparent_cp`` with latent heat — solidification released in the very
     band t8/5 measures); routes through the differentiable varprop scan tier
     (`step/cartesian_varprop.adi_step_varprop(implementation="xla")`).
+
+    ``interpass_limit``: optional interpass-temperature constraint [C]: the
+    top layer's mean temperature at the END of each segment (just before
+    the next deposit) is charged ``interpass_penalty * relu(T - limit)^2``.
+    With ``target_weight=0`` and a ``time_penalty`` this poses the
+    production question directly: the fastest dwell schedule that respects
+    the interpass limit.  aux gains ``interpass=(L,)``.
     """
     import jax
     import jax.numpy as jnp
@@ -141,7 +150,10 @@ def make_forward(grid, masks, newborn, probe_w, mat, *, h: float,
             return (T, t85), None
 
         (T, t85), _ = jax.lax.scan(sub, (T, t85), None, length=n_sub)
-        return T, t85
+        # interpass reading: the just-deposited layer's mean T at segment
+        # end (the temperature the NEXT layer is laid onto)
+        tip = (probe_w @ T.reshape(-1))[i]
+        return T, t85, tip
 
     # rematerialize per layer: reverse-mode keeps one layer's sub-steps
     # live at a time instead of the whole build history
@@ -154,19 +166,22 @@ def make_forward(grid, masks, newborn, probe_w, mat, *, h: float,
         def body(carry, xs):
             T, t85 = carry
             mask_i, pk_i, born_i, dep_i, dw_i, i = xs
-            T, t85 = layer_segment(T, t85, mask_i, pk_i, born_i, dep_i,
-                                   dw_i, i)
-            return (T, t85), None
+            T, t85, tip = layer_segment(T, t85, mask_i, pk_i, born_i, dep_i,
+                                        dw_i, i)
+            return (T, t85), tip
 
         xs = (masks, packs, newborn, deposit_T.astype(dtype),
               dwell_s.astype(dtype), jnp.arange(L))
-        (T, t85), _ = jax.lax.scan(body, (T0, t85), xs)
+        (T, t85), interpass = jax.lax.scan(body, (T0, t85), xs)
 
         miss = t85 - target_t85
-        loss = jnp.mean(miss * miss)
+        loss = target_weight * jnp.mean(miss * miss)
         if time_penalty:
             loss = loss + time_penalty * jnp.sum(dwell_s)
-        return loss, {"t85": t85, "T_final": T}
+        if interpass_limit is not None:
+            over = jnp.maximum(interpass - interpass_limit, 0.0)
+            loss = loss + interpass_penalty * jnp.mean(over * over)
+        return loss, {"t85": t85, "T_final": T, "interpass": interpass}
 
     return forward
 
@@ -249,6 +264,15 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="Adam step (default: 20 for deposit_T, 0.2 for dwell)")
     p.add_argument("--time_penalty", type=float, default=0.0,
                    help="loss += penalty * total dwell [1/s] (dwell mode)")
+    p.add_argument("--interpass_limit_C", type=float, default=None,
+                   help="soft interpass-temperature constraint [C]: "
+                        "penalize each layer's mean T at segment end above "
+                        "this; combine with --var dwell --time_penalty "
+                        "(and optionally --target_weight 0) to find the "
+                        "fastest schedule that respects the limit")
+    p.add_argument("--interpass_penalty", type=float, default=1.0)
+    p.add_argument("--target_weight", type=float, default=1.0,
+                   help="weight of the t8/5 target term (0 disables it)")
     p.add_argument("--latent_J_kg", type=float, default=0.0,
                    help="latent heat of fusion [J/kg]; releases inside the "
                         "solidus..liquidus band via apparent cp(T) — the "
@@ -285,7 +309,10 @@ def run(args) -> dict:
                            t_inf=args.T_inf, n_sub=args.n_sub,
                            target_t85=args.target_t85, band_w=args.band_w,
                            time_penalty=args.time_penalty, dtype=dtype,
-                           cp_table=cp_table)
+                           cp_table=cp_table,
+                           interpass_limit=args.interpass_limit_C,
+                           interpass_penalty=args.interpass_penalty,
+                           target_weight=args.target_weight)
 
     L = args.layers
     dep0 = jnp.full((L,), args.deposit_T, dtype)
@@ -315,6 +342,7 @@ def run(args) -> dict:
         "t85_final": t85_1.tolist(),
         "deposit_T": np.asarray(dep).tolist(),
         "dwell_s": np.asarray(dw).tolist(),
+        "interpass_final": np.asarray(aux1["interpass"]).tolist(),
         "history": history,
     }
     if args.out:

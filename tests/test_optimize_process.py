@@ -182,6 +182,35 @@ def test_sharded_adjoint_matches_single_device():
                                rtol=1e-12, atol=1e-12)
 
 
+def test_interpass_constrained_fastest_schedule():
+    """--var dwell with an interpass limit and a time penalty: the optimizer
+    must shorten the schedule while keeping every layer's interpass
+    temperature at/below the limit (small tolerance for the soft penalty)."""
+    mat = Material(7800.0, 490.0, 30.0)
+    dtype = jnp.float64
+    grid, masks, newborn, probe_w = build_wall_problem(
+        nx=10, ny=6, nz_plate=3, n_layers=3, layer_vox=1,
+        wall_w_vox=2, dx=2e-3, mat=mat, h=200.0, t_inf=25.0, dtype=dtype)
+    forward = make_forward(grid, masks, newborn, probe_w, mat, h=200.0,
+                           t_inf=25.0, n_sub=8, target_t85=2.0, dtype=dtype,
+                           interpass_limit=250.0, interpass_penalty=1.0,
+                           target_weight=0.0, time_penalty=0.05)
+    dep0 = jnp.full((3,), 1500.0, dtype)
+    # over-conservative start: far below the limit, lots of time to save
+    dw0 = jnp.full((3,), 20.0, dtype)
+    _, aux0 = forward(dep0, dw0)
+    assert float(jnp.max(aux0["interpass"])) < 250.0 - 50.0
+
+    dep, dw, hist = optimize(forward, "dwell", dep0, dw0, iters=60,
+                             lr=0.25, log=None)
+    _, aux1 = forward(dep, dw)
+    # substantially faster than the conservative start...
+    assert float(jnp.sum(dw)) < 0.7 * float(jnp.sum(dw0))
+    # ...and still essentially respecting the (soft) limit
+    assert float(jnp.max(aux1["interpass"])) <= 250.0 + 15.0
+    assert hist[-1] < hist[0]
+
+
 def test_cli_end_to_end(tmp_path):
     out = tmp_path / "sched.json"
     args = build_argparser().parse_args([
