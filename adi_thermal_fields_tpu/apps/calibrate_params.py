@@ -20,7 +20,11 @@ Scenario: a solid block at uniform T0 cooling by Robin convection on all
 exposed faces, sampled at probe voxels (center / face-center / corner —
 chosen so k and h are separately identifiable from the transient).
 Measurements come from ``--measured @csv`` (columns: t, one per probe) or
-are synthesized from ``--true_h/--true_k/--true_cp`` for self-validation.
+are synthesized from ``--true_h/--true_k/--true_cp/--true_eps`` for
+self-validation.  ``--fit eps`` calibrates emissivity (radiation is THE
+dominant, least-known loss at WAAM temperatures) jointly with the
+convective film; ``--uq`` adds Gauss-Newton 1-sigma error bars computed by
+``jax.jacfwd`` of the residual vector through the whole simulation.
 
 Example (synthetic round trip):
     python -m adi_thermal_fields_tpu.apps.calibrate_params \
@@ -50,8 +54,9 @@ def make_measurement_forward(grid, mat_base, probes, *, t0: float,
                              t_inf: float, dt: float, n_steps: int,
                              sample_every: int, dtype):
     """Differentiable ``forward(params) -> (n_samples, n_probes)`` simulated
-    probe traces.  params: dict with any of 'h', 'k', 'cp' as jnp scalars;
-    missing keys take mat_base values."""
+    probe traces.  params: dict with any of 'h', 'k', 'cp', 'eps' as jnp
+    scalars; missing keys take mat_base values (no radiation without
+    'eps'; with it, 'h' becomes the additive convective film)."""
     import jax
     import jax.numpy as jnp
 
@@ -65,16 +70,28 @@ def make_measurement_forward(grid, mat_base, probes, *, t0: float,
         h = params.get("h", jnp.asarray(0.0, dtype))
         k = params.get("k", jnp.asarray(mat_base.k, dtype))
         cp = params.get("cp", jnp.asarray(mat_base.cp, dtype))
-        packs = build_coeff_packs(mask, grid, mat_base, robin_h=h,
-                                  dtype=dtype)
+        eps = params.get("eps", None)
         # rescale the Robin sink from the base cp to the fitted cp: packs
         # carry h*A/(rho cp_base V); the varprop step rescales by
         # cp_base/cp(T) internally, so fitted cp flows through cp_table
         k_tab = lambda T: jnp.full(T.shape, k, dtype)
         cp_tab = lambda T: jnp.full(T.shape, cp, dtype)
+        if eps is None:
+            packs = build_coeff_packs(mask, grid, mat_base, robin_h=h,
+                                      dtype=dtype)
 
         def step(T, _):
-            T = adi_step_varprop(T, mask, packs, grid, mat_base,
+            if eps is not None:
+                # radiation: exact Robin-film factorization h(T) (linearized
+                # per sub-step at T^n like the engine's Picard refresh),
+                # traceable in eps; the fitted convective film adds on top
+                from ..bc.radiation import radiative_h
+                hf = radiative_h(T, eps, t_inf, h_conv=h)
+                pk = build_coeff_packs(mask, grid, mat_base, robin_h=hf,
+                                       dtype=dtype)
+            else:
+                pk = packs
+            T = adi_step_varprop(T, mask, pk, grid, mat_base,
                                  k_table=k_tab, cp_table=cp_tab,
                                  dt=dt, theta=1.0, t_inf=t_inf,
                                  implementation="xla")
@@ -154,6 +171,31 @@ def fit(forward, measured, fit_keys, init, *, iters: int, lr: float = 0.1,
             history)
 
 
+def uncertainty(forward, measured, fitted, fit_keys):
+    """Gauss-Newton (Laplace) 1-sigma uncertainties of the fitted values.
+
+    J = d residuals / d params at the optimum (jax.jacfwd through the whole
+    transient simulation — p <= 4 forward-mode passes); Cov = s^2 (J^T J)^-1
+    with the noise variance s^2 estimated from the residual sum of squares
+    over N - p degrees of freedom.  Returns {key: sigma}."""
+    import jax
+    import jax.numpy as jnp
+
+    theta = jnp.asarray([fitted[key] for key in fit_keys], measured.dtype)
+
+    def residuals(th):
+        params = {key: th[i] for i, key in enumerate(fit_keys)}
+        return (forward(params) - measured).ravel()
+
+    r = residuals(theta)
+    J = jax.jacfwd(residuals)(theta)
+    n, p = J.shape
+    s2 = float(r @ r) / max(n - p, 1)
+    cov = s2 * jnp.linalg.inv(J.T @ J)
+    return {key: float(jnp.sqrt(cov[i, i]))
+            for i, key in enumerate(fit_keys)}
+
+
 def load_measured(spec: str, n_probes: int):
     """'@file.csv' with columns t, T_probe0, T_probe1, ... (comma/space
     separated, '#' comments).  Returns (times, (n_samples, n_probes))."""
@@ -197,6 +239,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--true_h", type=float, default=45.0)
     p.add_argument("--true_k", type=float, default=None)
     p.add_argument("--true_cp", type=float, default=None)
+    p.add_argument("--eps", type=float, default=0.3,
+                   help="initial emissivity guess (used when 'eps' in --fit)")
+    p.add_argument("--true_eps", type=float, default=None)
+    p.add_argument("--uq", type=int, default=0,
+                   help="report Gauss-Newton 1-sigma uncertainties")
     p.add_argument("--noise_K", type=float, default=0.0,
                    help="synthetic measurement noise sigma [K]")
     p.add_argument("--seed", type=int, default=0)
@@ -224,9 +271,9 @@ def run(args) -> dict:
         n_steps=args.n_steps, sample_every=args.sample_every, dtype=dtype)
 
     fit_keys = [s.strip() for s in args.fit.split(",") if s.strip()]
-    bad = [key for key in fit_keys if key not in ("h", "k", "cp")]
+    bad = [key for key in fit_keys if key not in ("h", "k", "cp", "eps")]
     if bad:
-        raise SystemExit(f"--fit accepts h,k,cp; got {bad}")
+        raise SystemExit(f"--fit accepts h,k,cp,eps; got {bad}")
 
     if args.measured:
         n_samples = args.n_steps // args.sample_every
@@ -240,9 +287,11 @@ def run(args) -> dict:
         truth = {"h": args.true_h,
                  "k": args.true_k if args.true_k is not None else args.k,
                  "cp": args.true_cp if args.true_cp is not None else args.cp}
+        if args.true_eps is not None or "eps" in fit_keys:
+            truth["eps"] = (args.true_eps if args.true_eps is not None
+                            else args.eps)
         log("synthesizing measurements from " +
-            " ".join(f"{key}={truth[key]:g}" for key in ("h", "k", "cp")),
-            tag="cal")
+            " ".join(f"{key}={v:g}" for key, v in truth.items()), tag="cal")
         measured = forward({key: jnp.asarray(v, dtype)
                             for key, v in truth.items()})
         if args.noise_K > 0.0:
@@ -250,7 +299,7 @@ def run(args) -> dict:
             measured = measured + jnp.asarray(
                 rng.normal(0.0, args.noise_K, measured.shape), dtype)
 
-    init = {"h": args.h, "k": args.k, "cp": args.cp}
+    init = {"h": args.h, "k": args.k, "cp": args.cp, "eps": args.eps}
     fitted, history = fit(forward, measured, fit_keys, init,
                           iters=args.iters, lr=args.lr,
                           optimizer=args.optimizer,
@@ -258,6 +307,12 @@ def run(args) -> dict:
     result = {"fitted": fitted, "fit": fit_keys,
               "rms_final_K": history[-1] ** 0.5,
               "rms_initial_K": history[0] ** 0.5, "history": history}
+    if args.uq:
+        sig = uncertainty(forward,
+                          jnp.asarray(measured, dtype), fitted, fit_keys)
+        result["sigma"] = sig
+        log("1-sigma: " + " ".join(f"{key}={fitted[key]:.5g}+-{s_:.3g}"
+                                   for key, s_ in sig.items()), tag="cal")
     if not args.measured:
         result["truth"] = {key: truth[key] for key in fit_keys}
         for key in fit_keys:
