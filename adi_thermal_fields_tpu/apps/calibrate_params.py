@@ -54,9 +54,11 @@ def make_measurement_forward(grid, mat_base, probes, *, t0: float,
                              t_inf: float, dt: float, n_steps: int,
                              sample_every: int, dtype):
     """Differentiable ``forward(params) -> (n_samples, n_probes)`` simulated
-    probe traces.  params: dict with any of 'h', 'k', 'cp', 'eps' as jnp
-    scalars; missing keys take mat_base values (no radiation without
-    'eps'; with it, 'h' becomes the additive convective film)."""
+    probe traces.  params: dict with any of 'h', 'k', 'cp', 'eps' as
+    scalars (traced or not); missing 'k'/'cp' take mat_base values,
+    missing 'h' means no convective film, missing 'eps' means no
+    radiation (with 'eps', 'h' is the additive convective film).  The
+    caller passes non-fitted constants explicitly — see ``fit(fixed=)``."""
     import jax
     import jax.numpy as jnp
 
@@ -65,6 +67,13 @@ def make_measurement_forward(grid, mat_base, probes, *, t0: float,
 
     mask = jnp.ones(grid.shape, bool)
     pidx = tuple(jnp.asarray([p[i] for p in probes]) for i in range(3))
+    # the Robin sink is LINEAR in h: hoist the static geometry (six
+    # exposed-face erosions + 1/(rho cp_ref d) scaling) out of the
+    # per-step rebuild as unit-h packs; a per-cell h field then enters
+    # as a broadcast multiply (both faces of an axis share the cell's h,
+    # so h * unit_coeff == a full rebuild, exactly)
+    packs_unit = build_coeff_packs(mask, grid, mat_base, robin_h=1.0,
+                                   dtype=dtype)
 
     def forward(params):
         h = params.get("h", jnp.asarray(0.0, dtype))
@@ -77,8 +86,8 @@ def make_measurement_forward(grid, mat_base, probes, *, t0: float,
         k_tab = lambda T: jnp.full(T.shape, k, dtype)
         cp_tab = lambda T: jnp.full(T.shape, cp, dtype)
         if eps is None:
-            packs = build_coeff_packs(mask, grid, mat_base, robin_h=h,
-                                      dtype=dtype)
+            packs = packs_unit._replace(
+                coeff=packs_unit.coeff * jnp.asarray(h, dtype))
 
         def step(T, _):
             if eps is not None:
@@ -86,9 +95,9 @@ def make_measurement_forward(grid, mat_base, probes, *, t0: float,
                 # per sub-step at T^n like the engine's Picard refresh),
                 # traceable in eps; the fitted convective film adds on top
                 from ..bc.radiation import radiative_h
-                hf = radiative_h(T, eps, t_inf, h_conv=h)
-                pk = build_coeff_packs(mask, grid, mat_base, robin_h=hf,
-                                       dtype=dtype)
+                hf = radiative_h(T, eps, t_inf, h_conv=h).astype(dtype)
+                pk = packs_unit._replace(
+                    coeff=packs_unit.coeff * hf[None])
             else:
                 pk = packs
             T = adi_step_varprop(T, mask, pk, grid, mat_base,
@@ -105,39 +114,52 @@ def make_measurement_forward(grid, mat_base, probes, *, t0: float,
 
 
 def fit(forward, measured, fit_keys, init, *, iters: int, lr: float = 0.1,
-        optimizer: str = "lbfgs", log=print):
+        optimizer: str = "lbfgs", fixed=None, log=print):
     """Minimize the trace misfit in log-parameter space (positivity by
     construction); returns (fitted dict, loss history).
+
+    fixed: dict of NON-fitted parameters held constant in the forward
+    (e.g. a known h while fitting k).  Without it, parameters absent from
+    ``fit_keys`` take the forward's own defaults (no film, mat_base
+    properties) — fitting k alone with no film would see zero gradient.
 
     optimizer: 'lbfgs' (default — a 1-3 parameter smooth deterministic fit
     is exactly L-BFGS territory; converges in ~10-30 evaluations) or 'adam'
     (with exponential lr decay; for noisy measurements where the linesearch
     can stall on a rough surface).
+
+    The last history entry is always the loss evaluated AT the returned
+    parameters (one extra forward), so (fitted, history[-1]) is a
+    consistent pair in both branches.
     """
     import jax
     import jax.numpy as jnp
     import optax
 
     dtype = measured.dtype
+    fixed = dict(fixed or {})
     p0 = jnp.log(jnp.asarray([init[key] for key in fit_keys], dtype))
 
     def loss_fn(p):
-        params = {key: jnp.exp(p[i]) for i, key in enumerate(fit_keys)}
+        params = dict(fixed)
+        params.update({key: jnp.exp(p[i])
+                       for i, key in enumerate(fit_keys)})
         r = forward(params) - measured
         return jnp.mean(r * r)
 
     p = p0
     history = []
 
-    def emit(it, loss, p):
+    def emit(it, loss, p_at_loss):
         history.append(float(loss))
         if log is not None and (it % max(1, iters // 10) == 0
                                 or it == iters - 1):
-            vals = {key: float(jnp.exp(p[i]))
+            vals = {key: float(jnp.exp(p_at_loss[i]))
                     for i, key in enumerate(fit_keys)}
             log(f"iter {it:4d} rms {float(loss)**0.5:.4g} K  " +
                 " ".join(f"{key}={v:.5g}" for key, v in vals.items()))
 
+    loss_jit = jax.jit(loss_fn)
     if optimizer == "lbfgs":
         opt = optax.lbfgs()
         state = opt.init(p)
@@ -151,8 +173,9 @@ def fit(forward, measured, fit_keys, init, *, iters: int, lr: float = 0.1,
             return optax.apply_updates(p, upd), state, loss
 
         for it in range(iters):
+            p_prev = p
             p, state, loss = lbfgs_step(p, state)
-            emit(it, loss, p)
+            emit(it, loss, p_prev)     # loss is evaluated at p_prev
     elif optimizer == "adam":
         # decay the step near the optimum (raw Adam in log-space oscillates
         # around the minimum at fixed lr)
@@ -167,11 +190,12 @@ def fit(forward, measured, fit_keys, init, *, iters: int, lr: float = 0.1,
             p = optax.apply_updates(p, upd)
     else:
         raise ValueError(f"unknown optimizer {optimizer!r} (lbfgs | adam)")
+    history.append(float(loss_jit(p)))
     return ({key: float(jnp.exp(p[i])) for i, key in enumerate(fit_keys)},
             history)
 
 
-def uncertainty(forward, measured, fitted, fit_keys):
+def uncertainty(forward, measured, fitted, fit_keys, *, fixed=None):
     """Gauss-Newton (Laplace) 1-sigma uncertainties of the fitted values.
 
     J = d residuals / d params at the optimum (jax.jacfwd through the whole
@@ -182,9 +206,11 @@ def uncertainty(forward, measured, fitted, fit_keys):
     import jax.numpy as jnp
 
     theta = jnp.asarray([fitted[key] for key in fit_keys], measured.dtype)
+    fixed = dict(fixed or {})
 
     def residuals(th):
-        params = {key: th[i] for i, key in enumerate(fit_keys)}
+        params = dict(fixed)
+        params.update({key: th[i] for i, key in enumerate(fit_keys)})
         return (forward(params) - measured).ravel()
 
     r = residuals(theta)
@@ -216,7 +242,8 @@ def load_measured(spec: str, n_probes: int):
 
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
-        description="Fit h/k/cp to measured cooling curves by adjoint")
+        description="Fit h/k/cp/emissivity to measured cooling curves "
+                    "by adjoint")
     p.add_argument("--nx", type=int, default=20)
     p.add_argument("--ny", type=int, default=16)
     p.add_argument("--nz", type=int, default=12)
@@ -231,8 +258,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--n_steps", type=int, default=120)
     p.add_argument("--sample_every", type=int, default=4)
     p.add_argument("--fit", type=str, default="h",
-                   help="comma subset of h,k,cp to fit (rho is degenerate "
-                        "with cp — only the product rho*cp enters)")
+                   help="comma subset of h,k,cp,eps to fit (rho is "
+                        "degenerate with cp — only the product rho*cp "
+                        "enters); non-fitted ones are held at their flag "
+                        "values, and 'eps' enables radiation")
     p.add_argument("--measured", type=str, default=None,
                    help="@file.csv with t + one column per probe; omit to "
                         "synthesize from --true_*")
@@ -275,13 +304,30 @@ def run(args) -> dict:
     if bad:
         raise SystemExit(f"--fit accepts h,k,cp,eps; got {bad}")
 
+    # non-fitted parameters are HELD at their flag values (a known film
+    # while fitting k, etc.); radiation is active only when eps is fitted
+    # or --true_eps marks it as part of the physics
+    radiation = "eps" in fit_keys or args.true_eps is not None
+    fixed = {key: jnp.asarray(v, dtype) for key, v in
+             (("h", args.h), ("k", args.k), ("cp", args.cp))
+             if key not in fit_keys}
+    if radiation and "eps" not in fit_keys:
+        fixed["eps"] = jnp.asarray(args.eps, dtype)
+
     if args.measured:
         n_samples = args.n_steps // args.sample_every
-        _, measured = load_measured(args.measured, len(probes))
+        times, measured = load_measured(args.measured, len(probes))
         if measured.shape[0] != n_samples:
             raise SystemExit(f"--measured has {measured.shape[0]} samples "
                              f"but the schedule produces {n_samples} "
                              f"(n_steps/sample_every)")
+        expect = (np.arange(n_samples) + 1) * args.sample_every * args.dt
+        if not np.allclose(times, expect, rtol=1e-6, atol=1e-9):
+            raise SystemExit(
+                "--measured time column does not match the simulation "
+                f"sample grid (dt*sample_every = {args.dt*args.sample_every}"
+                f" s): file starts {times[:3]}, expected {expect[:3]} — "
+                "adjust --dt/--sample_every/--n_steps to the data")
         measured = jnp.asarray(measured, dtype)
     else:
         truth = {"h": args.true_h,
@@ -302,14 +348,14 @@ def run(args) -> dict:
     init = {"h": args.h, "k": args.k, "cp": args.cp, "eps": args.eps}
     fitted, history = fit(forward, measured, fit_keys, init,
                           iters=args.iters, lr=args.lr,
-                          optimizer=args.optimizer,
+                          optimizer=args.optimizer, fixed=fixed,
                           log=lambda m: log(m, tag="cal"))
     result = {"fitted": fitted, "fit": fit_keys,
               "rms_final_K": history[-1] ** 0.5,
               "rms_initial_K": history[0] ** 0.5, "history": history}
     if args.uq:
-        sig = uncertainty(forward,
-                          jnp.asarray(measured, dtype), fitted, fit_keys)
+        sig = uncertainty(forward, jnp.asarray(measured, dtype), fitted,
+                          fit_keys, fixed=fixed)
         result["sigma"] = sig
         log("1-sigma: " + " ".join(f"{key}={fitted[key]:.5g}+-{s_:.3g}"
                                    for key, s_ in sig.items()), tag="cal")

@@ -23,10 +23,12 @@ Decision variables (``--var``):
               a small total-time penalty so the optimizer prefers fast
               schedules among those hitting the target.
 
-The per-layer t8/5 proxy is the band-occupancy time of the layer's mean
-temperature: ``integral dt sigma((Tm-500)/w) sigma((800-Tm)/w)`` — equal to
-the true 800->500 crossing time for monotone cooling through the band and
-differentiable everywhere (width ``w`` in K).
+The per-layer t8/5 proxy integrates a smooth band indicator of the layer's
+mean temperature, ``integral dt sigma((Tm-500)/w) sigma((800-Tm)/w)``,
+with the clock stopped at the layer's FIRST drop below the band (default
+``--t85_mode first_crossing``) so reheat excursions from later deposits do
+not inflate it; differentiable everywhere (width ``w`` in K), and equal to
+the true 800->500 crossing time in the narrow-width limit.
 
 Example:
     python -m adi_thermal_fields_tpu.apps.optimize_process \
@@ -91,7 +93,8 @@ def make_forward(grid, masks, newborn, probe_w, mat, *, h: float,
                  time_penalty: float = 0.0, dtype=None,
                  k_table=None, cp_table=None,
                  interpass_limit=None, interpass_penalty: float = 1.0,
-                 target_weight: float = 1.0):
+                 target_weight: float = 1.0,
+                 t85_mode: str = "first_crossing"):
     """Build the differentiable ``forward(deposit_T, dwell_s) -> (loss, aux)``.
 
     Fully jittable; BE time stepping (theta=1) so traced dwell lengths of any
@@ -105,9 +108,19 @@ def make_forward(grid, masks, newborn, probe_w, mat, *, h: float,
     ``interpass_limit``: optional interpass-temperature constraint [C]: the
     top layer's mean temperature at the END of each segment (just before
     the next deposit) is charged ``interpass_penalty * relu(T - limit)^2``.
-    With ``target_weight=0`` and a ``time_penalty`` this poses the
-    production question directly: the fastest dwell schedule that respects
-    the interpass limit.  aux gains ``interpass=(L,)``.
+    The LAST segment is exempt — no deposit follows it, so cooling the
+    finished part would be a pointless terminal dwell.  With
+    ``target_weight=0`` and a ``time_penalty`` this poses the production
+    question directly: the fastest dwell schedule that respects the
+    interpass limit.  aux gains ``interpass=(L,)`` (all L readings,
+    including the unconstrained last one).
+
+    ``t85_mode``: 'first_crossing' (default) stops a layer's t8/5 clock the
+    first time its mean drops below the band, so reheat excursions from
+    later deposits do not inflate it (the metallurgical 800->500 time;
+    simplification: full re-austenitization by a later deposit would
+    restart the clock in reality).  'occupancy' counts ALL time in the
+    band (the raw band-occupancy integral).
     """
     import jax
     import jax.numpy as jnp
@@ -130,13 +143,18 @@ def make_forward(grid, masks, newborn, probe_w, mat, *, h: float,
         return (jax.nn.sigmoid((tm - t_lo) / band_w)
                 * jax.nn.sigmoid((t_hi - tm) / band_w))
 
-    def layer_segment(T, t85, mask_i, pk_i, born_i, dep_i, dwell_i, i):
+    if t85_mode not in ("first_crossing", "occupancy"):
+        raise ValueError(f"unknown t85_mode {t85_mode!r} "
+                         "(first_crossing | occupancy)")
+
+    def layer_segment(T, t85, done, mask_i, pk_i, born_i, dep_i, dwell_i, i):
         T = jnp.where(born_i, dep_i.astype(dtype), T)
         dt = (dwell_i / n_sub).astype(dtype)
         deposited = (jnp.arange(L) <= i).astype(dtype)
+        # a fresh deposit restarts nothing: done stays per first crossing
 
         def sub(carry, _):
-            T, t85 = carry
+            T, t85, done = carry
             if k_table is not None or cp_table is not None:
                 T = adi_step_varprop(T, mask_i, pk_i, grid, mat, dt=dt,
                                      theta=1.0, t_inf=t_inf,
@@ -146,14 +164,18 @@ def make_forward(grid, masks, newborn, probe_w, mat, *, h: float,
                 T = adi_step(T, mask_i, pk_i, grid, mat, dt=dt, theta=1.0,
                              t_inf=t_inf)
             tm = probe_w @ T.reshape(-1)           # (L,) layer-mean probes
-            t85 = t85 + dt * deposited * band_ind(tm)
-            return (T, t85), None
+            t85 = t85 + dt * deposited * (1.0 - done) * band_ind(tm)
+            if t85_mode == "first_crossing":
+                # clock stops at the first sub-band reading after deposit
+                done = jnp.maximum(done, deposited * (tm < t_lo))
+            return (T, t85, done), None
 
-        (T, t85), _ = jax.lax.scan(sub, (T, t85), None, length=n_sub)
+        (T, t85, done), _ = jax.lax.scan(sub, (T, t85, done), None,
+                                         length=n_sub)
         # interpass reading: the just-deposited layer's mean T at segment
         # end (the temperature the NEXT layer is laid onto)
         tip = (probe_w @ T.reshape(-1))[i]
-        return T, t85, tip
+        return T, t85, done, tip
 
     # rematerialize per layer: reverse-mode keeps one layer's sub-steps
     # live at a time instead of the whole build history
@@ -162,17 +184,18 @@ def make_forward(grid, masks, newborn, probe_w, mat, *, h: float,
     def forward(deposit_T, dwell_s):
         T0 = jnp.full(grid.shape, t_inf, dtype)
         t85 = jnp.zeros((L,), dtype)
+        done = jnp.zeros((L,), dtype)
 
         def body(carry, xs):
-            T, t85 = carry
+            T, t85, done = carry
             mask_i, pk_i, born_i, dep_i, dw_i, i = xs
-            T, t85, tip = layer_segment(T, t85, mask_i, pk_i, born_i, dep_i,
-                                        dw_i, i)
-            return (T, t85), tip
+            T, t85, done, tip = layer_segment(T, t85, done, mask_i, pk_i,
+                                              born_i, dep_i, dw_i, i)
+            return (T, t85, done), tip
 
         xs = (masks, packs, newborn, deposit_T.astype(dtype),
               dwell_s.astype(dtype), jnp.arange(L))
-        (T, t85), interpass = jax.lax.scan(body, (T0, t85), xs)
+        (T, t85, done), interpass = jax.lax.scan(body, (T0, t85, done), xs)
 
         miss = t85 - target_t85
         loss = target_weight * jnp.mean(miss * miss)
@@ -180,7 +203,10 @@ def make_forward(grid, masks, newborn, probe_w, mat, *, h: float,
             loss = loss + time_penalty * jnp.sum(dwell_s)
         if interpass_limit is not None:
             over = jnp.maximum(interpass - interpass_limit, 0.0)
-            loss = loss + interpass_penalty * jnp.mean(over * over)
+            # last segment exempt: nothing is deposited after it
+            w_next = (jnp.arange(L) < L - 1).astype(dtype)
+            loss = loss + interpass_penalty * (
+                jnp.sum(w_next * over * over) / max(L - 1, 1))
         return loss, {"t85": t85, "T_final": T, "interpass": interpass}
 
     return forward
@@ -199,9 +225,13 @@ def optimize(forward, var: str, deposit_T0, dwell_s0, *, iters: int,
         def loss_fn(p):
             return forward(p, jnp.asarray(dwell_s0, p.dtype))
     elif var == "dwell":
-        # dwell = dwell_min + softplus(p): positive by construction
+        # dwell = dwell_min + softplus(p): positive by construction.
+        # Stable inverse softplus: expm1 overflows above ~709, but
+        # softplus(x) == x to f64 precision beyond ~30
         d0 = jnp.asarray(dwell_s0, jnp.result_type(float))
-        params = jnp.log(jnp.expm1(jnp.maximum(d0 - dwell_min, 1e-3)))
+        x = jnp.maximum(d0 - dwell_min, 1e-3)
+        params = jnp.where(x > 30.0, x,
+                           jnp.log(jnp.expm1(jnp.minimum(x, 30.0))))
 
         def loss_fn(p):
             dw = dwell_min + jax.nn.softplus(p)
@@ -257,6 +287,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="target 800->500 C cooling time [s]")
     p.add_argument("--band_w", type=float, default=15.0,
                    help="smooth band indicator width [K]")
+    p.add_argument("--t85_mode", choices=["first_crossing", "occupancy"],
+                   default="first_crossing",
+                   help="stop each layer's t8/5 clock at its first drop "
+                        "below the band (metallurgical 800->500 time) or "
+                        "count all in-band time incl. reheat excursions")
     p.add_argument("--var", choices=["deposit_T", "dwell"],
                    default="deposit_T")
     p.add_argument("--iters", type=int, default=40)
@@ -312,7 +347,8 @@ def run(args) -> dict:
                            cp_table=cp_table,
                            interpass_limit=args.interpass_limit_C,
                            interpass_penalty=args.interpass_penalty,
-                           target_weight=args.target_weight)
+                           target_weight=args.target_weight,
+                           t85_mode=args.t85_mode)
 
     L = args.layers
     dep0 = jnp.full((L,), args.deposit_T, dtype)
