@@ -45,11 +45,11 @@ __all__ = ["PropertyTable", "apparent_cp", "melt_pool_enhanced_k",
            "build_varprop_codes", "build_varprop_fields"]
 
 # Route adi_step_varprop_fused(fuse_theta=None) through the ring-fused
-# theta+x-sweep kernel (fused_varprop_theta_sweep)?  Kept False until the
-# kernel has compiled and been A/B'd on real hardware (the Mosaic sub-tile
-# hazard is invisible in interpret mode — NOTES.md round 3); flipping this
-# one flag enables it for the engine, the WAAM CLI, and bench.py at once.
-FUSE_THETA_DEFAULT = False
+# theta+x-sweep kernel (fused_varprop_theta_sweep)?  A/B'd on v5e
+# (scripts/vp_ring_chip.py, 2026-08-18): all parity gates bitwise, fused
+# wins 1.12x scalar-h / 1.09x radiative-h at 384^3 — default ON.  This one
+# flag enables it for the engine, the WAAM CLI, and bench.py at once.
+FUSE_THETA_DEFAULT = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -6,7 +6,11 @@ gates (FD parity etc.) run in the CPU/x64 suite; this validates that the
 adjoint of the scan-path ADI step compiles and descends on hardware at f32.
 """
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp

@@ -18,26 +18,30 @@ import json
 import os
 import sys
 
+# tensorboard_plugin_profile ships _pb2 files older than the installed
+# protobuf's C++ fast path tolerates; the pure-python parser still reads
+# them (slower, fine for a one-shot parse).  Must be set before any
+# protobuf import anywhere in the process.
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def op_breakdown(logdir):
-    """Summarize device-side op self-times from the captured xplane."""
+    """Summarize device-side op self-times from the captured trace.
+
+    jax.profiler writes a chrome-trace ``*.trace.json.gz`` next to the
+    xplane.pb; parse that directly (the tensorboard_plugin_profile xplane
+    converter is broken against the baked-in TF/protobuf pairing)."""
+    import gzip
+
     paths = sorted(glob.glob(os.path.join(
-        logdir, "plugins", "profile", "*", "*.xplane.pb")))
+        logdir, "plugins", "profile", "*", "*.trace.json.gz")))
     if not paths:
-        print("[trace] no xplane.pb found under", logdir)
+        print("[trace] no trace.json.gz found under", logdir)
         return None
-    path = paths[-1]
-    try:
-        from tensorboard_plugin_profile.convert import raw_to_tool_data
-    except ImportError:
-        from xprof.convert import raw_to_tool_data
-    data, _ = raw_to_tool_data.xspace_to_tool_data(
-        [path], "trace_viewer^", {})
-    # trace_viewer output is chrome-trace JSON: accumulate complete events
-    # by name on TPU device tracks
-    tr = json.loads(data if isinstance(data, str) else data.decode())
+    with gzip.open(paths[-1], "rt") as f:
+        tr = json.load(f)
     evs = tr["traceEvents"] if isinstance(tr, dict) else tr
     # device pids: names containing "TPU" (skip host threads)
     dev_pids = set()
@@ -49,6 +53,8 @@ def op_breakdown(logdir):
     tot = {}
     for e in evs:
         if e.get("ph") == "X" and (not dev_pids or e.get("pid") in dev_pids):
+            if e["name"].startswith("jit_"):
+                continue      # parent module span — nests the per-op events
             tot[e["name"]] = tot.get(e["name"], 0.0) + e.get("dur", 0.0)
     return sorted(tot.items(), key=lambda kv: -kv[1])
 
