@@ -54,19 +54,39 @@ FUSE_THETA_DEFAULT = True
 
 @dataclasses.dataclass(frozen=True)
 class PropertyTable:
-    """Piecewise-linear property vs temperature: jnp.interp lookup, clamped
-    at the table ends.  ``points``/``values`` are 1-D and strictly increasing
-    in ``points``."""
+    """Piecewise-linear property vs temperature, clamped at the table ends.
+    ``points``/``values`` are 1-D and strictly increasing in ``points``.
+
+    Evaluated as the CLAMP-SUM form ``v0 + sum_i s_i * clip(T - p_i, 0,
+    dp_i)`` (slopes ``s_i`` precomputed in f64 on the host) — exactly the
+    same piecewise-linear function as ``jnp.interp``, but a pure FMA+clip
+    chain the VPU eats, instead of interp's searchsorted-compare chain +
+    two gathers over the full field (measured round 3: interp was 19.4 ms
+    of a 46.7 ms varprop step at 384^3 — 42% — evaluating k and cp)."""
 
     points: tuple
     values: tuple
 
     def __call__(self, T: jax.Array) -> jax.Array:
-        # evaluate at >= f32: jnp.interp rejects bf16 tables (np.finfo),
-        # and table slopes deserve full precision even for bf16 states
+        import numpy as np
+
+        # evaluate at >= f32: table slopes deserve full precision even for
+        # bf16 states
         cdt = jnp.promote_types(T.dtype, jnp.float32)
-        return jnp.interp(T.astype(cdt), jnp.asarray(self.points, cdt),
-                          jnp.asarray(self.values, cdt)).astype(T.dtype)
+        Tc = T.astype(cdt)
+        pts = np.asarray(self.points, np.float64)
+        vals = np.asarray(self.values, np.float64)
+        acc = jnp.full_like(Tc, float(vals[0]))
+        for i in range(len(pts) - 1):
+            dp = float(pts[i + 1] - pts[i])
+            dv = float(vals[i + 1] - vals[i])
+            if dv == 0.0:
+                continue
+            if dp > 0.0:
+                acc = acc + (dv / dp) * jnp.clip(Tc - float(pts[i]), 0.0, dp)
+            else:  # duplicate abscissae: a value step at p_i
+                acc = acc + dv * (Tc > float(pts[i])).astype(cdt)
+        return acc.astype(T.dtype)
 
 
 def apparent_cp(cp_solid: float, cp_liquid: float, latent_heat: float,
