@@ -245,8 +245,25 @@ def build_varprop_codes(mask: jax.Array) -> tuple:
             sweep_code(mask, None, 2))
 
 
+def _table_spec(tab, default: float):
+    """Static kernel spec for a property: a float (constant) or the
+    PropertyTable contents as hashable tuples; None if ineligible for the
+    fused fields kernel (per-axis tuples, arbitrary callables)."""
+    import numpy as np
+
+    if tab is None:
+        return float(default)
+    if isinstance(tab, (int, float)):
+        return float(tab)
+    if isinstance(tab, PropertyTable):
+        return (tuple(float(v) for v in np.asarray(tab.points)),
+                tuple(float(v) for v in np.asarray(tab.values)))
+    return None
+
+
 def build_varprop_fields(T: jax.Array, mask: jax.Array,
-                         mat_ref: Material, k_table=None, cp_table=None):
+                         mat_ref: Material, k_table=None, cp_table=None, *,
+                         use_kernel: bool = False, interpret: bool = False):
     """Per-axis PRE-MASKED harmonic face-conductivity fields + 1/(rho cp).
 
     ``fc[ax][i] = 2 k[i-1] k[i] / (k[i-1] + k[i])`` along ``ax`` where
@@ -257,9 +274,27 @@ def build_varprop_fields(T: jax.Array, mask: jax.Array,
     these instead of raw k(T), shedding their in-register harmonic builds
     (a vector divide + shift chain per group — the dominant op-count delta
     vs the constant-coefficient sweeps).  Returns ``(fc3, w)`` in the
-    NATURAL (x, y, z) layout, in ``T.dtype``."""
+    NATURAL (x, y, z) layout, in ``T.dtype``.
+
+    use_kernel: route through the one-HBM-pass Pallas kernel
+    (solvers/pallas_varprop.varprop_fields — stream T+mask, write
+    fx/fy/fz/w; the XLA formulation re-reads the materialized k(T) shifted
+    per face direction).  Falls back here for configurations the kernel
+    does not take: per-axis anisotropic k tuples, arbitrary callables,
+    f64.  SINGLE-DEVICE only — the sharded step (dist/varprop.py) needs
+    the global-XLA shifts so cross-shard face halos lower to collectives."""
     dtype = T.dtype
     mask = mask.astype(bool)
+
+    if use_kernel and jnp.promote_types(dtype, jnp.float32) == jnp.float32:
+        ks = _table_spec(k_table, mat_ref.k)
+        cs = _table_spec(cp_table, mat_ref.cp)
+        if ks is not None and cs is not None:
+            from ..solvers.pallas_varprop import varprop_fields
+
+            return varprop_fields(T, mask.astype(jnp.int8), k_spec=ks,
+                                  cp_spec=cs, rho=float(mat_ref.rho),
+                                  interpret=interpret)
 
     def k_of(tab):
         if tab is None:
@@ -325,8 +360,10 @@ def adi_step_varprop_fused(T: jax.Array, mask: jax.Array, codes: tuple,
     dt = jnp.asarray(dt, cdt)
     inv_d2 = [1.0 / (d * d) for d in grid.spacing]
 
-    # one fused XLA pass: k(T)/cp(T) interp + harmonic faces + mask zeroing
-    fc, w = build_varprop_fields(T, mask, mat_ref, k_table, cp_table)
+    # one Pallas HBM pass: k(T)/cp(T) clamp-sums + harmonic faces + mask
+    # zeroing (XLA fallback for anisotropic/callable tables and f64)
+    fc, w = build_varprop_fields(T, mask, mat_ref, k_table, cp_table,
+                                 use_kernel=True, interpret=interpret)
 
     # bf16 states: solve at f32, stochastically round every bf16 store
     # (round-to-nearest drops sub-quantum updates and freezes slow cooling

@@ -724,3 +724,75 @@ def test_bimetal_substrate_deposit_cartesian():
     fast = step(kt(540.0))
     e_sub = lambda X: float(jnp.sum(jnp.where(substrate, X - 20.0, 0.0)))
     assert e_sub(fast) > 1.3 * e_sub(same)
+
+
+def test_varprop_fields_kernel_matches_xla():
+    """The one-HBM-pass Pallas fields build (solvers/pallas_varprop.
+    varprop_fields, streamed T+mask -> fx/fy/fz/w) matches the XLA
+    formulation of build_varprop_fields to a few f32 ulps, across
+    property-table / constant / k-only configurations, hostile (padded)
+    shapes, and a random void mask; the PropertyTable clamp-sum itself
+    matches jnp.interp (checked in its own right below).  bf16 states
+    compute at f32 in-kernel and downcast at the store."""
+    from adi_thermal_fields_tpu.step.cartesian_varprop import (
+        build_varprop_fields, melt_pool_enhanced_k)
+
+    rng = np.random.default_rng(11)
+    mat = Material(7800.0, 490.0, 54.0)
+    for shape in [(12, 16, 128), (9, 13, 100)]:
+        T = jnp.asarray(rng.random(shape) * 1800, jnp.float32)
+        mask = jnp.asarray(rng.random(shape) > 0.25)
+        cases = [
+            (melt_pool_enhanced_k(30.0, 1420.0, 1470.0, 4.0),
+             apparent_cp(490.0, 490.0, 2.7e5, 1420.0, 1470.0)),
+            (None, None),
+            (PropertyTable((0.0, 2000.0), (40.0, 60.0)), None),
+        ]
+        for kt, ct in cases:
+            fc_x, w_x = build_varprop_fields(T, mask, mat, kt, ct)
+            fc_k, w_k = build_varprop_fields(T, mask, mat, kt, ct,
+                                             use_kernel=True, interpret=True)
+            scale = max(float(jnp.max(jnp.abs(f))) for f in fc_x)
+            for a, b in zip(fc_x, fc_k):
+                assert float(jnp.max(jnp.abs(a - b))) < 1e-6 * scale
+            assert float(jnp.max(jnp.abs(w_x - w_k))) < 1e-12
+
+    # ineligible configurations fall back to the XLA path (same arrays out)
+    kt3 = (54.0, PropertyTable((0.0, 2000.0), (40.0, 60.0)), 30.0)
+    T = jnp.asarray(rng.random((8, 8, 128)) * 1800, jnp.float32)
+    mask = jnp.ones(T.shape, bool)
+    fc_a, w_a = build_varprop_fields(T, mask, mat, kt3, None,
+                                     use_kernel=True, interpret=True)
+    fc_b, w_b = build_varprop_fields(T, mask, mat, kt3, None)
+    for a, b in zip(fc_a, fc_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # bf16 states: f32 in-kernel compute, bf16 stores
+    Tb = jnp.asarray(rng.random((8, 16, 128)) * 1800, jnp.bfloat16)
+    mask = jnp.asarray(rng.random((8, 16, 128)) > 0.25)
+    kt = melt_pool_enhanced_k(30.0, 1420.0, 1470.0, 4.0)
+    (fxk, _, _), _ = build_varprop_fields(Tb, mask, mat, kt, None,
+                                          use_kernel=True, interpret=True)
+    (fxx, _, _), _ = build_varprop_fields(Tb, mask, mat, kt, None)
+    assert fxk.dtype == jnp.bfloat16
+    assert float(jnp.max(jnp.abs(fxk.astype(jnp.float32)
+                                 - fxx.astype(jnp.float32)))) < 1.0
+
+
+def test_property_table_clamp_sum_matches_interp():
+    """PropertyTable's clamp-sum evaluation is the same piecewise-linear
+    function as jnp.interp with end clamping: exact at f64, few-ulp at
+    f32, including the apparent-cp table's eps-width jump segments."""
+    rng = np.random.default_rng(7)
+    tabs = [apparent_cp(490.0, 620.0, 2.5e5, 1420.0, 1510.0),
+            PropertyTable((0.0, 2000.0), (54.0, 54.0)),
+            PropertyTable(tuple(np.linspace(0, 2000, 17)),
+                          tuple(rng.random(17) * 100 + 10))]
+    for tab in tabs:
+        T64 = jnp.asarray(rng.random(20000) * 2200 - 100, jnp.float64)
+        ref = jnp.interp(T64, jnp.asarray(tab.points, jnp.float64),
+                         jnp.asarray(tab.values, jnp.float64))
+        assert float(jnp.max(jnp.abs(tab(T64) - ref))) < 1e-10
+        mine32 = tab(T64.astype(jnp.float32)).astype(jnp.float64)
+        rel = float(jnp.max(jnp.abs(mine32 - ref))) / float(jnp.max(ref))
+        assert rel < 1e-5, rel
