@@ -389,13 +389,15 @@ def run_varprop(n, steps=40, dtype=None):
 
 def main_varprop():
     probe_compile_service()
-    # traffic model (fully-fused varprop path, round 3): property eval
-    # k(T)+1/(rho cp(T)) ~16 B; plane-carry varprop stencil (T+k+w+mask+h
-    # in, R0 out) ~21 B; three sweeps streaming rhs+code+k+w+h and
-    # rebuilding a/b/c/d in registers ~21 B each; y/z re-lays (rhs+k+w+h
-    # transposed in, one out) ~7x8 B ~ 56 B -> ~155 B/cell/step.  The
-    # engine's radiative film adds one h-field build (~8 B).
-    sol = HBM_BYTES_PER_S / 155.0
+    # traffic model (fully-fused varprop path, round 3 session F): fields
+    # build kernel (T+mask in, fx/fy/fz/w out) ~21 B; radiative film ~8 B;
+    # ring theta+x sweep (T+code+fx+fy+fz+w+h in, U out) ~29 B; y sweep
+    # (rhs+code+fc+w+h in, one out) ~21 B; z re-lay (rhs+fc+w+h transposed)
+    # ~32 B; z sweep ~21 B; re-lay back ~8 B -> ~140 B/cell/step.
+    # (The pre-session-F model was ~155 B with the XLA property/field
+    # builds; measured 23.1 ms at 384^3 = 2.45 Gcell/s = 42% of the 140 B
+    # roofline.)
+    sol = HBM_BYTES_PER_S / 140.0
     value = None
     for n in (384, 256, 128):
         for attempt in range(3):
