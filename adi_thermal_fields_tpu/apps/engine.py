@@ -222,10 +222,15 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
                 if mesh is not None:
                     return sh_step(T, active, codes, dt, h_field=hf,
                                    source=src, rng_seed=seed)
+                # emissivity passes through so the g-stream tier (when
+                # enabled/eligible) folds the radiative film in-register;
+                # hf is then dead code XLA eliminates.  The classic tier
+                # keeps consuming hf.
                 return constrain(adi_step_varprop_fused(
                     T, active, codes, grid, mat, k_table=k_table,
                     cp_table=cp_table, dt=dt, theta=theta, t_inf=t_inf,
-                    robin_h=float(robin_h or 0.0), h_field=hf, source=src,
+                    robin_h=float(robin_h or 0.0), h_field=hf,
+                    emissivity=emissivity, h_conv=h_conv, source=src,
                     rng_seed=seed,
                     # None = auto (interpret off-TPU); True forces it
                     interpret=True if interpret else None))

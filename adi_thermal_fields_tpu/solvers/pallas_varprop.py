@@ -214,7 +214,7 @@ def _varprop_kernel(scal_ref, seed_ref, d_hbm, code_hbm, f_hbm, w_hbm,
 def fused_varprop_sweep(rhs, code, fc, w, tg, sk, t_inf, h=None,
                         rob_c=0.0, rng_seed=None, *,
                         interpret: bool = False,
-                        block_b1: int = 8, block_b2: int = 256,
+                        block_b1: int = 8, block_b2: int | None = None,
                         chunk: int = 64):
     """Variable-property implicit sweep along axis 0 of (n, B1, B2) arrays.
 
@@ -239,6 +239,13 @@ def fused_varprop_sweep(rhs, code, fc, w, tg, sk, t_inf, h=None,
             "stochastic rounding needs the TPU PRNG (pltpu.prng does not "
             "lower in interpret mode)")
     has_h = h is not None
+    if block_b2 is None:
+        # minimize lane padding (a 256 tile on b2=384 pads to 512 and costs
+        # an extra XLA pad+slice HBM pass per stream — the 6.9 ms/sweep
+        # mystery of NOTES session F), prefer 256 on ties; long lines cap
+        # at 128 for VMEM
+        cands = [c for c in (256, 128) if n <= 640 or c == 128]
+        block_b2 = min(cands, key=lambda c: (_round_up(b2, c), -c))
     cn = min(chunk, _round_up(n, 8))
     pn = _round_up(n, cn) - n
     p1 = _round_up(b1, block_b1) - b1
@@ -648,7 +655,7 @@ def _varprop_kernel_axis1(scal_ref, seed_ref, d_hbm, code_hbm, f_hbm,
 def fused_varprop_sweep_axis1(rhs, code, fc, w, tg, sk, t_inf, h=None,
                               rob_c=0.0, rng_seed=None, *,
                               interpret: bool = False,
-                              block_b1: int = 8, block_b2: int = 256,
+                              block_b1: int = 8, block_b2: int | None = None,
                               chunk: int = 64):
     """Variable-property implicit sweep along AXIS 1 of (B1, n, B2) arrays
     in the natural layout (the y-sweep with no transposes of rhs/fc/w/h).
@@ -665,6 +672,13 @@ def fused_varprop_sweep_axis1(rhs, code, fc, w, tg, sk, t_inf, h=None,
             "stochastic rounding needs the TPU PRNG (pltpu.prng does not "
             "lower in interpret mode)")
     has_h = h is not None
+    if block_b2 is None:
+        # minimize lane padding (a 256 tile on b2=384 pads to 512 and costs
+        # an extra XLA pad+slice HBM pass per stream — the 6.9 ms/sweep
+        # mystery of NOTES session F), prefer 256 on ties; long lines cap
+        # at 128 for VMEM
+        cands = [c for c in (256, 128) if n <= 640 or c == 128]
+        block_b2 = min(cands, key=lambda c: (_round_up(b2, c), -c))
     cn = min(chunk, _round_up(n, 8))
     pn = _round_up(n, cn) - n
     p1 = _round_up(b1, block_b1) - b1

@@ -42,6 +42,7 @@ from ..solvers.thomas import thomas
 
 __all__ = ["PropertyTable", "apparent_cp", "melt_pool_enhanced_k",
            "adi_step_varprop", "adi_step_varprop_fused",
+           "adi_step_varprop_gstreams",
            "build_varprop_codes", "build_varprop_fields"]
 
 # Route adi_step_varprop_fused(fuse_theta=None) through the ring-fused
@@ -50,6 +51,13 @@ __all__ = ["PropertyTable", "apparent_cp", "melt_pool_enhanced_k",
 # wins 1.12x scalar-h / 1.09x radiative-h at 384^3 — default ON.  This one
 # flag enables it for the engine, the WAAM CLI, and bench.py at once.
 FUSE_THETA_DEFAULT = True
+
+# Route adi_step_varprop_fused(gstreams=None) through the g-stream tier
+# (solvers/pallas_gstreams.py): the fields pass emits PRE-MULTIPLIED
+# coupling/sink streams so every sweep is a pure 4-stream FMA elimination
+# (no plan codes, no row lag, no h stream; radiative h folded in-register).
+# Default OFF until chip-gated (scripts/gstream_chip.py).
+G_STREAMS_DEFAULT = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -315,16 +323,91 @@ def build_varprop_fields(T: jax.Array, mask: jax.Array,
     return fc, w
 
 
+def adi_step_varprop_gstreams(T: jax.Array, mask: jax.Array,
+                              grid: CartesianGrid, mat_ref: Material, *,
+                              k_table=None, cp_table=None, dt,
+                              theta: float = 0.5, t_inf=0.0,
+                              robin_h: float = 0.0,
+                              h_field: jax.Array | None = None,
+                              emissivity=None, h_conv=0.0,
+                              source: jax.Array | None = None,
+                              rng_seed=None,
+                              interpret: bool = False) -> jax.Array:
+    """One varprop theta-scheme step through the G-STREAM kernels
+    (solvers/pallas_gstreams.py): the fields pass emits pre-multiplied
+    per-axis coupling streams ``g = theta*dt/d^2 * w * fc`` and Robin sink
+    fields ``sw = dt/d * h * w * n_exposed`` (radiative ``h(T)`` evaluated
+    in-register when ``emissivity`` is given — no separate XLA radiative
+    pass), so the theta+x ring, the natural-layout y sweep, and the z
+    sweep are pure FMA streams with NO plan codes.  Same physics as
+    ``adi_step_varprop_fused`` (flagship Robin-only BC set); requires
+    theta > 0, f32/bf16 states, and table-spec'able properties (use
+    ``adi_step_varprop_fused`` for the general cases — it routes here
+    itself when ``gstreams`` is enabled and the config is eligible)."""
+    from ..solvers.pallas_gstreams import (gstream_fields, gstream_sweep,
+                                           gstream_sweep_axis1,
+                                           gstream_theta_sweep)
+
+    if not theta > 0.0:
+        raise ValueError("the g-stream tier needs theta > 0 (the streams "
+                         "carry theta*dt*w*fc; use theta in {0.5, 1})")
+    ks = _table_spec(k_table, mat_ref.k)
+    cs = _table_spec(cp_table, mat_ref.cp)
+    if ks is None or cs is None:
+        raise ValueError("g-stream tier needs constant or PropertyTable "
+                         "k/cp (per-axis tuples and callables run the "
+                         "classic fused tier)")
+    mask = mask.astype(bool)
+    dtype = T.dtype
+    cdt = jnp.promote_types(dtype, jnp.float32)
+    if cdt != jnp.float32:
+        raise ValueError("g-stream tier is f32/bf16 only")
+    dt = jnp.asarray(dt, cdt)
+    inv_d2 = [1.0 / (d * d) for d in grid.spacing]
+    tg3 = jnp.stack([theta * dt * iv for iv in inv_d2])
+    sk3 = jnp.stack([dt / d for d in grid.spacing])
+
+    if emissivity is not None:
+        h_mode, hpar, hin = "rad", emissivity, None
+    elif h_field is not None:
+        h_mode, hpar, hin = "stream", 0.0, h_field
+    else:
+        h_mode, hpar, hin = "const", float(robin_h or 0.0), None
+
+    g_lo, g_hi, sw, src_pre = gstream_fields(
+        T, mask.astype(jnp.int8), tg3, sk3, hpar, t_inf, h_conv, dt,
+        h=hin, src=source, k_spec=ks, cp_spec=cs, rho=float(mat_ref.rho),
+        h_mode=h_mode, interpret=interpret)
+
+    sr = rng_seed if cdt != dtype else None
+    rr = (1.0 - theta) / theta
+    U = gstream_theta_sweep(T, g_lo[0], g_hi[0], g_lo[1], g_hi[1],
+                            g_lo[2], g_hi[2], sw[0], rr, t_inf,
+                            src_pre=src_pre,
+                            rng_seed=None if sr is None else sr + 1,
+                            interpret=interpret)
+    V = gstream_sweep_axis1(U, g_lo[1], g_hi[1], sw[1], t_inf,
+                            rng_seed=None if sr is None else sr + 2,
+                            interpret=interpret)
+    t2n = lambda x: jnp.transpose(x, (2, 0, 1))
+    W = gstream_sweep(t2n(V), t2n(g_lo[2]), t2n(g_hi[2]), t2n(sw[2]),
+                      t_inf, rng_seed=None if sr is None else sr + 3,
+                      interpret=interpret)
+    return jnp.transpose(W, (1, 2, 0))
+
+
 def adi_step_varprop_fused(T: jax.Array, mask: jax.Array, codes: tuple,
                            grid: CartesianGrid, mat_ref: Material, *,
                            k_table=None, cp_table=None, dt,
                            theta: float = 0.5, t_inf=0.0,
                            robin_h: float = 0.0,
                            h_field: jax.Array | None = None,
+                           emissivity=None, h_conv=0.0,
                            source: jax.Array | None = None,
                            rng_seed=None,
                            interpret: bool | None = None,
-                           fuse_theta: bool | None = None) -> jax.Array:
+                           fuse_theta: bool | None = None,
+                           gstreams: bool | None = None) -> jax.Array:
     """One varprop theta-scheme step through the FUSED coefficient kernels.
 
     Same physics as ``adi_step_varprop`` restricted to the flagship BC set
@@ -349,6 +432,22 @@ def adi_step_varprop_fused(T: jax.Array, mask: jax.Array, codes: tuple,
         interpret = jax.default_backend() != "tpu"
     if fuse_theta is None:
         fuse_theta = FUSE_THETA_DEFAULT
+    if gstreams is None:
+        gstreams = G_STREAMS_DEFAULT
+    if gstreams and theta > 0.0 \
+            and jnp.promote_types(T.dtype, jnp.float32) == jnp.float32 \
+            and _table_spec(k_table, mat_ref.k) is not None \
+            and _table_spec(cp_table, mat_ref.cp) is not None:
+        return adi_step_varprop_gstreams(
+            T, mask, grid, mat_ref, k_table=k_table, cp_table=cp_table,
+            dt=dt, theta=theta, t_inf=t_inf, robin_h=robin_h,
+            h_field=h_field, emissivity=emissivity, h_conv=h_conv,
+            source=source, rng_seed=rng_seed, interpret=interpret)
+    if emissivity is not None and h_field is None:
+        # radiative request on the classic tier: build the film here (the
+        # g-tier folds it in-register instead)
+        from ..bc.radiation import radiative_h
+        h_field = radiative_h(T, emissivity, t_inf, h_conv=h_conv)
     from ..solvers.pallas_varprop import (fused_varprop_sweep,
                                           fused_varprop_sweep_axis1,
                                           fused_varprop_theta_sweep,
