@@ -396,7 +396,10 @@ def main_varprop():
     # ~32 B; z sweep ~21 B; re-lay back ~8 B -> ~140 B/cell/step.
     # (The pre-session-F model was ~155 B with the XLA property/field
     # builds; measured 23.1 ms at 384^3 = 2.45 Gcell/s = 42% of the 140 B
-    # roofline.)
+    # roofline.  Session G found the missing 30%: the sweep wrappers'
+    # fixed (8,256) tile padded 384-lane arrays to 512, costing an extra
+    # XLA pad+slice HBM pass per stream; adaptive block_b2 selection
+    # measured 13.46 ms = 4.21 Gcell/s = 72% of the model.)
     sol = HBM_BYTES_PER_S / 140.0
     value = None
     for n in (384, 256, 128):
