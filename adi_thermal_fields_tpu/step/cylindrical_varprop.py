@@ -63,6 +63,15 @@ from .cylindrical import RobinBC, ZFaceBC
 __all__ = ["adi_step_cyl_varprop", "adi_step_cyl_varprop_masked"]
 
 
+def _ev(tab, const, T, dtype):
+    """Evaluate a property table (None/scalar/callable) at T in dtype."""
+    if tab is None:
+        return jnp.full(T.shape, const, dtype)
+    if callable(tab):
+        return tab(T).astype(dtype)
+    return jnp.full(T.shape, float(tab), dtype)
+
+
 def _props(T, mat_ref: Material, k_table, cp_table):
     """Per-axis (k_r, k_phi, k_z)(T^n) and w = 1/(rho cp(T^n)) in T.dtype.
 
@@ -72,14 +81,7 @@ def _props(T, mat_ref: Material, k_table, cp_table):
     layer interfaces — mirroring step/cartesian_varprop.adi_step_varprop's
     per-axis tables)."""
     dtype = T.dtype
-
-    def ev(tab, const):
-        if tab is None:
-            return jnp.full(T.shape, const, dtype)
-        if callable(tab):
-            return tab(T).astype(dtype)
-        return jnp.full(T.shape, float(tab), dtype)
-
+    ev = lambda tab, const: _ev(tab, const, T, dtype)
     if isinstance(k_table, (tuple, list)):
         if len(k_table) != 3:
             raise ValueError("anisotropic k_table must be a 3-tuple "
@@ -343,81 +345,155 @@ def adi_step_cyl_varprop(T: jax.Array, grid: CylindricalGrid,
         solve_phi = None
 
     # --- z streams (axis 2) -------------------------------------------------
-    fz = _face_g(kf_z, 2, -1, act if act is not None else
-                 jnp.ones(T.shape, bool)).astype(dtype)
-    fz_hi = jnp.concatenate([fz[:, :, 1:], jnp.zeros_like(fz[:, :, :1])],
-                            axis=2)
-    ivz2 = 1.0 / (grid.dz * grid.dz)
-    sink_z = jnp.zeros(T.shape, dtype)
-    srhs_z = jnp.zeros(T.shape, dtype)
-    if sink_on:
-        s = ((h_void + hr_void) * exposed(2, -1).astype(dtype)
-             + (h_f + hr_void) * exposed(2, +1).astype(dtype)) / grid.dz
-        sink_z = sink_z + s
-        srhs_z = srhs_z + s * T_inf_void
     # end faces: Robin rows fold into the sink/srhs streams; Dirichlet rows
     # zero their STATIC geometry entries and pin the rhs per solve (the
     # shared face conductivity stays live, so the neighbor keeps its
     # coupling into the pinned value — identical linear system to explicit
     # row surgery)
+    ivz2 = 1.0 / (grid.dz * grid.dz)
     geoz = np.full(nz, ivz2)
     z_pins = []   # (idx, pin value) applied to every z-solve rhs
-
-    def z_end(idx, kind, h, t_inf, t_dir, sink_z, srhs_z):
-        if kind == "neumann0":
-            return sink_z, srhs_z      # face conductivity already 0
-        if kind == "robin":
-            s = (float(h) + hr(T[:, :, idx], float(t_inf))) / grid.dz
-            if act is not None:
-                s = jnp.where(act[:, :, idx], s, 0.0)
-            sink_z = sink_z.at[:, :, idx].add(s)
-            srhs_z = srhs_z.at[:, :, idx].add(s * float(t_inf))
-            return sink_z, srhs_z
-        if kind == "dirichlet":
-            geoz[idx] = 0.0
-            z_pins.append((idx, float(t_dir)))
-            sink_z = sink_z.at[:, :, idx].set(0.0)
-            srhs_z = srhs_z.at[:, :, idx].set(0.0)
-            return sink_z, srhs_z
-        raise ValueError(f"unknown z-face BC kind: {kind!r}")
-
-    sink_z, srhs_z = z_end(0, zbc.kind_bot, zbc.h_bot, zbc.T_inf_bot,
-                           zbc.T_bot, sink_z, srhs_z)
-    sink_z, srhs_z = z_end(nz - 1, zbc.kind_top, zbc.h_top,
-                           zbc.T_inf_top, zbc.T_top, sink_z, srhs_z)
     t2 = lambda x: jnp.moveaxis(x, 2, 0)   # (nz, nr, nphi)
+    # Layout-traffic fix (measured in the round-3 cyl-varprop trace: XLA
+    # copies/pads ~1.6 ms/step vs ~1.1 ms of kernels at (64,512,256)): on
+    # the fused BE path, build the z streams DIRECTLY in the z-leading
+    # layout from T's transpose — re-evaluating k_z(T)/cp(T) there is pure
+    # VPU work that XLA fuses with the transpose, whereas transposing the
+    # four finished streams (fz_hi, dt*w, sink, srhs) costs 8 full HBM
+    # passes.  Only the chained RHS moves in and the solution out.  The
+    # rebuilt values are bitwise identical (same elementwise ops on
+    # permuted data), so parity tests cover both layouts.
+    z_fast = (implementation == "pallas" and z_solver is None
+              and scheme == "be")
+    if z_fast:
+        Tz = t2(T)
+        act_z = None if act is None else t2(act)
+        mz = act_z if act_z is not None else jnp.ones(Tz.shape, bool)
+        kz_tab = (k_table[2] if isinstance(k_table, (tuple, list))
+                  else k_table)
+        kz = _ev(kz_tab, mat_ref.k, Tz, dtype)
+        wz = (1.0 / (mat_ref.rho * _ev(cp_table, mat_ref.cp, Tz, dtype))
+              ).astype(dtype)
+        dwz = dt * wz
+        hr_void_z = hr(Tz, T_inf_void)
+        # hi-face harmonic conductivity: fz_hi[i] = harm(k[i], k[i+1]),
+        # zero across void and at the top edge — same values as the
+        # natural-layout shifted-concat build (products commute exactly)
+        fzh = _face_g(kz, 0, +1, mz).astype(dtype)
+        sink_z = jnp.zeros(Tz.shape, dtype)
+        srhs_z = jnp.zeros(Tz.shape, dtype)
+        if sink_on:
+            e_lo = act_z & ~shift_in(act_z, 0, -1, fill=True)
+            e_hi = act_z & ~shift_in(act_z, 0, +1, fill=True)
+            s = ((h_void + hr_void_z) * e_lo.astype(dtype)
+                 + (h_f + hr_void_z) * e_hi.astype(dtype)) / grid.dz
+            sink_z = sink_z + s
+            srhs_z = srhs_z + s * T_inf_void
 
-    def solve_z(rhs, dwx):
-        dz_rhs = constrain(rhs, "z")
-        for idx, t_dir in z_pins:
-            pin = jnp.asarray(t_dir, dtype)
-            if act is not None:   # void end cells hold their value instead
-                pin = jnp.where(act[:, :, idx], pin, dz_rhs[:, :, idx])
-            dz_rhs = dz_rhs.at[:, :, idx].set(pin)
-        if z_solver is not None:
+        def z_end(idx, kind, h, t_inf, t_dir, sink_z, srhs_z):
+            if kind == "neumann0":
+                return sink_z, srhs_z      # face conductivity already 0
+            if kind == "robin":
+                s = (float(h) + hr(Tz[idx], float(t_inf))) / grid.dz
+                if act_z is not None:
+                    s = jnp.where(act_z[idx], s, 0.0)
+                sink_z = sink_z.at[idx].add(s)
+                srhs_z = srhs_z.at[idx].add(s * float(t_inf))
+                return sink_z, srhs_z
+            if kind == "dirichlet":
+                geoz[idx] = 0.0
+                z_pins.append((idx, float(t_dir)))
+                sink_z = sink_z.at[idx].set(0.0)
+                srhs_z = srhs_z.at[idx].set(0.0)
+                return sink_z, srhs_z
+            raise ValueError(f"unknown z-face BC kind: {kind!r}")
+
+        sink_z, srhs_z = z_end(0, zbc.kind_bot, zbc.h_bot, zbc.T_inf_bot,
+                               zbc.T_bot, sink_z, srhs_z)
+        sink_z, srhs_z = z_end(nz - 1, zbc.kind_top, zbc.h_top,
+                               zbc.T_inf_top, zbc.T_top, sink_z, srhs_z)
+
+        def solve_z(rhs, dwx):
+            from ..solvers.differentiable import vp_sweep_solve
+
+            del dwx   # BE only: dwz (z-leading rebuild of dt*w) is it
+            dz_rhs = t2(constrain(rhs, "z"))
+            for idx, t_dir in z_pins:
+                pin = jnp.asarray(t_dir, dtype)
+                if act_z is not None:   # void end cells hold their value
+                    pin = jnp.where(act_z[idx], pin, dz_rhs[idx])
+                dz_rhs = dz_rhs.at[idx].set(pin)
+            gz = jnp.asarray(geoz, dtype)
+            return jnp.moveaxis(
+                vp_sweep_solve(dz_rhs, fzh, dwz, sink_z, srhs_z, gz, gz,
+                               interpret=interpret), 0, 2)
+    else:
+        fz = _face_g(kf_z, 2, -1, act if act is not None else
+                     jnp.ones(T.shape, bool)).astype(dtype)
+        fz_hi = jnp.concatenate([fz[:, :, 1:], jnp.zeros_like(fz[:, :, :1])],
+                                axis=2)
+        sink_z = jnp.zeros(T.shape, dtype)
+        srhs_z = jnp.zeros(T.shape, dtype)
+        if sink_on:
+            s = ((h_void + hr_void) * exposed(2, -1).astype(dtype)
+                 + (h_f + hr_void) * exposed(2, +1).astype(dtype)) / grid.dz
+            sink_z = sink_z + s
+            srhs_z = srhs_z + s * T_inf_void
+
+        def z_end(idx, kind, h, t_inf, t_dir, sink_z, srhs_z):
+            if kind == "neumann0":
+                return sink_z, srhs_z      # face conductivity already 0
+            if kind == "robin":
+                s = (float(h) + hr(T[:, :, idx], float(t_inf))) / grid.dz
+                if act is not None:
+                    s = jnp.where(act[:, :, idx], s, 0.0)
+                sink_z = sink_z.at[:, :, idx].add(s)
+                srhs_z = srhs_z.at[:, :, idx].add(s * float(t_inf))
+                return sink_z, srhs_z
+            if kind == "dirichlet":
+                geoz[idx] = 0.0
+                z_pins.append((idx, float(t_dir)))
+                sink_z = sink_z.at[:, :, idx].set(0.0)
+                srhs_z = srhs_z.at[:, :, idx].set(0.0)
+                return sink_z, srhs_z
+            raise ValueError(f"unknown z-face BC kind: {kind!r}")
+
+        sink_z, srhs_z = z_end(0, zbc.kind_bot, zbc.h_bot, zbc.T_inf_bot,
+                               zbc.T_bot, sink_z, srhs_z)
+        sink_z, srhs_z = z_end(nz - 1, zbc.kind_top, zbc.h_top,
+                               zbc.T_inf_top, zbc.T_top, sink_z, srhs_z)
+
+        def solve_z(rhs, dwx):
+            dz_rhs = constrain(rhs, "z")
+            for idx, t_dir in z_pins:
+                pin = jnp.asarray(t_dir, dtype)
+                if act is not None:  # void end cells hold their value
+                    pin = jnp.where(act[:, :, idx], pin, dz_rhs[:, :, idx])
+                dz_rhs = dz_rhs.at[:, :, idx].set(pin)
+            if z_solver is not None:
+                colz = lambda v: jnp.asarray(v, dtype)[None, None, :]
+                az = -dwx * colz(geoz) * fz
+                cz = -dwx * colz(geoz) * fz_hi
+                bz = 1.0 + dwx * (colz(geoz) * (fz + fz_hi) + sink_z)
+                return jnp.moveaxis(
+                    z_solver(t2(az), t2(bz), t2(cz),
+                             t2(dz_rhs + dwx * srhs_z)), 0, 2)
+            if implementation == "pallas":
+                from ..solvers.differentiable import vp_sweep_solve
+
+                gz = jnp.asarray(geoz, dtype)
+                return jnp.moveaxis(
+                    vp_sweep_solve(t2(dz_rhs), t2(fz_hi), t2(dwx),
+                                   t2(sink_z), t2(srhs_z), gz, gz,
+                                   interpret=interpret), 0, 2)
             colz = lambda v: jnp.asarray(v, dtype)[None, None, :]
             az = -dwx * colz(geoz) * fz
             cz = -dwx * colz(geoz) * fz_hi
             bz = 1.0 + dwx * (colz(geoz) * (fz + fz_hi) + sink_z)
             return jnp.moveaxis(
-                z_solver(t2(az), t2(bz), t2(cz),
-                         t2(dz_rhs + dwx * srhs_z)), 0, 2)
-        if implementation == "pallas":
-            from ..solvers.differentiable import vp_sweep_solve
-
-            gz = jnp.asarray(geoz, dtype)
-            return jnp.moveaxis(
-                vp_sweep_solve(t2(dz_rhs), t2(fz_hi), t2(dwx),
-                               t2(sink_z), t2(srhs_z), gz, gz,
-                               interpret=interpret), 0, 2)
-        colz = lambda v: jnp.asarray(v, dtype)[None, None, :]
-        az = -dwx * colz(geoz) * fz
-        cz = -dwx * colz(geoz) * fz_hi
-        bz = 1.0 + dwx * (colz(geoz) * (fz + fz_hi) + sink_z)
-        return jnp.moveaxis(
-            _solve_fields(t2(az), t2(bz), t2(cz),
-                          t2(dz_rhs + dwx * srhs_z),
-                          implementation, interpret), 0, 2)
+                _solve_fields(t2(az), t2(bz), t2(cz),
+                              t2(dz_rhs + dwx * srhs_z),
+                              implementation, interpret), 0, 2)
 
     # --- scheme dispatch ---------------------------------------------------
     if scheme == "be":

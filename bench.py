@@ -476,12 +476,17 @@ def run_cyl_varprop(shape=(64, 512, 256), steps=30, dtype=None):
 
 def main_cyl_varprop():
     probe_compile_service()
-    # traffic model: property eval k(T), w(T) from T (~12 B); per sweep the
-    # XLA prefold builds a/b/c/d fields from k/w folds (~16 B write + 16 B
-    # kernel read + 4 B out ~ 36 B) x3 sweeps + phi/z moveaxis pairs
-    # (~4x8 B) -> ~150 B/cell/step.  Compressing to the masked-Robin
-    # standard (in-kernel rebuild from k/w streams) is the open lever.
-    sol = HBM_BYTES_PER_S / 150.0
+    # traffic model (compressed kernels + z-leading stream builds): the
+    # r/phi stream-build pass reads T+act (~5 B) and writes fr_hi/dw/
+    # sink/srhs + fp/fp_hi/sink_p/srhs_p (~36 B); r kernel 24 B, phi
+    # kernel 28 B; the z streams are built DIRECTLY in the z-leading
+    # layout from T's transpose (read ~5 B, write 16 B — replaces four
+    # full stream transposes), rhs transpose-in 8 B, z kernel 24 B,
+    # solution transpose-out 8 B -> ~154 B/cell/step.  Measured 14.90 ms
+    # at (64,512,1024) = 2.25 Gcell/s (was 26.33 before the z-leading
+    # builds); the gap to the model is kernel-level (small-batch tiles at
+    # nr=64), not layout traffic.
+    sol = HBM_BYTES_PER_S / 154.0
     value = None
     shape = None
     for shape in ((64, 512, 1024), (64, 512, 256), (64, 256, 128)):
