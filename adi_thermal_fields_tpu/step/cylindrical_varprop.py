@@ -72,6 +72,21 @@ def _ev(tab, const, T, dtype):
     return jnp.full(T.shape, float(tab), dtype)
 
 
+def _pointwise_tab(tab) -> bool:
+    """True when ``tab`` is a pure POINTWISE function of T — safe to
+    re-evaluate on a transposed field.  Arbitrary callables may close over
+    spatial fields in the natural (nr, nphi, nz) layout (the documented
+    bimetal substrate/deposit pattern), so they are only safe to evaluate
+    in that layout; their result is transposed instead.  Set a
+    ``pointwise = True`` attribute on a custom callable to opt in to the
+    cheaper transposed re-evaluation."""
+    from .cartesian_varprop import PropertyTable
+
+    return (tab is None or not callable(tab)
+            or isinstance(tab, PropertyTable)
+            or getattr(tab, "pointwise", False))
+
+
 def _props(T, mat_ref: Material, k_table, cp_table):
     """Per-axis (k_r, k_phi, k_z)(T^n) and w = 1/(rho cp(T^n)) in T.dtype.
 
@@ -371,9 +386,13 @@ def adi_step_cyl_varprop(T: jax.Array, grid: CylindricalGrid,
         mz = act_z if act_z is not None else jnp.ones(Tz.shape, bool)
         kz_tab = (k_table[2] if isinstance(k_table, (tuple, list))
                   else k_table)
-        kz = _ev(kz_tab, mat_ref.k, Tz, dtype)
-        wz = (1.0 / (mat_ref.rho * _ev(cp_table, mat_ref.cp, Tz, dtype))
-              ).astype(dtype)
+        # pointwise tables rebuild in the z-leading layout (fuses with
+        # the transpose); spatial-closure callables (bimetal pattern)
+        # evaluate in the natural layout and the RESULT transposes
+        kz = (_ev(kz_tab, mat_ref.k, Tz, dtype) if _pointwise_tab(kz_tab)
+              else t2(kf_z))
+        wz = ((1.0 / (mat_ref.rho * _ev(cp_table, mat_ref.cp, Tz, dtype))
+               ).astype(dtype) if _pointwise_tab(cp_table) else t2(w))
         dwz = dt * wz
         hr_void_z = hr(Tz, T_inf_void)
         # hi-face harmonic conductivity: fz_hi[i] = harm(k[i], k[i+1]),
