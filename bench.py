@@ -25,6 +25,8 @@ import numpy as np
 HBM_BYTES_PER_S = 819e9      # TPU v5e per-chip HBM bandwidth
 TRAFFIC_B_PER_CELL = 48.0    # see module docstring
 SOL_CELLS_PER_S = HBM_BYTES_PER_S / TRAFFIC_B_PER_CELL
+VARPROP_B_PER_CELL = 140.0       # derivation at main_varprop
+CYL_VARPROP_B_PER_CELL = 154.0   # derivation at main_cyl_varprop
 
 
 def probe_compile_service():
@@ -209,60 +211,58 @@ def run_cylindrical(shape=(128, 512, 512), steps=40, dtype=None):
     return nr * nphi * nz / el, el
 
 
+def emit(metric, value, bytes_per_cell):
+    """One JSON record per case.  ``vs_baseline`` stays the fraction of the
+    per-case traffic-model roofline (self-declared B/cell), and because such
+    models are not comparable across cases (VERDICT r3 #6) the record also
+    carries the model itself plus the ABSOLUTE apparent bandwidth in GB/s
+    and as a percentage of the v5e's 819 GB/s HBM."""
+    v = value or 0.0
+    gbps = v * bytes_per_cell / 1e9
+    print(json.dumps({
+        "metric": metric,
+        "value": v,
+        "unit": "cell/s",
+        "vs_baseline": gbps * 1e9 / HBM_BYTES_PER_S,
+        "model_B_per_cell": bytes_per_cell,
+        "abs_GB_per_s": round(gbps, 1),
+        "pct_of_hbm_819": round(gbps * 1e11 / HBM_BYTES_PER_S, 1),
+    }), flush=True)
+
+
+def _retry_shapes(fn, shapes, label):
+    """Run ``fn(shape)`` with per-shape retries (the remote compile service
+    is flaky); returns (value, shape) for the first shape that succeeds."""
+    for shape in shapes:
+        for attempt in range(3):
+            try:
+                value, per_step = fn(shape)
+                print(f"[bench] {label} {shape}: {per_step * 1e3:.2f} ms/step"
+                      f" -> {value / 1e9:.3f} Gcell/s", file=sys.stderr)
+                return value, shape
+            except Exception as e:
+                print(f"[bench] {label} {shape} attempt {attempt}: "
+                      f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+    return None, shapes[-1]
+
+
 def main_cylindrical():
-    probe_compile_service()
     # cylindrical-step traffic model: r/z fused const-coeff sweeps are
     # 8 B/cell each (read rhs + write x), the cyclic phi solve 8 B/cell +
     # fac read ~0: ~24 B/cell/step
-    sol = HBM_BYTES_PER_S / 24.0
-    value = None
-    for shape in ((128, 512, 512), (64, 256, 256)):
-        for attempt in range(3):
-            try:
-                value, per_step = run_cylindrical(shape)
-                print(f"[bench] cyl {shape}: {per_step * 1e3:.2f} ms/step -> "
-                      f"{value / 1e9:.3f} Gcell/s", file=sys.stderr)
-                break
-            except Exception as e:
-                print(f"[bench] cyl {shape} attempt {attempt}: "
-                      f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
-                value = None
-        if value is not None:
-            break
-    print(json.dumps({
-        "metric": f"cyl_adi_cell_updates_per_s_per_chip_{shape}_f32",
-        "value": value or 0.0,
-        "unit": "cell/s",
-        "vs_baseline": (value or 0.0) / sol,
-    }))
+    value, shape = _retry_shapes(run_cylindrical,
+                                 ((128, 512, 512), (64, 256, 256)), "cyl")
+    emit(f"cyl_adi_cell_updates_per_s_per_chip_{shape}_f32", value, 24.0)
 
 
 def main_bf16():
-    """bf16-state / f32-solve bandwidth mode (opt-in; ~24 B/cell/step)."""
-    probe_compile_service()
+    """bf16-state / f32-solve bandwidth mode (opt-in; ~24 B/cell/step —
+    half the 48 B f32 model, pessimistic vs the 17.5 B fused model)."""
     import jax.numpy as jnp
 
-    sol = HBM_BYTES_PER_S / 24.0
-    value = None
-    for n in (512, 384, 256):
-        for attempt in range(3):
-            try:
-                value, per_step = run(n, dtype=jnp.bfloat16)
-                print(f"[bench] bf16 {n}^3: {per_step * 1e3:.2f} ms/step -> "
-                      f"{value / 1e9:.3f} Gcell/s", file=sys.stderr)
-                break
-            except Exception as e:
-                print(f"[bench] bf16 {n}^3 attempt {attempt}: "
-                      f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
-                value = None
-        if value is not None:
-            break
-    print(json.dumps({
-        "metric": f"adi_cell_updates_per_s_per_chip_{n}^3_bf16",
-        "value": value or 0.0,
-        "unit": "cell/s",
-        "vs_baseline": (value or 0.0) / sol,
-    }))
+    value, n = _retry_shapes(lambda n: run(n, dtype=jnp.bfloat16),
+                             (512, 384, 256), "bf16")
+    emit(f"adi_cell_updates_per_s_per_chip_{n}^3_bf16", value, 24.0)
 
 
 def run_masked_cylindrical(shape=(64, 512, 256), steps=60, dtype=None):
@@ -320,7 +320,6 @@ def run_masked_cylindrical(shape=(64, 512, 256), steps=60, dtype=None):
 
 
 def main_masked():
-    probe_compile_service()
     # traffic model (compressed masked kernels, round 3): the prefold and
     # the final ambient-select are folded IN-KERNEL (code bits 4/8 +
     # streamed srhs) and the phi solve runs as an axis-1 cyclic kernel in
@@ -328,30 +327,13 @@ def main_masked():
     # write x (4 B) = 17 B; only the z sweep pays a transpose pair (8 B).
     # 3 sweeps + pair ~ 59 B/cell/step (was ~120 with XLA prefolds and two
     # layout pairs).
-    sol = HBM_BYTES_PER_S / 59.0
-    value = None
     # (64, 512, 1024) = 33.5M cells: large enough that fixed overheads
     # cannot pollute the rate (VERDICT r2 #2); the 8.4M shape is kept for
     # round-over-round comparability
-    for shape in ((64, 512, 1024), (64, 512, 256), (32, 256, 128)):
-        for attempt in range(3):
-            try:
-                value, per_step = run_masked_cylindrical(shape)
-                print(f"[bench] masked-cyl {shape}: {per_step * 1e3:.2f} "
-                      f"ms/step -> {value / 1e9:.3f} Gcell/s", file=sys.stderr)
-                break
-            except Exception as e:
-                print(f"[bench] masked-cyl {shape} attempt {attempt}: "
-                      f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
-                value = None
-        if value is not None:
-            break
-    print(json.dumps({
-        "metric": f"masked_cyl_cell_updates_per_s_per_chip_{shape}_f32",
-        "value": value or 0.0,
-        "unit": "cell/s",
-        "vs_baseline": (value or 0.0) / sol,
-    }))
+    value, shape = _retry_shapes(
+        run_masked_cylindrical,
+        ((64, 512, 1024), (64, 512, 256), (32, 256, 128)), "masked-cyl")
+    emit(f"masked_cyl_cell_updates_per_s_per_chip_{shape}_f32", value, 59.0)
 
 
 def run_varprop(n, steps=40, dtype=None):
@@ -388,7 +370,6 @@ def run_varprop(n, steps=40, dtype=None):
 
 
 def main_varprop():
-    probe_compile_service()
     # traffic model (fully-fused varprop path, round 3 session F): fields
     # build kernel (T+mask in, fx/fy/fz/w out) ~21 B; radiative film ~8 B;
     # ring theta+x sweep (T+code+fx+fy+fz+w+h in, U out) ~29 B; y sweep
@@ -400,27 +381,9 @@ def main_varprop():
     # fixed (8,256) tile padded 384-lane arrays to 512, costing an extra
     # XLA pad+slice HBM pass per stream; adaptive block_b2 selection
     # measured 13.46 ms = 4.21 Gcell/s = 72% of the model.)
-    sol = HBM_BYTES_PER_S / 140.0
-    value = None
-    for n in (384, 256, 128):
-        for attempt in range(3):
-            try:
-                value, per_step = run_varprop(n)
-                print(f"[bench] varprop {n}^3: {per_step * 1e3:.2f} ms/step "
-                      f"-> {value / 1e9:.3f} Gcell/s", file=sys.stderr)
-                break
-            except Exception as e:
-                print(f"[bench] varprop {n}^3 attempt {attempt}: "
-                      f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
-                value = None
-        if value is not None:
-            break
-    print(json.dumps({
-        "metric": f"varprop_cell_updates_per_s_per_chip_{n}^3_f32",
-        "value": value or 0.0,
-        "unit": "cell/s",
-        "vs_baseline": (value or 0.0) / sol,
-    }))
+    value, n = _retry_shapes(run_varprop, (384, 256, 128), "varprop")
+    emit(f"varprop_cell_updates_per_s_per_chip_{n}^3_f32", value,
+         VARPROP_B_PER_CELL)
 
 
 def run_cyl_varprop(shape=(64, 512, 256), steps=30, dtype=None):
@@ -475,7 +438,6 @@ def run_cyl_varprop(shape=(64, 512, 256), steps=30, dtype=None):
 
 
 def main_cyl_varprop():
-    probe_compile_service()
     # traffic model (compressed kernels + z-leading stream builds): the
     # r/phi stream-build pass reads T+act (~5 B) and writes fr_hi/dw/
     # sink/srhs + fp/fp_hi/sink_p/srhs_p (~36 B); r kernel 24 B, phi
@@ -486,29 +448,11 @@ def main_cyl_varprop():
     # at (64,512,1024) = 2.25 Gcell/s (was 26.33 before the z-leading
     # builds); the gap to the model is kernel-level (small-batch tiles at
     # nr=64), not layout traffic.
-    sol = HBM_BYTES_PER_S / 154.0
-    value = None
-    shape = None
-    for shape in ((64, 512, 1024), (64, 512, 256), (64, 256, 128)):
-        for attempt in range(3):
-            try:
-                value, per_step = run_cyl_varprop(shape)
-                print(f"[bench] cyl_varprop {shape}: "
-                      f"{per_step * 1e3:.2f} ms/step -> "
-                      f"{value / 1e9:.3f} Gcell/s", file=sys.stderr)
-                break
-            except Exception as e:
-                print(f"[bench] cyl_varprop {shape} attempt {attempt}: "
-                      f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
-                value = None
-        if value is not None:
-            break
-    print(json.dumps({
-        "metric": f"cyl_varprop_cell_updates_per_s_per_chip_{shape}_f32",
-        "value": value or 0.0,
-        "unit": "cell/s",
-        "vs_baseline": (value or 0.0) / sol,
-    }))
+    value, shape = _retry_shapes(
+        run_cyl_varprop,
+        ((64, 512, 1024), (64, 512, 256), (64, 256, 128)), "cyl_varprop")
+    emit(f"cyl_varprop_cell_updates_per_s_per_chip_{shape}_f32", value,
+         CYL_VARPROP_B_PER_CELL)
 
 
 
@@ -517,56 +461,45 @@ def main_capacity():
     one v5e chip on the ring-fused path (round 2 hit an OOM wall at 768;
     the ring kernel never materializes R0 and the bench donates its
     state).  Roofline: the 35 B/cell fused model."""
-    probe_compile_service()
-    sol = HBM_BYTES_PER_S / 35.0
-    value = None
-    n = 768
-    for attempt in range(3):
+    value, n = _retry_shapes(lambda n: run(n, steps=12), (768,), "capacity")
+    emit(f"adi_cell_updates_per_s_per_chip_{n}^3_f32_capacity", value, 35.0)
+
+
+def main_headline(hold=False):
+    """Cartesian 512^3 f32 — the driver-parsed headline.  ``vs_baseline``
+    stays against the conservative 48 B/cell model for round-over-round
+    continuity (the fused path's true traffic is the 35 B model; both are
+    reported via the emit record of the other cases)."""
+    value, n = _retry_shapes(run, (512, 384, 256, 128), "cartesian")
+    rec = (f"adi_cell_updates_per_s_per_chip_{n}^3_f32", value, 48.0)
+    if hold:
+        return rec
+    emit(*rec)
+
+
+def main_all():
+    """Default driver run: every flagship case, one JSON line each
+    (VERDICT r3 #5).  The Cartesian headline is measured FIRST (so a
+    mid-run tunnel outage cannot lose it) but printed LAST — the driver
+    parses the final line, which thereby keeps its round-3 meaning."""
+    global _HELD_HEADLINE
+    _HELD_HEADLINE = main_headline(hold=True)
+    for case_fn, name in ((main_varprop, "varprop"),
+                          (main_masked, "masked"),
+                          (main_cyl_varprop, "cyl_varprop"),
+                          (main_cylindrical, "cylindrical"),
+                          (main_bf16, "bf16")):
         try:
-            value, per_step = run(n, steps=12)
-            print(f"[bench] capacity {n}^3: {per_step * 1e3:.2f} ms/step "
-                  f"-> {value / 1e9:.3f} Gcell/s", file=sys.stderr)
-            break
+            case_fn()
         except Exception as e:
-            print(f"[bench] capacity {n}^3 attempt {attempt}: "
-                  f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
-            value = None
-    print(json.dumps({
-        "metric": f"adi_cell_updates_per_s_per_chip_{n}^3_f32_capacity",
-        "value": value or 0.0,
-        "unit": "cell/s",
-        "vs_baseline": (value or 0.0) / sol,
-    }))
+            print(f"[bench] case {name} FAILED: {type(e).__name__}: "
+                  f"{str(e)[:200]}", file=sys.stderr)
+            emit(f"{name}_cell_updates_per_s_per_chip", None, 48.0)
+    rec, _HELD_HEADLINE = _HELD_HEADLINE, None
+    emit(*rec)
 
 
-
-def main():
-    probe_compile_service()
-    value = None
-    for n in (512, 384, 256, 128):
-        # the remote compile service is occasionally flaky — retry per size
-        for attempt in range(3):
-            try:
-                value, per_step = run(n)
-                print(f"[bench] {n}^3: {per_step * 1e3:.2f} ms/step -> "
-                      f"{value / 1e9:.3f} Gcell/s", file=sys.stderr)
-                break
-            except Exception as e:  # OOM or compile failure
-                print(f"[bench] {n}^3 attempt {attempt}: "
-                      f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
-                value = None
-        if value is not None:
-            break
-    if value is None:
-        print(json.dumps({"metric": "adi_cell_updates_per_s_per_chip",
-                          "value": 0.0, "unit": "cell/s", "vs_baseline": 0.0}))
-        return
-    print(json.dumps({
-        "metric": f"adi_cell_updates_per_s_per_chip_{n}^3_f32",
-        "value": value,
-        "unit": "cell/s",
-        "vs_baseline": value / SOL_CELLS_PER_S,
-    }))
+_HELD_HEADLINE = None
 
 
 def _install_watchdog():
@@ -580,12 +513,14 @@ def _install_watchdog():
     import os
     import threading
 
-    budget = int(os.environ.get("BENCH_WATCHDOG_S", "3000"))
     case = "headline"
     if "--case" in sys.argv:
         i = sys.argv.index("--case")
         if i + 1 < len(sys.argv):
             case = sys.argv[i + 1]
+    # the default run covers every flagship case — give it a longer leash
+    budget = int(os.environ.get(
+        "BENCH_WATCHDOG_S", "3000" if case != "headline" else "7200"))
     metric = {"headline": "adi_cell_updates_per_s_per_chip",
               "bf16": "adi_cell_updates_per_s_per_chip_bf16",
               "cylindrical": "cyl_cell_updates_per_s_per_chip",
@@ -597,13 +532,17 @@ def _install_watchdog():
 
     def _expired():
         print("[bench] WATCHDOG: no result within "
-              f"{budget}s — tunnel outage; emitting zero record",
+              f"{budget}s — tunnel outage; emitting last-known record",
               file=sys.stderr)
-        print(json.dumps({"metric": metric,
-                          "value": 0.0, "unit": "cell/s",
-                          "vs_baseline": 0.0,
-                          "error": f"watchdog: tunnel unresponsive {budget}s"}),
-              flush=True)
+        if _HELD_HEADLINE is not None:
+            # the headline WAS measured before the stall — don't lose it
+            emit(*_HELD_HEADLINE)
+        else:
+            print(json.dumps(
+                {"metric": metric, "value": 0.0, "unit": "cell/s",
+                 "vs_baseline": 0.0,
+                 "error": f"watchdog: tunnel unresponsive {budget}s"}),
+                flush=True)
         os._exit(2)
 
     t = threading.Timer(budget, _expired)
@@ -614,6 +553,7 @@ def _install_watchdog():
 
 if __name__ == "__main__":
     _install_watchdog()
+    probe_compile_service()
     if "--case" in sys.argv and "cylindrical" in sys.argv:
         main_cylindrical()
     elif "--case" in sys.argv and "bf16" in sys.argv:
@@ -626,5 +566,7 @@ if __name__ == "__main__":
         main_cyl_varprop()
     elif "--case" in sys.argv and "varprop" in sys.argv:
         main_varprop()
+    elif "--case" in sys.argv and "cartesian" in sys.argv:
+        main_headline()
     else:
-        main()
+        main_all()
