@@ -57,7 +57,8 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
                           mesh=None, dtype=None, interpret: bool = False,
                           history_t_crit: float | None = None,
                           stochastic_rounding: bool = False,
-                          k_table=None, cp_table=None, emissivity=None):
+                          k_table=None, cp_table=None, emissivity=None,
+                          radiation_scale=None):
     """Split engine: ``prepare(active) -> prep`` (jitted pack/plan rebuild,
     needed only when the mask changes — i.e. on birth events) and
     ``advance(T, prep, dt, n_sub[, t0]) -> T`` (jitted sub-step loop).
@@ -106,9 +107,20 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
     for the melt-pool convection proxy.
     emissivity: enable the radiative boundary film
     ``h_rad(T) = eps*sigma*(T+T_inf)(T^2+T_inf^2)`` in ADDITION to the
-    scalar convective ``robin_h`` (Picard-refreshed every SUB-STEP from the
+    convective ``robin_h`` (Picard-refreshed every SUB-STEP from the
     live field — tighter than the per-segment refresh of
-    make_cartesian_advance(robin_h_fn=...)).
+    make_cartesian_advance(robin_h_fn=...)).  ``robin_h`` may be a scalar
+    (fully-fused kernels) or a per-face dict / 3-D field — e.g. the STL
+    area-corrected fields (geometry/bc_correction.py) — in which case the
+    engine runs the materialized field-coefficient formulation and the
+    total film is ``robin_h + h_rad(T) * radiation_scale``.
+    radiation_scale: per-face dict (or field) of true/voxel area ratios
+    applied to the RADIATIVE film — pass ``corrected_robin_fields``'s
+    second output so radiation sees the same geometric-area correction as
+    the corrected convective fields (the reference's contract is that
+    corrected Robin output is simply another h field flowing through the
+    unified machinery, voxel_bc_correction.py:207-225).  Requires
+    ``emissivity``; defaults to 1 (uncorrected radiation).
     Any of these switches the engine onto the varprop step.  The flagship
     BC set (Robin-only scalar h / radiative film, implementation='pallas')
     runs FULLY FUSED — per-cell Picard coefficients k(T^n)/cp(T^n) rebuilt
@@ -154,20 +166,39 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
 
     varprop = (k_table is not None or cp_table is not None
                or emissivity is not None)
+    if radiation_scale is not None and emissivity is None:
+        raise ValueError("radiation_scale scales the RADIATIVE film and "
+                         "therefore requires emissivity; for a corrected "
+                         "convective film pass the corrected h fields as "
+                         "robin_h")
     if varprop:
         from ..bc.radiation import radiative_h
         from ..step.cartesian_varprop import adi_step_varprop
 
-        if emissivity is not None and robin_h is not None \
-                and not isinstance(robin_h, (int, float)):
-            raise ValueError("emissivity composes with a SCALAR convective "
-                             "robin_h only (the radiative film is built "
-                             "per-cell from the live field)")
         # interpret mode keeps the pallas varprop kernels (CI-testable);
         # the mesh path runs the fused kernels per shard (dist/varprop)
         # when eligible, else falls back to the scan/XLA formulation
         impl_vp = implementation
-        h_conv = float(robin_h or 0.0) if emissivity is not None else None
+        scalar_conv = robin_h is None or isinstance(robin_h, (int, float))
+        h_conv = (float(robin_h or 0.0)
+                  if emissivity is not None and scalar_conv else None)
+
+        def _compose_h(T):
+            """Total Robin film entering this sub-step's packs: convective
+            (per-face dict or 3-D field, e.g. the STL area-corrected
+            fields) plus the Picard radiative film, itself scaled by the
+            per-face true/voxel area ratios when given — radiation sees
+            the same geometric correction as convection."""
+            h_rad = radiative_h(T, emissivity, t_inf,
+                                h_conv=0.0 if h_conv is None else h_conv)
+            if scalar_conv:
+                return h_rad
+            if isinstance(robin_h, dict):
+                sc = radiation_scale or {}
+                return {f: v + h_rad * sc.get(f, 1.0)
+                        for f, v in robin_h.items()}
+            return robin_h + h_rad * (1.0 if radiation_scale is None
+                                      else radiation_scale)
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -215,21 +246,22 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
             def step1(T, prep, dt, t, istep):
                 active, codes = prep
                 T = constrain(T)
-                hf = (radiative_h(T, emissivity, t_inf, h_conv=h_conv)
-                      if emissivity is not None else None)
                 src = None if source_fn is None else source_fn(t)
                 seed = istep if stochastic_rounding else None
                 if mesh is not None:
+                    hf = (radiative_h(T, emissivity, t_inf, h_conv=h_conv)
+                          if emissivity is not None else None)
                     return sh_step(T, active, codes, dt, h_field=hf,
                                    source=src, rng_seed=seed)
-                # emissivity passes through so the g-stream tier (when
-                # enabled/eligible) folds the radiative film in-register;
-                # hf is then dead code XLA eliminates.  The classic tier
-                # keeps consuming hf.
+                # emissivity passes through UNBUILT (h_field=None): the
+                # g-stream tier folds the radiative film in-register, and
+                # the classic tier builds it itself — knowing the film is
+                # pointwise-in-T lets its z solve REBUILD it in the
+                # z-leading layout instead of transposing the stream
                 return constrain(adi_step_varprop_fused(
                     T, active, codes, grid, mat, k_table=k_table,
                     cp_table=cp_table, dt=dt, theta=theta, t_inf=t_inf,
-                    robin_h=float(robin_h or 0.0), h_field=hf,
+                    robin_h=float(robin_h or 0.0), h_field=None,
                     emissivity=emissivity, h_conv=h_conv, source=src,
                     rng_seed=seed,
                     # None = auto (interpret off-TPU); True forces it
@@ -249,9 +281,9 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
                 active, packs = prep
                 T = constrain(T)
                 if emissivity is not None:
-                    h = radiative_h(T, emissivity, t_inf, h_conv=h_conv)
                     packs = build_coeff_packs(
-                        active, grid, mat, robin_h=h, neumann=neumann,
+                        active, grid, mat, robin_h=_compose_h(T),
+                        neumann=neumann,
                         dirichlet_mask=dirichlet_mask,
                         dirichlet_value=dirichlet_value,
                         dtype=jnp.promote_types(T.dtype, pack_dtype))

@@ -271,14 +271,19 @@ def run(args) -> dict:
     act = jnp.asarray(act)
 
     robin_h = args.h_side
+    rad_scale = None
     if args.corrected_bc:
         # per-axis spacing: the corrector normalizes by each direction's
         # true voxel-face area (dy*dz / dx*dz / dx*dy), so --dz_mm composes
         from ..geometry.bc_correction import corrected_robin_fields
-        fields, _ = corrected_robin_fields(
+        fields, scale = corrected_robin_fields(
             mesh, mask_full, origin, d,
             {f: args.h_side for f in ("x-", "x+", "y-", "y+", "z-", "z+")})
         robin_h = {f: jnp.asarray(v, dtype) for f, v in fields.items()}
+        # the same true/voxel area ratios scale the radiative film when
+        # --emissivity composes (reference contract: corrected Robin output
+        # is just another h field, voxel_bc_correction.py:207-225)
+        rad_scale = {f: jnp.asarray(s, dtype) for f, s in scale.items()}
         log("using STL projected-area corrected Robin fields", tag="bc")
 
     mesh_dev = None
@@ -330,12 +335,8 @@ def run(args) -> dict:
         log(f"melt-pool k proxy: {args.melt_k_factor:g}x above "
             f"{args.liquidus_C:g} C", tag="phys")
     if emissivity is not None:
-        if args.corrected_bc:
-            raise SystemExit("--emissivity + --corrected_bc is not "
-                             "supported: the radiative film is built "
-                             "per-cell from the live field and composes "
-                             "with a scalar --h_side only")
-        log(f"radiative film, emissivity {emissivity:g}", tag="phys")
+        log(f"radiative film, emissivity {emissivity:g}"
+            + (" (area-corrected)" if args.corrected_bc else ""), tag="phys")
     varprop = (k_table is not None or cp_table is not None
                or emissivity is not None)
 
@@ -344,7 +345,8 @@ def run(args) -> dict:
         grid, mat, theta=args.theta, t_inf=args.T_inf, robin_h=robin_h,
         mesh=mesh_dev, dtype=dtype, history_t_crit=hist_crits,
         stochastic_rounding=use_sr,
-        k_table=k_table, cp_table=cp_table, emissivity=emissivity)
+        k_table=k_table, cp_table=cp_table, emissivity=emissivity,
+        radiation_scale=rad_scale if emissivity is not None else None)
     dmin = min(d)
     dt_cap = args.cfl * dmin * dmin / mat.alpha
     log(f"alpha={mat.alpha:.3e} m^2/s, dt_cap={dt_cap:.3e} s (cfl={args.cfl})",

@@ -140,6 +140,28 @@ def melt_pool_enhanced_k(k_solid: float, T_solidus: float, T_liquidus: float,
         (k_solid, kl * enhancement))
 
 
+def _ev_tab(tab, const, T, dtype):
+    """Evaluate a property spec (None -> const, scalar, or callable) at T."""
+    if tab is None:
+        return jnp.full(T.shape, const, dtype)
+    if callable(tab):
+        return tab(T).astype(dtype)
+    return jnp.full(T.shape, float(tab), dtype)
+
+
+def _pointwise_tab(tab) -> bool:
+    """True when ``tab`` is a pure POINTWISE function of T — safe to
+    re-evaluate on a transposed field.  Arbitrary callables may close over
+    spatial fields in the natural (x, y, z) layout (the bimetal
+    substrate/deposit pattern), so they are only safe to evaluate in that
+    layout; their result is transposed instead.  Set a ``pointwise = True``
+    attribute on a custom callable to opt in to the cheaper transposed
+    re-evaluation."""
+    return (tab is None or not callable(tab)
+            or isinstance(tab, PropertyTable)
+            or getattr(tab, "pointwise", False))
+
+
 def _face_g(kf, axis, direction, mask):
     """Harmonic face conductivity toward the (axis, direction) neighbor;
     zero across mask boundaries and domain edges."""
@@ -443,10 +465,14 @@ def adi_step_varprop_fused(T: jax.Array, mask: jax.Array, codes: tuple,
             dt=dt, theta=theta, t_inf=t_inf, robin_h=robin_h,
             h_field=h_field, emissivity=emissivity, h_conv=h_conv,
             source=source, rng_seed=rng_seed, interpret=interpret)
-    if emissivity is not None and h_field is None:
-        # radiative request on the classic tier: build the film here (the
-        # g-tier folds it in-register instead)
-        from ..bc.radiation import radiative_h
+    from ..bc.radiation import radiative_h
+
+    # radiative request on the classic tier: build the film here (the
+    # g-tier folds it in-register instead).  ``self_rad`` marks the film as
+    # a pure pointwise function of T — the z solve then REBUILDS it in the
+    # z-leading layout instead of transposing the finished stream.
+    self_rad = emissivity is not None and h_field is None
+    if self_rad:
         h_field = radiative_h(T, emissivity, t_inf, h_conv=h_conv)
     from ..solvers.pallas_varprop import (fused_varprop_sweep,
                                           fused_varprop_sweep_axis1,
@@ -502,8 +528,34 @@ def adi_step_varprop_fused(T: jax.Array, mask: jax.Array, codes: tuple,
         U = sweep(R0, 0, fc[0], w, hf)
     # y: the axis-1 kernel sweeps in the NATURAL layout — no transposes
     V = sweep(U, 1, fc[1], w, hf, kernel=fused_varprop_sweep_axis1)
-    # z: (x,y,z) -> (z,x,y) re-lay for rhs/fc/w(/h)
+    # z: (x,y,z) -> (z,x,y).  Session-H rule (NOTES.md): never transpose a
+    # DERIVED stream — transpose its SOURCE and rebuild the stream in the
+    # target layout.  Only the chained rhs moves in (and the solution
+    # out); fc_z, w and the self-built radiative film are re-derived
+    # directly in the z-leading layout from T/mask's transposes —
+    # elementwise VPU work XLA fuses into the transposes, replacing a full
+    # HBM transpose pair per finished stream (the cylindrical family
+    # measured 26.3 -> 14.9 ms at (64,512,1024) for the same fix, commit
+    # 8277b4a).  Identical elementwise computation on permuted data,
+    # verified to solver round-off by the parity tests.
     t2n = lambda x: jnp.transpose(x, (2, 0, 1))
-    W = sweep(t2n(V), 2, t2n(fc[2]), t2n(w),
-              None if hf is None else t2n(hf))
+    kz_tab = k_table[2] if isinstance(k_table, (tuple, list)) else k_table
+    z_rebuild = (_pointwise_tab(kz_tab) and _pointwise_tab(cp_table)
+                 and (hf is None or self_rad))
+    if z_rebuild:
+        Tz = t2n(T)
+        mz = t2n(mask)
+        kz = _ev_tab(kz_tab, mat_ref.k, Tz, dtype)
+        fcz = _face_g(kz, 0, -1, mz).astype(dtype)
+        wz = (1.0 / (mat_ref.rho
+                     * _ev_tab(cp_table, mat_ref.cp, Tz, dtype))
+              ).astype(dtype)
+        hz = (radiative_h(Tz, emissivity, t_inf, h_conv=h_conv)
+              if self_rad else None)
+    else:
+        # spatial-closure tables / caller-supplied h fields: the streams
+        # cannot be re-derived from Tz — fall back to transposing them
+        fcz, wz = t2n(fc[2]), t2n(w)
+        hz = None if hf is None else t2n(hf)
+    W = sweep(t2n(V), 2, fcz, wz, hz)
     return jnp.transpose(W, (1, 2, 0))
