@@ -143,12 +143,19 @@ def _sweep_solve_lite(axis: int, interpret: bool, has_q: bool, has_d: bool):
     see pallas_sweeps.sweep_code) in both the primal kernel and the
     pullback; ``rob_c_bar`` contracts the coefficient cotangent against
     that dependence."""
-    from .pallas_sweeps import fused_sweep_axis0_v2, fused_sweep_axis1_v2
+    from .pallas_sweeps import (fused_sweep_axis0_v2, fused_sweep_axis1_v2,
+                                fused_sweep_axis2_v2)
 
     kern = fused_sweep_axis0_v2 if axis == 0 else fused_sweep_axis1_v2
 
     @jax.custom_vjp
     def solve(rhs, code, rob_c, tg, dt, t_inf, qflux, dir_val):
+        if axis == 2:
+            # natural-layout z solve: rhs/x in (x, y, z), code in (z, x, y);
+            # the in-kernel chunk relayout replaces the step-level
+            # transpose pair (chip-gated bitwise + 1.81x, scripts/znat_chip)
+            return fused_sweep_axis2_v2(rhs, code, tg, dt, t_inf, rob_c,
+                                        interpret=interpret)
         return kern(rhs, code, None, tg, dt, t_inf,
                     qflux=qflux if has_q else None,
                     dir_val=dir_val if has_d else None, rob_c=rob_c,
@@ -160,9 +167,12 @@ def _sweep_solve_lite(axis: int, interpret: bool, has_q: bool, has_d: bool):
 
     def bwd(res, g):
         x, code, rob_c, tg, dt, t_inf, qflux = res
-        mv = lambda t: (t if axis == 0 else jnp.moveaxis(t, 1, 0))
+        mv = (lambda t: t) if axis == 0 else \
+             (lambda t: jnp.moveaxis(t, 1, 0)) if axis == 1 else \
+             (lambda t: jnp.transpose(t, (2, 0, 1)))
         xf, gf = mv(x), mv(g)
-        code_f = mv(code).astype(jnp.int32)
+        # axis-2 codes are plan-stored ALREADY solve-axis-leading
+        code_f = (code if axis == 2 else mv(code)).astype(jnp.int32)
         dtype = x.dtype
         tg = jnp.asarray(tg, dtype)
         dt = jnp.asarray(dt, dtype)
@@ -199,7 +209,9 @@ def _sweep_solve_lite(axis: int, interpret: bool, has_q: bool, has_d: bool):
         dt_bar = jnp.sum(jnp.where(unp, y * (qf + cf * (t_inf - xf)), 0.0))
         t_inf_bar = jnp.sum(jnp.where(unp, y * dt * cf, 0.0))
 
-        mvb = lambda t: (t if axis == 0 else jnp.moveaxis(t, 0, 1))
+        mvb = (lambda t: t) if axis == 0 else \
+              (lambda t: jnp.moveaxis(t, 0, 1)) if axis == 1 else \
+              (lambda t: jnp.transpose(t, (1, 2, 0)))
         q_bar = (mvb(qflux_bar) if has_q else jnp.zeros((), dtype))
         d_bar = (mvb(dval_bar) if has_d else jnp.zeros((), dtype))
         return (mvb(rhs_bar), _f0(code), rob_c_bar,
@@ -215,9 +227,13 @@ def sweep_solve_lite(rhs, code, rob_c, tg, dt, t_inf, qflux=None,
                      interpret: bool = False):
     """Differentiable plan-lite fused sweep (no coefficient field; scalar
     ``rob_c = h/(rho cp d_axis)`` for THIS sweep's axis — callers index a
-    per-axis triple)."""
+    per-axis triple).  ``axis=2``: NATURAL-layout z solve (rhs (x, y, z),
+    code (z, x, y)) — no qflux/dir_val, f32 states only."""
     dtype = rhs.dtype
     has_q, has_d = qflux is not None, dir_val is not None
+    if axis == 2 and (has_q or has_d):
+        raise ValueError("the natural-layout z solve (axis=2) takes no "
+                         "qflux/dir_val — use the transposed axis-0 form")
     zero = jnp.zeros((), dtype)
     return _sweep_solve_lite(axis, interpret, has_q, has_d)(
         rhs, code, jnp.asarray(rob_c, dtype), jnp.asarray(tg, dtype),
@@ -377,13 +393,13 @@ def theta_rhs_diff(T, mask_i8, c, inv_dx2, *, interpret: bool = False):
 
 
 @functools.cache
-def _vp_sweep_solve(interpret: bool):
+def _vp_sweep_solve(interpret: bool, nat: bool = False):
     from .pallas_vpfields import fused_vp_fields_sweep
 
     @jax.custom_vjp
     def solve(rhs, fhi, dw, sink, srhs, glo, ghi):
         return fused_vp_fields_sweep(rhs, fhi, dw, sink, srhs, glo, ghi,
-                                     interpret=interpret)
+                                     interpret=interpret, nat_rhs_out=nat)
 
     def fwd(rhs, fhi, dw, sink, srhs, glo, ghi):
         x = solve(rhs, fhi, dw, sink, srhs, glo, ghi)
@@ -391,6 +407,9 @@ def _vp_sweep_solve(interpret: bool):
 
     def bwd(res, g):
         x, fhi, dw, sink, srhs, glo, ghi = res
+        if nat:     # bwd math in the solve-axis-leading layout
+            x = jnp.transpose(x, (2, 0, 1))
+            g = jnp.transpose(g, (2, 0, 1))
         col = lambda v: v[:, None, None]
         flo = _shift_dn(fhi)
         a = -dw * col(glo) * flo
@@ -405,7 +424,10 @@ def _vp_sweep_solve(interpret: bool):
         sink_bar = -y * dw * x
         fhi_bar = (dw * col(ghi) * y * (x_up - x)
                    + _shift_up(dw * col(glo)) * y_up * (x - x_up))
-        return (y, fhi_bar, dw_bar, sink_bar, y * dw,
+        srhs_bar = y * dw                      # z-leading, like the stream
+        if nat:
+            y = jnp.transpose(y, (1, 2, 0))    # rhs cotangent back natural
+        return (y, fhi_bar, dw_bar, sink_bar, srhs_bar,
                 jnp.zeros_like(glo), jnp.zeros_like(ghi))
 
     solve.defvjp(fwd, bwd)
@@ -413,10 +435,13 @@ def _vp_sweep_solve(interpret: bool):
 
 
 def vp_sweep_solve(rhs, fhi, dw, sink, srhs, glo, ghi, *,
-                   interpret: bool = False):
+                   interpret: bool = False, nat_rhs_out: bool = False):
     """Differentiable fused_vp_fields_sweep: primal on the compressed
-    stream kernel, pullback via the transposed scan Thomas (module note)."""
-    return _vp_sweep_solve(interpret)(rhs, fhi, dw, sink, srhs, glo, ghi)
+    stream kernel, pullback via the transposed scan Thomas (module note).
+    ``nat_rhs_out``: rhs/solution in the NATURAL (B1, B2, n) layout (the
+    streams stay solve-axis-leading); cotangents follow the layouts."""
+    return _vp_sweep_solve(interpret, nat_rhs_out)(
+        rhs, fhi, dw, sink, srhs, glo, ghi)
 
 
 @functools.cache
@@ -425,16 +450,19 @@ def _vp_cyclic_solve(interpret: bool):
     from .thomas import cyclic_thomas
 
     @jax.custom_vjp
-    def solve(rhs, flo, fhi, dw, sink, srhs, geo):
-        return fused_vp_fields_cyclic_axis1(rhs, flo, fhi, dw, sink, srhs,
+    def solve(rhs, flo, dw, sink, srhs, geo):
+        # hi faces derived IN-KERNEL from flo by periodicity — no roll
+        # pass, no second face stream (~12 B/cell)
+        return fused_vp_fields_cyclic_axis1(rhs, flo, None, dw, sink, srhs,
                                             geo, interpret=interpret)
 
-    def fwd(rhs, flo, fhi, dw, sink, srhs, geo):
-        x = solve(rhs, flo, fhi, dw, sink, srhs, geo)
-        return x, (x, flo, fhi, dw, sink, srhs, geo)
+    def fwd(rhs, flo, dw, sink, srhs, geo):
+        x = solve(rhs, flo, dw, sink, srhs, geo)
+        return x, (x, flo, dw, sink, srhs, geo)
 
     def bwd(res, g):
-        x, flo, fhi, dw, sink, srhs, geo = res
+        x, flo, dw, sink, srhs, geo = res
+        fhi = jnp.roll(flo, -1, axis=1)   # periodic hi faces (bwd only)
         gg = geo[:, None, :]
         a = -dw * gg * flo
         c = -dw * gg * fhi
@@ -453,14 +481,18 @@ def _vp_cyclic_solve(interpret: bool):
         fhi_bar = y * dw * gg * (x_up - x)
         geo_bar = jnp.sum(y * dw * (flo * (x_dn - x) + fhi * (x_up - x)),
                           axis=1)
-        return (y, flo_bar, fhi_bar, dw_bar, sink_bar, y * dw, geo_bar)
+        # flo appears directly AND (shifted) as every hi face: fold the
+        # fhi cotangent back through the roll's transpose
+        return (y, flo_bar + rdn(fhi_bar), dw_bar, sink_bar, y * dw,
+                geo_bar)
 
     solve.defvjp(fwd, bwd)
     return solve
 
 
-def vp_cyclic_solve(rhs, flo, fhi, dw, sink, srhs, geo, *,
+def vp_cyclic_solve(rhs, flo, dw, sink, srhs, geo, *,
                     interpret: bool = False):
-    """Differentiable fused_vp_fields_cyclic_axis1 (natural-layout phi):
-    pullback via the transposed cyclic Thomas."""
-    return _vp_cyclic_solve(interpret)(rhs, flo, fhi, dw, sink, srhs, geo)
+    """Differentiable fused_vp_fields_cyclic_axis1 (natural-layout phi,
+    hi faces derived in-kernel from flo by periodicity): pullback via the
+    transposed cyclic Thomas."""
+    return _vp_cyclic_solve(interpret)(rhs, flo, dw, sink, srhs, geo)

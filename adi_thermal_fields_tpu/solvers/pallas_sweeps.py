@@ -40,6 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["sweep_code", "fused_sweep", "fused_sweep_axis0",
            "fused_sweep_axis0_v2", "fused_sweep_axis1_v2",
+           "fused_sweep_axis2_v2",
            "fused_sweep_const", "fused_cyclic_const", "fused_cyclic_phi"]
 
 _LOW, _HIGH, _PIN, _INMASK = np.int8(1), np.int8(2), np.int8(4), np.int8(8)
@@ -808,6 +809,204 @@ def fused_sweep_axis0_v2(rhs, code, coeff, theta_gam, dt, t_inf,
 
     if p1 or p2 or pn:
         out = out[:n, :b1, :b2]
+    return out
+
+
+def _sweep_kernel_z2(scal_ref, d_hbm, code_hbm, out_hbm, xbuf, dpbuf,
+                     tbuf, wbuf, cbuf, obuf, in_sem, out_sem, *,
+                     n, cn, b1, b2, grp_rows=8, has_pin=True):
+    """Chunked-DMA fused sweep along the LAST axis of a NATURAL-layout
+    (B1, B2, n) rhs — the z sweep without the step-level transpose pair.
+
+    The round-3 trace (BASELINE.md:95-101) showed the 512^3 const-prop step
+    spending 3.22 ms (24%) in the XLA z-transpose pair around the axis-0
+    kernel.  This kernel reads the rhs in its natural layout — HBM slices
+    (b1, b2, cn) with both tiled dims aligned — and relays each chunk to
+    the solve layout IN VMEM: per sublane row, one 2-D (b2, cn) -> (cn, b2)
+    transpose (Mosaic's transpose unit), then the solve's group reads use a
+    cheap dim-0/1 swap.  The backward pass restages finished chunks through
+    the same relayout before their output DMA, so the solution is written
+    in natural layout too.  The sweep CODE is precomputed per axis in the
+    z-leading layout (build_sweep_plan), so it streams without relayout.
+    Traffic: read rhs + code, write x = 9 B/cell (plan-lite) with ZERO
+    step-level transposes.
+
+    f32-only (the bf16 mixed mode keeps the transposed axis-0 path)."""
+    tg = scal_ref[0]
+    dt = scal_ref[1]
+    t_inf = scal_ref[2]
+    f32 = xbuf.dtype
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    r0 = i * b1
+    c0 = j * b2
+    nchunks = n // cn
+
+    def in_dmas(slot, k):
+        s = k * cn
+        return (
+            pltpu.make_async_copy(
+                d_hbm.at[pl.ds(r0, b1), pl.ds(c0, b2), pl.ds(s, cn)],
+                tbuf.at[slot], in_sem.at[slot, 0]),
+            pltpu.make_async_copy(
+                code_hbm.at[pl.ds(s, cn), pl.ds(r0, b1), pl.ds(c0, b2)],
+                cbuf.at[slot], in_sem.at[slot, 1]),
+        )
+
+    def out_dma(k):
+        return pltpu.make_async_copy(
+            obuf.at[k % 2],
+            out_hbm.at[pl.ds(r0, b1), pl.ds(c0, b2), pl.ds(k * cn, cn)],
+            out_sem.at[k])
+
+    for dma in in_dmas(0, 0):
+        dma.start()
+    if nchunks > 1:
+        for dma in in_dmas(1, 1):
+            dma.start()
+
+    one = jnp.ones((), f32)
+    zero_s = jnp.zeros((), f32)
+    zero = jnp.zeros((b1, b2), f32)
+    G = grp_rows
+    carry = (zero, zero)
+    for k in range(nchunks):
+        slot = k % 2
+        for dma in in_dmas(slot, k):
+            dma.wait()
+        # chunk relayout (b1, b2, cn) -> (b1, cn, b2): b1 independent 2-D
+        # lane<->sublane transposes (static python loop — b1 is 8)
+        for r in range(b1):
+            wbuf[r] = jnp.transpose(tbuf[slot][r], (1, 0)).astype(f32)
+
+        def grp(g, carry, *, slot=slot, base=k * cn):
+            cp_prev, dp_prev = carry
+            s = g * G
+            code_g = cbuf[slot, pl.ds(s, G)].astype(jnp.int32)
+            low = jnp.where((code_g & 1) > 0, one, zero_s)
+            high = jnp.where((code_g & 2) > 0, one, zero_s)
+            inm = jnp.where((code_g & 8) > 0, one, zero_s)
+            cf_g = scal_ref[3] * ((2.0 - low - high) * inm)
+            a_g = -tg * low
+            c_g = -tg * high
+            dtcf = dt * cf_g
+            b_g = 1.0 + tg * (low + high) + dtcf
+            if has_pin:
+                pin = jnp.where((code_g & 4) > 0, one, zero_s)
+                b_g = b_g * (1.0 - pin) + pin
+            # (b1, G, b2) group view of the relaid chunk -> (G, b1, b2)
+            dd_g = (jnp.swapaxes(wbuf[:, pl.ds(s, G)], 0, 1)
+                    + dtcf * t_inf)
+            cps, dps = [], []
+            for r in range(G):
+                inv = 1.0 / (b_g[r] - a_g[r] * cp_prev)
+                cp_prev = c_g[r] * inv
+                dp_prev = (dd_g[r] - a_g[r] * dp_prev) * inv
+                cps.append(cp_prev)
+                dps.append(dp_prev)
+            xbuf[pl.ds(base + s, G)] = jnp.stack(cps)
+            dpbuf[pl.ds(base + s, G)] = jnp.stack(dps)
+            return cp_prev, dp_prev
+
+        carry = lax.fori_loop(0, cn // G, grp, carry)
+        if k + 2 < nchunks:
+            for dma in in_dmas(slot, k + 2):
+                dma.start()
+
+    x_next = zero
+    for k in range(nchunks - 1, -1, -1):
+        base = k * cn
+
+        def grp_b(gg, x_next, *, base=base):
+            s = (cn // G - 1 - gg) * G
+            cp_g = xbuf[pl.ds(base + s, G)]
+            dp_g = dpbuf[pl.ds(base + s, G)]
+            xs = [None] * G
+            for r in range(G - 1, -1, -1):
+                x_next = dp_g[r] - cp_g[r] * x_next
+                xs[r] = x_next
+            xbuf[pl.ds(base + s, G)] = jnp.stack(xs)
+            return x_next
+
+        x_next = lax.fori_loop(0, cn // G, grp_b, x_next)
+        if k + 2 < nchunks:
+            out_dma(k + 2).wait()          # staging slot free?
+        # restage (cn, b1, b2) -> natural (b1, b2, cn) via the same 2-D
+        # transposes (dim-0/1 swap first is free-ish; per-row transpose)
+        xk = jnp.swapaxes(xbuf[pl.ds(base, cn)], 0, 1)   # (b1, cn, b2)
+        for r in range(b1):
+            obuf[k % 2, r] = jnp.transpose(xk[r], (1, 0))
+        out_dma(k).start()
+
+    for k in range(min(nchunks, 2)):
+        out_dma(k).wait()
+
+
+def fused_sweep_axis2_v2(rhs, code, theta_gam, dt, t_inf, rob_c,
+                         *, interpret: bool = False,
+                         block_b1: int = 8, block_b2: int | None = None,
+                         chunk: int = 128, grp_rows: int = 8,
+                         has_pin: bool = True):
+    """Natural-layout z sweep: solve along the LAST axis of the (B1, B2, n)
+    rhs, writing the solution in the same layout — replaces the
+    ``transpose -> fused_sweep_axis0_v2 -> transpose`` chain and its
+    16 B/cell of pure layout traffic (see _sweep_kernel_z2).
+
+    Plan-lite only (scalar-h Robin: ``rob_c = h/(rho cp dz)``); ``code``
+    comes from the plan's axis-2 entry, ALREADY in the (z, x, y) layout.
+    f32 states only — bf16 keeps the transposed path."""
+    b1f, b2f, n = rhs.shape
+    dtype = rhs.dtype
+    if jnp.promote_types(dtype, jnp.float32) != dtype:
+        raise ValueError("fused_sweep_axis2_v2 is f32-only; use the "
+                         "transposed axis-0 path for bf16 states")
+
+    if block_b2 is None:
+        cands = [c for c in (256, 128) if n <= 640 or c == 128]
+        block_b2 = min(cands, key=lambda c: (_round_up(b2f, c), -c))
+    # chunk slices the LANE dim of the natural rhs -> must stay 128-aligned
+    # (sub-tile lane slices fail Mosaic DMA legalization)
+    cn = max(128, min(_round_up(chunk, 128), _round_up(n, 128)))
+    pn = _round_up(n, cn) - n
+    p1 = _round_up(b1f, block_b1) - b1f
+    p2 = _round_up(b2f, block_b2) - b2f
+    if p1 or p2 or pn:
+        rhs = jnp.pad(rhs, ((0, p1), (0, p2), (0, pn)))
+        code = jnp.pad(code, ((0, pn), (0, p1), (0, p2)))
+    P1, P2, n_pad = rhs.shape
+
+    cdt = jnp.promote_types(dtype, jnp.float32)   # f64 on CPU/x64 paths
+    scal = jnp.stack([jnp.asarray(theta_gam, cdt), jnp.asarray(dt, cdt),
+                      jnp.asarray(t_inf, cdt), jnp.asarray(rob_c, cdt)])
+    grid = (P1 // block_b1, P2 // block_b2)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+    kern = functools.partial(_sweep_kernel_z2, n=n_pad, cn=cn, b1=block_b1,
+                             b2=block_b2, grp_rows=grp_rows, has_pin=has_pin)
+    scratch = [
+        pltpu.VMEM((n_pad, block_b1, block_b2), cdt),       # x / cp
+        pltpu.VMEM((n_pad, block_b1, block_b2), cdt),       # dp
+        pltpu.VMEM((2, block_b1, block_b2, cn), dtype),     # rhs in (nat)
+        pltpu.VMEM((block_b1, cn, block_b2), cdt),          # relaid chunk
+        pltpu.VMEM((2, cn, block_b1, block_b2), jnp.int8),  # code chunks
+        pltpu.VMEM((2, block_b1, block_b2, cn), dtype),     # out stage (nat)
+        pltpu.SemaphoreType.DMA((2, 2)),
+        pltpu.SemaphoreType.DMA((n_pad // cn,)),
+    ]
+
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), hbm, hbm],
+        out_specs=hbm,
+        out_shape=jax.ShapeDtypeStruct((P1, P2, n_pad), dtype),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(scal, rhs, code)
+
+    if p1 or p2 or pn:
+        out = out[:b1f, :b2f, :n]
     return out
 
 

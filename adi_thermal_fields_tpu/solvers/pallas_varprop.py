@@ -59,14 +59,16 @@ def _round_up(v, m):
 
 def _varprop_kernel(scal_ref, seed_ref, d_hbm, code_hbm, f_hbm, w_hbm,
                     h_hbm, out_hbm, xbuf, dpbuf, obuf, dbuf, cbuf, fbuf,
-                    wbuf, hbuf, in_sem, out_sem, *, n, cn, b1, b2):
+                    wbuf, hbuf, tbuf, qbuf, in_sem, out_sem, *,
+                    n, cn, b1, b2):
     tg = scal_ref[0]        # theta * dt / d_ax^2
     sk = scal_ref[1]        # dt / d_ax (Robin sink scale)
     t_inf = scal_ref[2]
     rob_c = scal_ref[3]     # scalar h (used when no h stream)
     f32 = xbuf.dtype
     has_h = h_hbm is not None
-    mixed = obuf is not None         # bf16 state, f32 solve
+    nat = tbuf is not None           # NATURAL rhs/out (z without transposes)
+    mixed = not nat and obuf is not None   # bf16 state, f32 solve
     stochastic = seed_ref is not None
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -80,8 +82,13 @@ def _varprop_kernel(scal_ref, seed_ref, d_hbm, code_hbm, f_hbm, w_hbm,
     def in_dmas(slot, k):
         s = k * cn
         src = lambda ref: ref.at[pl.ds(s, cn), pl.ds(r0, b1), pl.ds(c0, b2)]
+        d_dma = (pltpu.make_async_copy(
+            d_hbm.at[pl.ds(r0, b1), pl.ds(c0, b2), pl.ds(s, cn)],
+            tbuf.at[slot], in_sem.at[slot, 0]) if nat else
+            pltpu.make_async_copy(src(d_hbm), dbuf.at[slot],
+                                  in_sem.at[slot, 0]))
         dmas = (
-            pltpu.make_async_copy(src(d_hbm), dbuf.at[slot], in_sem.at[slot, 0]),
+            d_dma,
             pltpu.make_async_copy(src(code_hbm), cbuf.at[slot], in_sem.at[slot, 1]),
             pltpu.make_async_copy(src(f_hbm), fbuf.at[slot], in_sem.at[slot, 2]),
             pltpu.make_async_copy(src(w_hbm), wbuf.at[slot], in_sem.at[slot, 3]),
@@ -93,6 +100,11 @@ def _varprop_kernel(scal_ref, seed_ref, d_hbm, code_hbm, f_hbm, w_hbm,
 
     def out_dma(k):
         s = k * cn
+        if nat:
+            return pltpu.make_async_copy(
+                obuf.at[k % 2],
+                out_hbm.at[pl.ds(r0, b1), pl.ds(c0, b2), pl.ds(s, cn)],
+                out_sem.at[k])
         # completed row r lives at xbuf[r + 1]: +1 offset on the UNTILED
         # dim 0 — legal for DMA at any offset.  Mixed mode stages a
         # downcast copy (the DMA itself cannot narrow dtypes).
@@ -118,6 +130,11 @@ def _varprop_kernel(scal_ref, seed_ref, d_hbm, code_hbm, f_hbm, w_hbm,
         slot = k % 2
         for dma in in_dmas(slot, k):
             dma.wait()
+        if nat:
+            # (b1, b2, cn) -> (b1, cn, b2): b1 independent 2-D transposes
+            # (the chip-gated relayout pattern, scripts/znat_chip.py)
+            for r in range(b1):
+                qbuf[r] = jnp.transpose(tbuf[slot][r], (1, 0)).astype(f32)
 
         def grp(g, carry, *, slot=slot, base=k * cn):
             cp_prev, dp_prev, wc, dc, sc, fcc = carry
@@ -130,7 +147,8 @@ def _varprop_kernel(scal_ref, seed_ref, d_hbm, code_hbm, f_hbm, w_hbm,
             # mask/domain boundaries, so no `low` multiply needed)
             fc_g = fbuf[slot, pl.ds(s, G)].astype(f32)
             w_g = wbuf[slot, pl.ds(s, G)].astype(f32)
-            d_g = dbuf[slot, pl.ds(s, G)].astype(f32)
+            d_g = (jnp.swapaxes(qbuf[:, pl.ds(s, G)], 0, 1) if nat
+                   else dbuf[slot, pl.ds(s, G)].astype(f32))
             if has_h:
                 h_g = hbuf[slot, pl.ds(s, G)].astype(f32)
             else:
@@ -192,7 +210,14 @@ def _varprop_kernel(scal_ref, seed_ref, d_hbm, code_hbm, f_hbm, w_hbm,
             return x_next
 
         x_next = lax.fori_loop(0, cn // G, grp_b, x_next)
-        if mixed:
+        if nat:
+            if k + 2 < nchunks:
+                out_dma(k + 2).wait()   # staging slot free?
+            xk = jnp.swapaxes(xbuf[pl.ds(base + 1, cn)], 0, 1)  # (b1,cn,b2)
+            for r in range(b1):
+                obuf[k % 2, r] = jnp.transpose(xk[r], (1, 0)).astype(
+                    obuf.dtype)
+        elif mixed:
             if k + 2 < nchunks:
                 out_dma(k + 2).wait()   # staging slot free?
             xk = xbuf[pl.ds(base + 1, cn)]
@@ -205,17 +230,18 @@ def _varprop_kernel(scal_ref, seed_ref, d_hbm, code_hbm, f_hbm, w_hbm,
                 obuf[k % 2] = xk.astype(obuf.dtype)
         out_dma(k).start()
 
-    for k in range(min(nchunks, 2) if mixed else nchunks):
+    for k in range(min(nchunks, 2) if (mixed or nat) else nchunks):
         out_dma(k).wait()
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "block_b1",
-                                             "block_b2", "chunk"))
+                                             "block_b2", "chunk",
+                                             "nat_rhs_out"))
 def fused_varprop_sweep(rhs, code, fc, w, tg, sk, t_inf, h=None,
                         rob_c=0.0, rng_seed=None, *,
                         interpret: bool = False,
                         block_b1: int = 8, block_b2: int | None = None,
-                        chunk: int = 64):
+                        chunk: int = 64, nat_rhs_out: bool = False):
     """Variable-property implicit sweep along axis 0 of (n, B1, B2) arrays.
 
     rhs  : right-hand side (the theta-scheme explicit field / previous sweep)
@@ -229,10 +255,20 @@ def fused_varprop_sweep(rhs, code, fc, w, tg, sk, t_inf, h=None,
     sk   : dt / d_ax
     h    : optional per-cell film coefficient field (radiation); scalar-h
            runs stream-free via ``rob_c``
+    nat_rhs_out : rhs passed — and solution returned — in the NATURAL
+           (B1, B2, n) layout; the kernel relays chunks in VMEM so the z
+           solve pays no step-level transpose pair (f32 states only; the
+           code/fc/w/h streams stay solve-axis-leading)
     """
-    n, b1, b2 = rhs.shape
+    if nat_rhs_out:
+        b1, b2, n = rhs.shape
+    else:
+        n, b1, b2 = rhs.shape
     dtype = rhs.dtype
     mixed = jnp.promote_types(dtype, jnp.float32) != dtype
+    if nat_rhs_out and mixed:
+        raise ValueError("nat_rhs_out is f32-only; bf16 states keep the "
+                         "transposed z path")
     stochastic = mixed and rng_seed is not None
     if stochastic and interpret:
         raise NotImplementedError(
@@ -246,19 +282,24 @@ def fused_varprop_sweep(rhs, code, fc, w, tg, sk, t_inf, h=None,
         # at 128 for VMEM
         cands = [c for c in (256, 128) if n <= 640 or c == 128]
         block_b2 = min(cands, key=lambda c: (_round_up(b2, c), -c))
-    cn = min(chunk, _round_up(n, 8))
+    if nat_rhs_out:
+        # chunks slice the natural rhs's LANE dim: stay 128-aligned
+        cn = max(128, min(_round_up(chunk, 128), _round_up(n, 128)))
+    else:
+        cn = min(chunk, _round_up(n, 8))
     pn = _round_up(n, cn) - n
     p1 = _round_up(b1, block_b1) - b1
     p2 = _round_up(b2, block_b2) - b2
     if p1 or p2 or pn:
         pad = ((0, pn), (0, p1), (0, p2))
-        rhs = jnp.pad(rhs, pad)
+        rhs = jnp.pad(rhs, ((0, p1), (0, p2), (0, pn)) if nat_rhs_out
+                      else pad)
         code = jnp.pad(code, pad)   # padded rows: code 0 -> identity
         fc = jnp.pad(fc, pad)       # padded faces stay zero (uncoupled)
         w = jnp.pad(w, pad)
         if has_h:
             h = jnp.pad(h, pad)
-    n_pad, P1, P2 = rhs.shape
+    n_pad, P1, P2 = code.shape
     cdt = jnp.promote_types(dtype, jnp.float32)
 
     scal = jnp.stack([jnp.asarray(tg, cdt), jnp.asarray(sk, cdt),
@@ -267,18 +308,24 @@ def fused_varprop_sweep(rhs, code, fc, w, tg, sk, t_inf, h=None,
     hbm = pl.BlockSpec(memory_space=pl.ANY)
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
+    nat = nat_rhs_out
     scratch = [
         pltpu.VMEM((n_pad + 8, block_b1, block_b2), cdt),   # x / cp (+1 lag)
         pltpu.VMEM((n_pad + 8, block_b1, block_b2), cdt),   # dp
-        pltpu.VMEM((2, cn, block_b1, block_b2), dtype),     # rhs chunks
+        (None if nat else
+         pltpu.VMEM((2, cn, block_b1, block_b2), dtype)),   # rhs chunks
         pltpu.VMEM((2, cn, block_b1, block_b2), jnp.int8),  # code chunks
         pltpu.VMEM((2, cn, block_b1, block_b2), dtype),     # face chunks
         pltpu.VMEM((2, cn, block_b1, block_b2), dtype),     # w chunks
     ]
     if has_h:
         scratch.append(pltpu.VMEM((2, cn, block_b1, block_b2), dtype))
-    if mixed:
-        scratch.append(pltpu.VMEM((2, cn, block_b1, block_b2), dtype))
+    if mixed or nat:        # downcast staging / natural out staging
+        scratch.append(pltpu.VMEM((2, block_b1, block_b2, cn) if nat
+                                  else (2, cn, block_b1, block_b2), dtype))
+    if nat:
+        scratch.append(pltpu.VMEM((2, block_b1, block_b2, cn), dtype))  # in
+        scratch.append(pltpu.VMEM((block_b1, cn, block_b2), cdt))  # relaid
     scratch += [pltpu.SemaphoreType.DMA((2, 5 if has_h else 4)),
                 pltpu.SemaphoreType.DMA((n_pad // cn,))]
 
@@ -300,26 +347,32 @@ def fused_varprop_sweep(rhs, code, fc, w, tg, sk, t_inf, h=None,
         d_, c_, f_, w_ = (next(it) for _ in range(4))
         h_ = next(it) if has_h else None
         o_ = next(it)
-        xb, dp, db, cb, fb, wb = (next(it) for _ in range(6))
+        xb, dp = next(it), next(it)
+        db = None if nat else next(it)
+        cb, fb, wb = (next(it) for _ in range(3))
         hb = next(it) if has_h else None
-        ob = next(it) if mixed else None
+        ob = next(it) if (mixed or nat) else None
+        tb = next(it) if nat else None
+        qb = next(it) if nat else None
         isem, osem = next(it), next(it)
         return _varprop_kernel(scal_, seed_, d_, c_, f_, w_, h_, o_, xb,
-                               dp, ob, db, cb, fb, wb, hb, isem, osem,
+                               dp, ob, db, cb, fb, wb, hb, tb, qb,
+                               isem, osem,
                                n=n_pad, cn=cn, b1=block_b1, b2=block_b2)
 
     out = pl.pallas_call(
         body, grid=grid,
         in_specs=in_specs,
         out_specs=hbm,
-        out_shape=jax.ShapeDtypeStruct((n_pad, P1, P2), dtype),
-        scratch_shapes=scratch,
+        out_shape=jax.ShapeDtypeStruct((P1, P2, n_pad) if nat
+                                       else (n_pad, P1, P2), dtype),
+        scratch_shapes=[s for s in scratch if s is not None],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*inputs)
     if p1 or p2 or pn:
-        out = out[:n, :b1, :b2]
+        out = (out[:b1, :b2, :n] if nat else out[:n, :b1, :b2])
     return out
 
 

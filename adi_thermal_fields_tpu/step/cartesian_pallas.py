@@ -202,6 +202,13 @@ def adi_step_pallas(T: jax.Array, plan: SweepPlan, grid: CartesianGrid,
                                    interpret=interpret)
         V = sweep_solve_lite(U, plan.codes[1], rc[1], tg[1], dt, t_inf,
                              axis=1, interpret=interpret)
+        if T.dtype == jnp.promote_types(T.dtype, jnp.float32):
+            # NATURAL-layout z solve: the in-kernel chunk relayout replaces
+            # the step-level transpose pair — 24% of the 512^3 step was
+            # pure layout traffic (chip-gated bitwise + 1.81x vs the
+            # t2+axis0+t2 chain, scripts/znat_chip.py)
+            return fin(sweep_solve_lite(V, plan.codes[2], rc[2], tg[2], dt,
+                                        t_inf, axis=2, interpret=interpret))
         W = sweep_solve_lite(jnp.transpose(V, (2, 0, 1)), plan.codes[2],
                              rc[2], tg[2], dt, t_inf, axis=0,
                              interpret=interpret)
@@ -257,6 +264,11 @@ def adi_step_pallas(T: jax.Array, plan: SweepPlan, grid: CartesianGrid,
         V = sweep_solve_lite(U, plan.codes[1], rc[1], tg[1], dt, t_inf,
                              qflux=q[1], dir_val=dv[1], axis=1,
                              interpret=interpret)
+        if (q[2] is None and dv[2] is None
+                and T.dtype == jnp.promote_types(T.dtype, jnp.float32)):
+            # natural-layout z solve (no transpose pair) — see above
+            return fin(sweep_solve_lite(V, plan.codes[2], rc[2], tg[2], dt,
+                                        t_inf, axis=2, interpret=interpret))
         W = sweep_solve_lite(jnp.transpose(V, (2, 0, 1)), plan.codes[2],
                              rc[2], tg[2], dt, t_inf, qflux=q[2],
                              dir_val=dv[2], axis=0, interpret=interpret)

@@ -557,5 +557,13 @@ def adi_step_varprop_fused(T: jax.Array, mask: jax.Array, codes: tuple,
         # cannot be re-derived from Tz — fall back to transposing them
         fcz, wz = t2n(fc[2]), t2n(w)
         hz = None if hf is None else t2n(hf)
+    if jnp.promote_types(dtype, jnp.float32) == dtype:
+        # NATURAL rhs/out z solve: the kernel relays chunks in VMEM, so
+        # the chained rhs and the solution never pay a step-level
+        # transpose pair (chip-gated pattern, scripts/znat_chip.py)
+        return fused_varprop_sweep(
+            V, codes[2], fcz, wz, float(theta) * dt * inv_d2[2],
+            dt / d_ax[2], t_inf, h=hz, rob_c=rob, interpret=interpret,
+            nat_rhs_out=True)
     W = sweep(t2n(V), 2, fcz, wz, hz)
     return jnp.transpose(W, (1, 2, 0))

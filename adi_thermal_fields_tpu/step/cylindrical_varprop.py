@@ -345,8 +345,11 @@ def adi_step_cyl_varprop(T: jax.Array, grid: CylindricalGrid,
                 geo2d = jnp.broadcast_to(
                     jnp.asarray(1.0 / (r * r * grid.dphi * grid.dphi),
                                 dtype)[:, None], (nr, nz))
+                # hi faces derived in-kernel from fp by periodicity (the
+                # fp_hi roll pass + its stream are gone, ~12 B/cell); the
+                # xla tier and the Douglas operators keep fp_hi
                 return vp_cyclic_solve(
-                    d_phi, fp, fp_hi, dwx, sink_p, srhs_p, geo2d,
+                    d_phi, fp, dwx, sink_p, srhs_p, geo2d,
                     interpret=interpret)
             ap = -dwx * gphi * fp
             cp = -dwx * gphi * fp_hi
@@ -436,16 +439,20 @@ def adi_step_cyl_varprop(T: jax.Array, grid: CylindricalGrid,
             from ..solvers.differentiable import vp_sweep_solve
 
             del dwx   # BE only: dwz (z-leading rebuild of dt*w) is it
-            dz_rhs = t2(constrain(rhs, "z"))
+            # NATURAL rhs/out: the kernel relays chunks in VMEM (chip-gated
+            # 1.81x pattern, scripts/znat_chip.py), so the chained rhs and
+            # the solution never pay a step-level transpose pair — with the
+            # session-H z-leading stream rebuilds this leaves only t2(T)
+            # as layout traffic in the whole step
+            dn_rhs = constrain(rhs, "z")
             for idx, t_dir in z_pins:
                 pin = jnp.asarray(t_dir, dtype)
-                if act_z is not None:   # void end cells hold their value
-                    pin = jnp.where(act_z[idx], pin, dz_rhs[idx])
-                dz_rhs = dz_rhs.at[idx].set(pin)
+                if act is not None:     # void end cells hold their value
+                    pin = jnp.where(act[:, :, idx], pin, dn_rhs[:, :, idx])
+                dn_rhs = dn_rhs.at[:, :, idx].set(pin)
             gz = jnp.asarray(geoz, dtype)
-            return jnp.moveaxis(
-                vp_sweep_solve(dz_rhs, fzh, dwz, sink_z, srhs_z, gz, gz,
-                               interpret=interpret), 0, 2)
+            return vp_sweep_solve(dn_rhs, fzh, dwz, sink_z, srhs_z, gz, gz,
+                                  interpret=interpret, nat_rhs_out=True)
     else:
         fz = _face_g(kf_z, 2, -1, act if act is not None else
                      jnp.ones(T.shape, bool)).astype(dtype)

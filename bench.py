@@ -25,8 +25,8 @@ import numpy as np
 HBM_BYTES_PER_S = 819e9      # TPU v5e per-chip HBM bandwidth
 TRAFFIC_B_PER_CELL = 48.0    # see module docstring
 SOL_CELLS_PER_S = HBM_BYTES_PER_S / TRAFFIC_B_PER_CELL
-VARPROP_B_PER_CELL = 140.0       # derivation at main_varprop
-CYL_VARPROP_B_PER_CELL = 154.0   # derivation at main_cyl_varprop
+VARPROP_B_PER_CELL = 117.0       # derivation at main_varprop
+CYL_VARPROP_B_PER_CELL = 130.0   # derivation at main_cyl_varprop
 
 
 def probe_compile_service():
@@ -370,17 +370,17 @@ def run_varprop(n, steps=40, dtype=None):
 
 
 def main_varprop():
-    # traffic model (fully-fused varprop path, round 3 session F): fields
-    # build kernel (T+mask in, fx/fy/fz/w out) ~21 B; radiative film ~8 B;
-    # ring theta+x sweep (T+code+fx+fy+fz+w+h in, U out) ~29 B; y sweep
-    # (rhs+code+fc+w+h in, one out) ~21 B; z re-lay (rhs+fc+w+h transposed)
-    # ~32 B; z sweep ~21 B; re-lay back ~8 B -> ~140 B/cell/step.
-    # (The pre-session-F model was ~155 B with the XLA property/field
-    # builds; measured 23.1 ms at 384^3 = 2.45 Gcell/s = 42% of the 140 B
-    # roofline.  Session G found the missing 30%: the sweep wrappers'
-    # fixed (8,256) tile padded 384-lane arrays to 512, costing an extra
-    # XLA pad+slice HBM pass per stream; adaptive block_b2 selection
-    # measured 13.46 ms = 4.21 Gcell/s = 72% of the model.)
+    # traffic model (fully-fused varprop path, round 4): fields build
+    # kernel (T+mask in, fx/fy/fz/w out) ~21 B; radiative film ~8 B; ring
+    # theta+x sweep (T+code+fx+fy+fz+w+h in, U out) ~29 B; y sweep
+    # (rhs+code+fc+w+h in, one out) ~21 B; z streams REBUILT directly in
+    # the z-leading layout from T/mask transposes (read ~5 B, write
+    # fcz/wz/hz 12 B = 17 B — replaces the round-3 32 B stream re-lay);
+    # z sweep with NATURAL rhs/out (in-kernel chunk relayout: rhs 4 +
+    # code 1 + fc/w/h 12 + out 4 = 21 B — replaces the 8+8 B rhs/out
+    # transpose pair) -> ~117 B/cell/step.  (History: 155 B pre-session-F
+    # XLA builds; 140 B round 3 — measured 13.46 ms at 384^3 = 72% after
+    # the session-G adaptive block_b2 fix.)
     value, n = _retry_shapes(run_varprop, (384, 256, 128), "varprop")
     emit(f"varprop_cell_updates_per_s_per_chip_{n}^3_f32", value,
          VARPROP_B_PER_CELL)
@@ -438,16 +438,16 @@ def run_cyl_varprop(shape=(64, 512, 256), steps=30, dtype=None):
 
 
 def main_cyl_varprop():
-    # traffic model (compressed kernels + z-leading stream builds): the
-    # r/phi stream-build pass reads T+act (~5 B) and writes fr_hi/dw/
-    # sink/srhs + fp/fp_hi/sink_p/srhs_p (~36 B); r kernel 24 B, phi
-    # kernel 28 B; the z streams are built DIRECTLY in the z-leading
-    # layout from T's transpose (read ~5 B, write 16 B — replaces four
-    # full stream transposes), rhs transpose-in 8 B, z kernel 24 B,
-    # solution transpose-out 8 B -> ~154 B/cell/step.  Measured 14.90 ms
-    # at (64,512,1024) = 2.25 Gcell/s (was 26.33 before the z-leading
-    # builds); the gap to the model is kernel-level (small-batch tiles at
-    # nr=64), not layout traffic.
+    # traffic model (compressed kernels, round 4): the r/phi stream-build
+    # pass reads T+act (~5 B) and writes fr_hi/dw/sink/srhs +
+    # fp/sink_p/srhs_p (~32 B — fp_hi is now DERIVED IN-KERNEL from fp by
+    # periodicity); r kernel 24 B, phi kernel 24 B (one face stream);
+    # z streams built directly in the z-leading layout from T's transpose
+    # (read ~5 B, write 16 B); z kernel with NATURAL rhs/out (in-kernel
+    # chunk relayout: rhs 4 + streams 16 + out 4 = 24 B — the round-3
+    # rhs/out transpose pair is gone) -> ~130 B/cell/step.  (History:
+    # ~170 B round-3 session C; 154 B after the session-H z-leading
+    # builds, measured 14.90 ms at (64,512,1024) = 2.25 Gcell/s.)
     value, shape = _retry_shapes(
         run_cyl_varprop,
         ((64, 512, 1024), (64, 512, 256), (64, 256, 128)), "cyl_varprop")
@@ -460,16 +460,18 @@ def main_capacity():
     """768^3 (453M cells) single-chip capacity: the largest cube that fits
     one v5e chip on the ring-fused path (round 2 hit an OOM wall at 768;
     the ring kernel never materializes R0 and the bench donates its
-    state).  Roofline: the 35 B/cell fused model."""
+    state).  Roofline: the 27 B/cell fused model (theta+x ring 9 + y 9 +
+    natural-layout z 9 — the z transpose pair is gone, round 4)."""
     value, n = _retry_shapes(lambda n: run(n, steps=12), (768,), "capacity")
-    emit(f"adi_cell_updates_per_s_per_chip_{n}^3_f32_capacity", value, 35.0)
+    emit(f"adi_cell_updates_per_s_per_chip_{n}^3_f32_capacity", value, 27.0)
 
 
 def main_headline(hold=False):
     """Cartesian 512^3 f32 — the driver-parsed headline.  ``vs_baseline``
     stays against the conservative 48 B/cell model for round-over-round
-    continuity (the fused path's true traffic is the 35 B model; both are
-    reported via the emit record of the other cases)."""
+    continuity.  The fused path's true traffic is the 27 B model since
+    round 4 (theta+x ring 9 + y 9 + natural-layout z 9; the z transpose
+    pair is gone) — compare via abs_GB_per_s."""
     value, n = _retry_shapes(run, (512, 384, 256, 128), "cartesian")
     rec = (f"adi_cell_updates_per_s_per_chip_{n}^3_f32", value, 48.0)
     if hold:

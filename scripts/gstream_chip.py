@@ -53,6 +53,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=384)
     ap.add_argument("--skip_small", action="store_true")
+    ap.add_argument("--mask_heavy", action="store_true",
+                    help="A/B on a WAAM-like part-deposited mask instead "
+                         "of the all-solid cube")
     args = ap.parse_args()
 
     import jax
@@ -124,13 +127,25 @@ def main():
             assert rel < 2e-5, (tag, d)
 
     # --- slope A/B at n^3 -------------------------------------------------
+    # --mask_heavy: the domain class the tier was KEPT for (VERDICT r3 #6
+    # keep-or-kill) — a WAAM-like plate + part-deposited block (~56% solid)
+    # where the g-streams shed the code stream the classic sweeps decode
     n = args.n
     gl = CartesianGrid(n, n, n, 1e-3)
-    mask_l = jnp.ones(gl.shape, bool)
+    if args.mask_heavy:
+        m = np.zeros(gl.shape, bool)
+        m[:, :, : n // 2] = True
+        m[n // 8: 5 * n // 8, n // 8: 5 * n // 8, n // 2: 3 * n // 4] = True
+        mask_l = jnp.asarray(m)
+        print(f"[mask] mask-heavy domain: {m.mean() * 100:.0f}% solid")
+    else:
+        mask_l = jnp.ones(gl.shape, bool)
     codes_l = jax.jit(build_varprop_codes)(mask_l)
-    T0 = jnp.full(gl.shape, 900.0, jnp.float32)
+    T0 = jnp.where(mask_l, 900.0, 20.0).astype(jnp.float32)
 
-    def mk(tier, eps):
+    def mk(tier, eps, dtype=jnp.float32):
+        T00 = T0.astype(dtype)
+
         @jax.jit
         def f(T):
             if tier == "g":
@@ -138,18 +153,23 @@ def main():
                     T, mask_l, gl, mat, k_table=kt, cp_table=ct,
                     dt=jnp.float32(1e-4), theta=0.5, t_inf=20.0,
                     robin_h=0.0 if eps else 15.0, emissivity=eps,
+                    rng_seed=3 if dtype == jnp.bfloat16 else None,
                     interpret=False)
             h = radiative_h(T, eps, 20.0) if eps else None
             return adi_step_varprop_fused(
                 T, mask_l, codes_l, gl, mat, k_table=kt, cp_table=ct,
                 dt=jnp.float32(1e-4), theta=0.5, t_inf=20.0,
                 robin_h=0.0 if eps else 15.0, h_field=h,
+                rng_seed=3 if dtype == jnp.bfloat16 else None,
                 interpret=False, gstreams=False)
-        return lambda T: f(T0 if T is None else T)
+        return lambda T: f(T00 if T is None else T)
 
-    for eps, htag in ((None, "scalar-h"), (0.6, "radiative")):
-        t_c = slope(mk("c", eps))
-        t_g = slope(mk("g", eps))
+    cases = [(None, jnp.float32, "f32 scalar-h"),
+             (0.6, jnp.float32, "f32 radiative"),
+             (None, jnp.bfloat16, "bf16 scalar-h")]
+    for eps, dtype, htag in cases:
+        t_c = slope(mk("c", eps, dtype))
+        t_g = slope(mk("g", eps, dtype))
         cells = n ** 3
         print(f"[A/B {htag} {n}^3] classic {t_c * 1e3:.2f} ms "
               f"({cells / t_c / 1e9:.2f} Gcell/s)  "

@@ -118,3 +118,82 @@ def test_pipelined_variant_matches_streaming():
     b = fused_vp_fields_sweep(rhs, fhi, dw, sink, srhs, glo, ghi,
                               interpret=True, pipelined=True)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cyclic_axis1_derived_fhi_matches_streamed():
+    """fhi=None derives the hi faces IN-KERNEL from flo by periodicity
+    (group-register shift + pre-gathered boundary rows + wrap row) — must
+    be bitwise against the streamed-fhi mode, including non-multiple-of-8
+    line lengths where the wrap row sits mid-group."""
+    rng = np.random.default_rng(5)
+    for (b1, n, b2) in ((8, 36, 128), (8, 129, 96), (5, 20, 19)):
+        flo_np = np.asarray(0.5 + rng.random((b1, n, b2)))
+        void = rng.random((b1, n, b2)) > 0.85
+        for sh in (0, 1):
+            flo_np[np.roll(void, sh, axis=1)] = 0.0
+        flo = jnp.asarray(flo_np)
+        fhi = jnp.roll(flo, -1, axis=1)
+        dw = jnp.asarray(0.1 * rng.random((b1, n, b2)))
+        sink = jnp.asarray(0.01 * rng.random((b1, n, b2)))
+        srhs = sink * 20.0
+        rhs = jnp.asarray(100 * rng.random((b1, n, b2)))
+        geo = jnp.asarray(0.2 + rng.random((b1, b2)))
+        want = fused_vp_fields_cyclic_axis1(rhs, flo, fhi, dw, sink, srhs,
+                                            geo, interpret=True)
+        got = fused_vp_fields_cyclic_axis1(rhs, flo, None, dw, sink, srhs,
+                                           geo, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_open_sweep_nat_rhs_out_matches_classic():
+    """nat_rhs_out=True reads the rhs from — and writes the solution to —
+    the NATURAL (B1, B2, n) layout via in-kernel chunk relayout; bitwise
+    against the solve-axis-leading form."""
+    rng = np.random.default_rng(9)
+    for (n, b1, b2) in ((32, 16, 128), (129, 8, 256), (20, 8, 96)):
+        fhi = jnp.asarray(rng.random((n, b1, b2)) + 0.5)
+        fhi = fhi.at[n - 1].set(0.0)
+        dw = jnp.asarray(0.1 * rng.random((n, b1, b2)))
+        sink = jnp.asarray(0.01 * rng.random((n, b1, b2)))
+        srhs = sink * 20.0
+        rhs_z = jnp.asarray(100 * rng.random((n, b1, b2)))
+        glo = jnp.asarray(0.1 + rng.random(n))
+        ghi = jnp.asarray(0.1 + rng.random(n))
+        want = fused_vp_fields_sweep(rhs_z, fhi, dw, sink, srhs, glo, ghi,
+                                     interpret=True, pipelined=False)
+        got = fused_vp_fields_sweep(jnp.transpose(rhs_z, (1, 2, 0)), fhi,
+                                    dw, sink, srhs, glo, ghi,
+                                    interpret=True, nat_rhs_out=True)
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(jnp.transpose(want, (1, 2, 0))))
+
+
+def test_varprop_sweep_nat_rhs_out_matches_classic():
+    """Cartesian varprop z kernel: natural rhs/out mode vs the transposed
+    chain (f32; the h-stream and scalar-h variants)."""
+    from adi_thermal_fields_tpu.solvers.pallas_varprop import (
+        fused_varprop_sweep)
+    from adi_thermal_fields_tpu.solvers.pallas_sweeps import sweep_code
+
+    rng = np.random.default_rng(13)
+    for (n, b1, b2) in ((32, 16, 128), (136, 24, 20)):
+        mask = jnp.asarray(rng.random((n, b1, b2)) < 0.85)
+        code = sweep_code(mask, None, 0)
+        fc = jnp.asarray((rng.random((n, b1, b2)) + 0.5)
+                         * np.asarray(mask), jnp.float32)
+        w = jnp.asarray(rng.random((n, b1, b2)) + 0.1, jnp.float32)
+        rhs = jnp.asarray(100 * rng.random((n, b1, b2)), jnp.float32)
+        h = jnp.asarray(rng.random((n, b1, b2)) * 40, jnp.float32)
+        for hx, rc in ((None, 25.0), (h, 0.0)):
+            want = fused_varprop_sweep(rhs, code, fc, w, 0.3, 0.01, 20.0,
+                                       h=hx, rob_c=rc, interpret=True)
+            got = fused_varprop_sweep(
+                jnp.transpose(rhs, (1, 2, 0)), code, fc, w, 0.3, 0.01,
+                20.0, h=hx, rob_c=rc, interpret=True, nat_rhs_out=True)
+            # nat mode's 128-aligned chunking can pad n, moving the last
+            # REAL row's completion from the epilogue into the pipeline —
+            # same math, different rounding order (measured 3e-16 rel at
+            # f64), hence a tolerance instead of exact equality
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(jnp.transpose(want, (1, 2, 0))),
+                rtol=3e-6, atol=1e-4)
