@@ -226,6 +226,7 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
                              "back to the field-coefficient formulation "
                              "which has no PRNG stores")
         if fused_vp:
+            from ..step.cartesian_pallas import pad_domain
             from ..step.cartesian_varprop import (adi_step_varprop_fused,
                                                   build_varprop_codes)
 
@@ -237,16 +238,27 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
                     grid, mat, mesh, k_table=k_table, cp_table=cp_table,
                     theta=theta, t_inf=t_inf,
                     robin_h=float(robin_h or 0.0), interpret=interp_vp)
+            # pad-to-tile (single device): hostile lane counts otherwise
+            # pay a jnp.pad+slice HBM pass per stream per kernel call —
+            # measured 89.6 ms = 30% of the model at 576^3 (round 4) vs
+            # 58% at 512^3; padding cells are void (identity rows).  The
+            # mesh path keeps exact shapes (padding a sharded dim would
+            # change the layout contract).
+            pad_vp = mesh is None
 
             @jax.jit
             def prepare(active):
                 active = active.astype(bool)
+                if pad_vp:
+                    active = pad_domain(active)
                 return (active, build_varprop_codes(active))
 
             def step1(T, prep, dt, t, istep):
                 active, codes = prep
                 T = constrain(T)
                 src = None if source_fn is None else source_fn(t)
+                if pad_vp and src is not None:
+                    src = pad_domain(src)
                 seed = istep if stochastic_rounding else None
                 if mesh is not None:
                     hf = (radiative_h(T, emissivity, t_inf, h_conv=h_conv)
@@ -266,7 +278,7 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
                     rng_seed=seed,
                     # None = auto (interpret off-TPU); True forces it
                     interpret=True if interpret else None))
-            pad = None
+            pad = pad_domain if pad_vp else None
         else:
             impl_vp = "xla" if mesh is not None else implementation
             @jax.jit

@@ -372,7 +372,8 @@ def fused_cyclic_fields(a, b, c, d, *, interpret: bool = False,
 
 def _masked_sweep_kernel(scal_ref, glo_ref, ghi_ref, d_hbm, code_hbm,
                          sink_hbm, srhs_hbm, out_hbm, xbuf, dpbuf, dbuf,
-                         cbuf, sbuf, rbuf, in_sem, out_sem, *, n, cn, b1, b2):
+                         cbuf, sbuf, rbuf, tbuf, qbuf, obuf, in_sem,
+                         out_sem, *, n, cn, b1, b2):
     """Compressed masked sweep: a/b/c rebuilt in registers from an int8
     coupling code, per-row geometry vectors (SMEM) and a Robin sink field —
     13 B/cell of HBM traffic instead of 20 for materialized a/b/c/d.
@@ -391,6 +392,7 @@ def _masked_sweep_kernel(scal_ref, glo_ref, ghi_ref, d_hbm, code_hbm,
     ambient = scal_ref[1]
     f32 = xbuf.dtype
     folded = srhs_hbm is not None
+    nat = tbuf is not None          # NATURAL rhs/out (z without transposes)
     i = pl.program_id(0)
     j = pl.program_id(1)
     r0 = i * b1
@@ -401,8 +403,13 @@ def _masked_sweep_kernel(scal_ref, glo_ref, ghi_ref, d_hbm, code_hbm,
     def in_dmas(slot, k):
         s = k * cn
         src = lambda ref: ref.at[pl.ds(s, cn), pl.ds(r0, b1), pl.ds(c0, b2)]
+        d_dma = (pltpu.make_async_copy(
+            d_hbm.at[pl.ds(r0, b1), pl.ds(c0, b2), pl.ds(s, cn)],
+            tbuf.at[slot], in_sem.at[slot, 0]) if nat else
+            pltpu.make_async_copy(src(d_hbm), dbuf.at[slot],
+                                  in_sem.at[slot, 0]))
         dmas = (
-            pltpu.make_async_copy(src(d_hbm), dbuf.at[slot], in_sem.at[slot, 0]),
+            d_dma,
             pltpu.make_async_copy(src(code_hbm), cbuf.at[slot], in_sem.at[slot, 1]),
             pltpu.make_async_copy(src(sink_hbm), sbuf.at[slot], in_sem.at[slot, 2]),
         )
@@ -413,6 +420,11 @@ def _masked_sweep_kernel(scal_ref, glo_ref, ghi_ref, d_hbm, code_hbm,
 
     def out_dma(k):
         s = k * cn
+        if nat:
+            return pltpu.make_async_copy(
+                obuf.at[k % 2],
+                out_hbm.at[pl.ds(r0, b1), pl.ds(c0, b2), pl.ds(s, cn)],
+                out_sem.at[k])
         return pltpu.make_async_copy(
             xbuf.at[pl.ds(s, cn)],
             out_hbm.at[pl.ds(s, cn), pl.ds(r0, b1), pl.ds(c0, b2)],
@@ -432,6 +444,11 @@ def _masked_sweep_kernel(scal_ref, glo_ref, ghi_ref, d_hbm, code_hbm,
         slot = k % 2
         for dma in in_dmas(slot, k):
             dma.wait()
+        if nat:
+            # (b1, b2, cn) -> (b1, cn, b2): b1 independent 2-D transposes
+            # (the chip-gated relayout pattern, scripts/znat_chip.py)
+            for r in range(b1):
+                qbuf[r] = jnp.transpose(tbuf[slot][r], (1, 0)).astype(f32)
 
         def grp(g, carry, *, slot=slot, base=k * cn):
             cp_prev, dp_prev = carry
@@ -440,7 +457,8 @@ def _masked_sweep_kernel(scal_ref, glo_ref, ghi_ref, d_hbm, code_hbm,
             low = jnp.where((code_g & 1) > 0, one, zero_s)
             high = jnp.where((code_g & 2) > 0, one, zero_s)
             sink_g = sbuf[slot, pl.ds(s, G)].astype(f32)
-            d_g = dbuf[slot, pl.ds(s, G)].astype(f32)
+            d_g = (jnp.swapaxes(qbuf[:, pl.ds(s, G)], 0, 1) if nat
+                   else dbuf[slot, pl.ds(s, G)].astype(f32))
             if folded:
                 srhs_g = rbuf[slot, pl.ds(s, G)].astype(f32)
                 pin = (code_g & 4) > 0
@@ -486,9 +504,16 @@ def _masked_sweep_kernel(scal_ref, glo_ref, ghi_ref, d_hbm, code_hbm,
             return x_next
 
         x_next = lax.fori_loop(0, cn // G, grp_b, x_next)
+        if nat:
+            if k + 2 < nchunks:
+                out_dma(k + 2).wait()          # staging slot free?
+            xk = jnp.swapaxes(xbuf[pl.ds(base, cn)], 0, 1)   # (b1, cn, b2)
+            for r in range(b1):
+                obuf[k % 2, r] = jnp.transpose(xk[r], (1, 0)).astype(
+                    obuf.dtype)
         out_dma(k).start()
 
-    for k in range(nchunks):
+    for k in range(min(nchunks, 2) if nat else nchunks):
         out_dma(k).wait()
 
 
@@ -626,12 +651,13 @@ def _masked_sweep_pipe_kernel(scal_ref, glo_ref, ghi_ref, d_hbm, code_hbm,
 
 @functools.partial(jax.jit, static_argnames=("interpret", "block_b1",
                                              "block_b2", "chunk",
-                                             "pipelined"))
+                                             "pipelined", "nat_rhs_out"))
 def fused_masked_sweep(rhs, code, sink, geo_lo, geo_hi, fac, srhs=None,
                        ambient=None, *,
                        interpret: bool = False, block_b1: int = 8,
                        block_b2: int = 256, chunk: int = 64,
-                       pipelined: bool | None = None):
+                       pipelined: bool | None = None,
+                       nat_rhs_out: bool = False):
     """Masked implicit sweep along axis 0 of (n, B1, B2) arrays with
     per-row geometry (geo_lo/geo_hi: (n,) vectors) and a per-cell Robin
     sink field (step/cylindrical_masked.py row structure).
@@ -640,17 +666,29 @@ def fused_masked_sweep(rhs, code, sink, geo_lo, geo_hi, fac, srhs=None,
     pinned rows = pin value, + fac*sink_rhs on live rows).  With ``srhs``
     (+ ``ambient`` scalar + code bits 4/8 = pin/in-mask), that prefold is
     folded in-kernel — the raw field streams in directly and the separate
-    XLA d-materialization pass disappears."""
-    n, b1, b2 = rhs.shape
+    XLA d-materialization pass disappears.
+
+    nat_rhs_out: rhs passed — and solution returned — in the NATURAL
+    (B1, B2, n) layout via in-kernel chunk relayout (the z sweep without
+    its step-level transpose pair; streaming form only)."""
+    if nat_rhs_out:
+        b1, b2, n = rhs.shape
+    else:
+        n, b1, b2 = rhs.shape
     dtype = rhs.dtype
     folded = srhs is not None
-    cn = min(chunk, _round_up(n, 8))
+    if nat_rhs_out:
+        # chunks slice the natural rhs's LANE dim: stay 128-aligned
+        cn = max(128, min(_round_up(chunk, 128), _round_up(n, 128)))
+    else:
+        cn = min(chunk, _round_up(n, 8))
     pn = _round_up(n, cn) - n
     p1 = _round_up(b1, block_b1) - b1
     p2 = _round_up(b2, block_b2) - b2
     if p1 or p2 or pn:
         pad = ((0, pn), (0, p1), (0, p2))
-        rhs = jnp.pad(rhs, pad)
+        rhs = jnp.pad(rhs, ((0, p1), (0, p2), (0, pn)) if nat_rhs_out
+                      else pad)
         code = jnp.pad(code, pad)   # padded rows: identity (code 0, sink 0)
         sink = jnp.pad(sink, pad)
         if folded:
@@ -658,7 +696,7 @@ def fused_masked_sweep(rhs, code, sink, geo_lo, geo_hi, fac, srhs=None,
     if pn:
         geo_lo = jnp.pad(geo_lo, (0, pn))
         geo_hi = jnp.pad(geo_hi, (0, pn))
-    n_pad, P1, P2 = rhs.shape
+    n_pad, P1, P2 = code.shape
     cdt = jnp.promote_types(dtype, jnp.float32)
 
     scal = jnp.stack([jnp.asarray(fac, cdt),
@@ -677,9 +715,11 @@ def fused_masked_sweep(rhs, code, sink, geo_lo, geo_hi, fac, srhs=None,
         + 2 * jnp.dtype(cdt).itemsize  # cp/dp line buffers
         + itemsz)                      # obuf
     if pipelined is None:
-        pipelined = folded and tile_bytes <= 48 * 1024 * 1024
+        pipelined = (not nat_rhs_out and folded
+                     and tile_bytes <= 48 * 1024 * 1024)
     if pipelined:
         assert folded, "pipelined masked sweep requires the folded mode"
+        assert not nat_rhs_out, "nat_rhs_out is streaming-form only"
 
         scratch = [
             pltpu.VMEM((n_pad, block_b1, block_b2), cdt),        # x / cp
@@ -727,6 +767,12 @@ def fused_masked_sweep(rhs, code, sink, geo_lo, geo_hi, fac, srhs=None,
     ]
     if folded:
         scratch.append(pltpu.VMEM((2, cn, block_b1, block_b2), dtype))
+    nat = nat_rhs_out
+    if nat:
+        scratch[2] = None   # dbuf unused: rhs lands in tbuf
+        scratch += [pltpu.VMEM((2, block_b1, block_b2, cn), dtype),  # in
+                    pltpu.VMEM((block_b1, cn, block_b2), cdt),    # relaid
+                    pltpu.VMEM((2, block_b1, block_b2, cn), dtype)]  # out
     scratch += [pltpu.SemaphoreType.DMA((2, 4)),
                 pltpu.SemaphoreType.DMA((n_pad // cn,))]
     inputs = [scal, geo_lo.astype(cdt), geo_hi.astype(cdt), rhs, code, sink]
@@ -740,11 +786,17 @@ def fused_masked_sweep(rhs, code, sink, geo_lo, geo_hi, fac, srhs=None,
         scal_, glo_, ghi_, d_, c_, s_ = (next(it) for _ in range(6))
         r_ = next(it) if folded else None
         o_ = next(it)
-        xb, dp, db, cb, sb = (next(it) for _ in range(5))
+        xb, dp = next(it), next(it)
+        db = None if nat else next(it)
+        cb, sb = next(it), next(it)
         rb = next(it) if folded else None
+        tb = next(it) if nat else None
+        qb = next(it) if nat else None
+        ob = next(it) if nat else None
         isem, osem = next(it), next(it)
         return _masked_sweep_kernel(scal_, glo_, ghi_, d_, c_, s_, r_, o_,
-                                    xb, dp, db, cb, sb, rb, isem, osem,
+                                    xb, dp, db, cb, sb, rb, tb, qb, ob,
+                                    isem, osem,
                                     n=n_pad, cn=cn, b1=block_b1, b2=block_b2)
 
     out = pl.pallas_call(
@@ -752,15 +804,16 @@ def fused_masked_sweep(rhs, code, sink, geo_lo, geo_hi, fac, srhs=None,
         grid=grid,
         in_specs=in_specs,
         out_specs=hbm,
-        out_shape=jax.ShapeDtypeStruct((n_pad, P1, P2), dtype),
-        scratch_shapes=scratch,
+        out_shape=jax.ShapeDtypeStruct((P1, P2, n_pad) if nat
+                                       else (n_pad, P1, P2), dtype),
+        scratch_shapes=[s for s in scratch if s is not None],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*inputs)
 
     if p1 or p2 or pn:
-        out = out[:n, :b1, :b2]
+        out = (out[:b1, :b2, :n] if nat else out[:n, :b1, :b2])
     return out
 
 

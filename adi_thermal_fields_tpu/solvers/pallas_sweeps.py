@@ -1505,12 +1505,98 @@ def _const_sweep_kernel(a_ref, b_ref, c_ref, radd_ref, d_ref, out_ref,
     lax.fori_loop(0, n, bwd, zero)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "block_b1", "block_b2"))
+def _const_sweep_kernel_nat(a_ref, b_ref, c_ref, radd_ref, d_ref, out_ref,
+                            wbuf, zbuf, dp_ref, *, n):
+    """Natural-layout variant of _const_sweep_kernel: the rhs block is
+    (b1, b2, n) — the z solve without its step-level moveaxis pair.  The
+    block is relaid in VMEM (b1 independent 2-D lane<->sublane transposes
+    into (b1, n, b2), then one cheap dim-0/1 swap to the solve layout) and
+    the solution is restaged back the same way (chip-gated relayout
+    pattern, scripts/znat_chip.py)."""
+    f32 = zbuf.dtype
+    b1 = d_ref.shape[0]
+
+    for r in range(b1):
+        # (b2, n) -> (n, b2)
+        wbuf[r] = jnp.transpose(d_ref[r], (1, 0)).astype(f32)
+    zbuf[...] = jnp.swapaxes(wbuf[...], 0, 1)          # (n, b1, b2)
+
+    def fwd(i, carry):
+        cp_prev, dp_prev = carry
+        a = a_ref[i]
+        inv = 1.0 / (b_ref[i] - a * cp_prev)
+        cp = c_ref[i] * inv
+        dp = (zbuf[i] + radd_ref[i] - a * dp_prev) * inv
+        zbuf[i] = cp
+        dp_ref[i] = dp
+        return cp, dp
+
+    zero = jnp.zeros(zbuf.shape[1:], f32)
+    lax.fori_loop(0, n, fwd, (zero, zero))
+
+    def bwd(j, x_next):
+        i = n - 1 - j
+        x = dp_ref[i] - zbuf[i] * x_next
+        zbuf[i] = x
+        return x
+
+    lax.fori_loop(0, n, bwd, zero)
+    wbuf[...] = jnp.swapaxes(zbuf[...], 0, 1)          # (b1, n, b2)
+    for r in range(b1):
+        # natural (b2, n)
+        out_ref[r] = jnp.transpose(wbuf[r], (1, 0)).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_b1",
+                                             "block_b2", "nat_rhs_out"))
 def fused_sweep_const(rhs, a, b, c, radd=None, *, interpret: bool = False,
-                      block_b1: int = 8, block_b2: int = 128):
+                      block_b1: int = 8, block_b2: int = 128,
+                      nat_rhs_out: bool = False):
     """Tridiagonal sweep along axis 0 of (n, B1, B2) rhs with per-row scalar
     coefficient vectors a, b, c (shape (n,)) and optional per-row RHS
-    additions ``radd``."""
+    additions ``radd``.
+
+    nat_rhs_out: rhs passed — and solution returned — in the NATURAL
+    (B1, B2, n) layout (in-VMEM relayout; no step-level transpose pair)."""
+    if nat_rhs_out:
+        b1, b2, n = rhs.shape
+        dtype = rhs.dtype
+        if radd is None:
+            radd = jnp.zeros((n,), dtype)
+        p1 = _round_up(b1, block_b1) - b1
+        p2 = _round_up(b2, block_b2) - b2
+        pn = _round_up(n, 128) - n     # lane dim of the natural block
+        if p1 or p2 or pn:
+            rhs = jnp.pad(rhs, ((0, p1), (0, p2), (0, pn)))
+            # padded rows: a = c = 0, b = 1 -> identities
+            a = jnp.pad(a, (0, pn))
+            c = jnp.pad(c, (0, pn))
+            b = jnp.pad(b, (0, pn), constant_values=1.0)
+            radd = jnp.pad(radd, (0, pn))
+        P1, P2, n_pad = rhs.shape
+        grid = (P1 // block_b1, P2 // block_b2)
+        blk = (block_b1, block_b2, n_pad)
+        vspec = pl.BlockSpec(blk, lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM)
+        sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        cdt = jnp.promote_types(dtype, jnp.float32)
+        out = pl.pallas_call(
+            functools.partial(_const_sweep_kernel_nat, n=n_pad),
+            grid=grid,
+            in_specs=[sspec, sspec, sspec, sspec, vspec],
+            out_specs=vspec,
+            out_shape=jax.ShapeDtypeStruct((P1, P2, n_pad), dtype),
+            scratch_shapes=[
+                pltpu.VMEM((block_b1, n_pad, block_b2), cdt),
+                pltpu.VMEM((n_pad, block_b1, block_b2), cdt),
+                pltpu.VMEM((n_pad, block_b1, block_b2), cdt),
+            ],
+            interpret=interpret,
+        )(a.astype(dtype), b.astype(dtype), c.astype(dtype),
+          radd.astype(dtype), rhs)
+        if p1 or p2 or pn:
+            out = out[:b1, :b2, :n]
+        return out
     n, b1, b2 = rhs.shape
     dtype = rhs.dtype
     if radd is None:

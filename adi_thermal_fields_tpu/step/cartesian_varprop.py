@@ -56,8 +56,14 @@ FUSE_THETA_DEFAULT = True
 # (solvers/pallas_gstreams.py): the fields pass emits PRE-MULTIPLIED
 # coupling/sink streams so every sweep is a pure 4-stream FMA elimination
 # (no plan codes, no row lag, no h stream; radiative h folded in-register).
-# Default OFF until chip-gated (scripts/gstream_chip.py).
-G_STREAMS_DEFAULT = False
+# Keep-or-kill A/B (scripts/gstream_chip.py --mask_heavy, v5e 2026-08-19,
+# 384^3 56%-solid WAAM-like mask, same-session slope): the tier LOSES at
+# f32 (0.861x scalar-h, 0.893x radiative — its +11 B/cell of
+# pre-multiplied streams cost more than the code-decode they shed) but
+# WINS at bf16 (1.034x: halved state traffic raises the stream-overhead
+# ratio) -> default ON for sub-f32 states only.
+G_STREAMS_DEFAULT = False          # f32 states: classic fused tier
+G_STREAMS_BF16_DEFAULT = True      # sub-f32 states: g-stream tier
 
 
 @dataclasses.dataclass(frozen=True)
@@ -455,7 +461,10 @@ def adi_step_varprop_fused(T: jax.Array, mask: jax.Array, codes: tuple,
     if fuse_theta is None:
         fuse_theta = FUSE_THETA_DEFAULT
     if gstreams is None:
-        gstreams = G_STREAMS_DEFAULT
+        gstreams = (G_STREAMS_DEFAULT
+                    or (G_STREAMS_BF16_DEFAULT
+                        and jnp.promote_types(T.dtype, jnp.float32)
+                        != T.dtype))
     if gstreams and theta > 0.0 \
             and jnp.promote_types(T.dtype, jnp.float32) == jnp.float32 \
             and _table_spec(k_table, mat_ref.k) is not None \

@@ -42,6 +42,12 @@ __all__ = ["RobinBC", "ZFaceBC", "adi_step", "adi_step_masked",
            "padded_cyl_shape", "pad_cyl_domain",
            "apply_Lr", "apply_Lphi", "apply_Lz"]
 
+# Natural-layout z solve for the const-coefficient BE step (kills the z
+# moveaxis pair, ~16 B/cell): chip-gated 2026-08-19 — bitwise parity and
+# 2.02x on the z leg at (128,512,512) (old t2+kernel+t2 1.46 ms vs nat
+# 0.72 ms; /tmp gate run, pallas_sweeps._const_sweep_kernel_nat).
+Z_NAT_CONST_DEFAULT = True
+
 
 @dataclasses.dataclass(frozen=True)
 class RobinBC:
@@ -257,15 +263,29 @@ def _z_sweep(rhs: jax.Array, grid: CylindricalGrid, mat: Material, theta_dt,
         ge_a, ge_c, ge_b, rob_rhs = (np.pad(v, (0, pad)) for v in
                                      (ge_a, ge_c, ge_b, rob_rhs))
 
-    d = jnp.moveaxis(rhs, 2, 0)  # (nz, nr, nphi)
-    for idx, t_dir in dir_rows:
-        d = d.at[idx].set(jnp.asarray(t_dir, dtype))
-
     fac = jnp.asarray(theta_dt * mat.alpha / (grid.dz * grid.dz), dtype)
     a_vec = -fac * jnp.asarray(ge_a, dtype)
     c_vec = -fac * jnp.asarray(ge_c, dtype)
     b_vec = 1.0 + fac * jnp.asarray(ge_b, dtype)
     radd = fac * jnp.asarray(rob_rhs, dtype)
+    if (implementation == "pallas" and Z_NAT_CONST_DEFAULT
+            and jnp.promote_types(dtype, jnp.float32) == dtype):
+        # NATURAL rhs/out: the kernel relays the block in VMEM — the z
+        # solve's moveaxis pair (16 B/cell of pure layout traffic) is gone
+        # (chip-gated relayout pattern, scripts/znat_chip.py)
+        from ..solvers.pallas_sweeps import fused_sweep_const
+
+        dn = rhs
+        for idx, t_dir in dir_rows:
+            dn = dn.at[:, :, idx].set(jnp.asarray(t_dir, dtype))
+        interp = jax.default_backend() == "cpu"
+        return fused_sweep_const(dn, a_vec, b_vec, c_vec, radd,
+                                 interpret=interp, nat_rhs_out=True)
+
+    d = jnp.moveaxis(rhs, 2, 0)  # (nz, nr, nphi)
+    for idx, t_dir in dir_rows:
+        d = d.at[idx].set(jnp.asarray(t_dir, dtype))
+
     if implementation == "pallas":
         from ..solvers.pallas_sweeps import fused_sweep_const
 

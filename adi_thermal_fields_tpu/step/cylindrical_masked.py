@@ -346,6 +346,14 @@ def masked_robin_solve(T: jax.Array, plan: MaskedRobinPlan,
             X = fused_masked_cyclic_axis1(X, code, sink0, srhs, geo, fac,
                                           ambient, interpret=interp)
         code, sink0, srhs, glo, ghi = comp_z
+        if jnp.promote_types(dtype, jnp.float32) == dtype:
+            # NATURAL rhs/out z sweep: in-kernel chunk relayout replaces
+            # the step-level transpose pair (chip-gated 1.81x pattern,
+            # scripts/znat_chip.py) — the last layout traffic in the
+            # masked step is gone (~51 B/cell model, was 59)
+            return fused_masked_sweep(X, code, sink0, glo, ghi, fac, srhs,
+                                      ambient, interpret=interp,
+                                      nat_rhs_out=True)
         Xz = fused_masked_sweep(jnp.transpose(X, (2, 0, 1)), code, sink0,
                                 glo, ghi, fac, srhs, ambient,
                                 interpret=interp)

@@ -249,7 +249,9 @@ def _retry_shapes(fn, shapes, label):
 def main_cylindrical():
     # cylindrical-step traffic model: r/z fused const-coeff sweeps are
     # 8 B/cell each (read rhs + write x), the cyclic phi solve 8 B/cell +
-    # fac read ~0: ~24 B/cell/step
+    # fac read ~0: ~24 B/cell/step.  TRUE since round 4 — the z solve now
+    # runs in the natural layout (Z_NAT_CONST_DEFAULT; its moveaxis pair
+    # silently added 16 B/cell before, making the old "24 B" optimistic).
     value, shape = _retry_shapes(run_cylindrical,
                                  ((128, 512, 512), (64, 256, 256)), "cyl")
     emit(f"cyl_adi_cell_updates_per_s_per_chip_{shape}_f32", value, 24.0)
@@ -320,20 +322,20 @@ def run_masked_cylindrical(shape=(64, 512, 256), steps=60, dtype=None):
 
 
 def main_masked():
-    # traffic model (compressed masked kernels, round 3): the prefold and
+    # traffic model (compressed masked kernels, round 4): the prefold and
     # the final ambient-select are folded IN-KERNEL (code bits 4/8 +
-    # streamed srhs) and the phi solve runs as an axis-1 cyclic kernel in
-    # the natural layout, so per sweep = read rhs+code+sink+srhs (13 B) +
-    # write x (4 B) = 17 B; only the z sweep pays a transpose pair (8 B).
-    # 3 sweeps + pair ~ 59 B/cell/step (was ~120 with XLA prefolds and two
-    # layout pairs).
+    # streamed srhs), the phi solve runs as an axis-1 cyclic kernel in the
+    # natural layout, and the z sweep reads/writes the NATURAL layout via
+    # in-kernel chunk relayout — per sweep = read rhs+code+sink+srhs
+    # (13 B) + write x (4 B) = 17 B, ZERO transpose pairs: ~51 B/cell/step
+    # (round 3: 59 with the z pair; round 2: ~120 with XLA prefolds).
     # (64, 512, 1024) = 33.5M cells: large enough that fixed overheads
     # cannot pollute the rate (VERDICT r2 #2); the 8.4M shape is kept for
     # round-over-round comparability
     value, shape = _retry_shapes(
         run_masked_cylindrical,
         ((64, 512, 1024), (64, 512, 256), (32, 256, 128)), "masked-cyl")
-    emit(f"masked_cyl_cell_updates_per_s_per_chip_{shape}_f32", value, 59.0)
+    emit(f"masked_cyl_cell_updates_per_s_per_chip_{shape}_f32", value, 51.0)
 
 
 def run_varprop(n, steps=40, dtype=None):

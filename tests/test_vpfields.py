@@ -197,3 +197,33 @@ def test_varprop_sweep_nat_rhs_out_matches_classic():
             np.testing.assert_allclose(
                 np.asarray(got), np.asarray(jnp.transpose(want, (1, 2, 0))),
                 rtol=3e-6, atol=1e-4)
+
+
+def test_masked_sweep_nat_rhs_out_matches_classic():
+    """Masked const-prop kernel (pallas_fields.fused_masked_sweep):
+    natural rhs/out mode vs the transposed chain, folded-prefold mode."""
+    from adi_thermal_fields_tpu.solvers.pallas_fields import (
+        fused_masked_sweep)
+
+    rng = np.random.default_rng(21)
+    for (n, b1, b2) in ((32, 16, 128), (136, 24, 20)):
+        code_np = np.zeros((n, b1, b2), np.int8)
+        live = rng.random((n, b1, b2)) < 0.85
+        code_np[live] = 8                           # in-mask
+        code_np[1:][live[1:] & live[:-1]] |= 1      # low coupling
+        code_np[:-1][live[1:] & live[:-1]] |= 2     # high coupling
+        code = jnp.asarray(code_np)
+        sink = jnp.asarray(0.01 * rng.random((n, b1, b2)) * live,
+                           jnp.float32)
+        srhs = sink * 20.0
+        rhs = jnp.asarray(100 * rng.random((n, b1, b2)), jnp.float32)
+        glo = jnp.asarray(0.1 + rng.random(n), jnp.float32)
+        ghi = jnp.asarray(0.1 + rng.random(n), jnp.float32)
+        want = fused_masked_sweep(rhs, code, sink, glo, ghi, 0.05, srhs,
+                                  20.0, interpret=True, pipelined=False)
+        got = fused_masked_sweep(jnp.transpose(rhs, (1, 2, 0)), code, sink,
+                                 glo, ghi, 0.05, srhs, 20.0,
+                                 interpret=True, nat_rhs_out=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(jnp.transpose(want, (1, 2, 0))),
+            rtol=3e-6, atol=1e-4)
