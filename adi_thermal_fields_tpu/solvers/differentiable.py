@@ -31,7 +31,8 @@ import numpy as np
 from .thomas import thomas
 
 __all__ = ["sweep_solve", "sweep_solve_lite", "theta_rhs_diff",
-           "fused_theta_solve_lite", "vp_sweep_solve", "vp_cyclic_solve"]
+           "fused_theta_solve_lite", "vp_sweep_solve", "vp_cyclic_solve",
+           "vp2_sweep_solve", "vp2_cyclic_solve"]
 
 
 def _f0(x):
@@ -496,3 +497,135 @@ def vp_cyclic_solve(rhs, flo, dw, sink, srhs, geo, *,
     hi faces derived in-kernel from flo by periodicity): pullback via the
     transposed cyclic Thomas."""
     return _vp_cyclic_solve(interpret)(rhs, flo, dw, sink, srhs, geo)
+
+
+@functools.cache
+def _vp2_sweep_solve(interpret: bool, nat: bool, has_d: bool, spec: tuple):
+    """Differentiable tier-2 fully-fused sweep (solvers/pallas_vp2.py):
+    primal on the derive-everything-from-T kernel; the pullback REBUILDS
+    the physical streams from T via the XLA oracle (vp2_streams_xla),
+    reuses the vp_sweep_solve transposed-scan math to get their
+    cotangents, and chains them back through the property/film
+    evaluations with jax.vjp of the builder."""
+    from .pallas_vp2 import fused_vp2_sweep, vp2_streams_xla
+
+    (k_spec, cp_spec, h_lo, h_hi, tv, eps, e0, e1) = spec
+    kw = dict(k_spec=k_spec, cp_spec=cp_spec, h_lo=h_lo, h_hi=h_hi,
+              tinf_void=tv, emissivity=eps, edge0=e0, edge1=e1)
+
+    @jax.custom_vjp
+    def solve(rhs, T, code, glo, ghi, gsl, gsh, dtor):
+        return fused_vp2_sweep(rhs if has_d else None, T, code, glo, ghi,
+                               gsl, gsh, dtor, nat_rhs_out=nat,
+                               interpret=interpret, **kw)
+
+    def fwd(rhs, T, code, glo, ghi, gsl, gsh, dtor):
+        x = solve(rhs, T, code, glo, ghi, gsl, gsh, dtor)
+        return x, (x, T, code, glo, ghi, gsl, gsh, dtor)
+
+    def bwd(res, g):
+        x, T, code, glo, ghi, gsl, gsh, dtor = res
+        t2 = lambda v: jnp.transpose(v, (2, 0, 1))
+        Ts = t2(T) if nat else T       # solve-axis-leading for the math
+        if nat:
+            x = t2(x)
+            g = t2(g)
+        build = lambda T_, d_: vp2_streams_xla(T_, code, gsl, gsh, d_,
+                                               **kw)
+        (fhi, dw, sink, srhs), pull = jax.vjp(build, Ts, dtor)
+        col = lambda v: v[:, None, None]
+        flo = _shift_dn(fhi)
+        a = -dw * col(glo) * flo
+        c = -dw * col(ghi) * fhi
+        b = 1.0 + dw * (col(glo) * flo + col(ghi) * fhi + sink)
+        y = thomas(_shift_dn(c), b, _shift_up(a), g)
+        x_dn, x_up = _shift_dn(x), _shift_up(x)
+        y_up = _shift_up(y)
+        dw_bar = y * (col(glo) * flo * (x_dn - x)
+                      + col(ghi) * fhi * (x_up - x) - sink * x + srhs)
+        sink_bar = -y * dw * x
+        fhi_bar = (dw * col(ghi) * y * (x_up - x)
+                   + _shift_up(dw * col(glo)) * y_up * (x - x_up))
+        T_bar, dtor_bar = pull((fhi_bar, dw_bar, sink_bar, y * dw))
+        if nat:
+            y = jnp.transpose(y, (1, 2, 0))
+            T_bar = jnp.transpose(T_bar, (1, 2, 0))
+        if has_d:
+            rhs_bar = y
+        else:
+            rhs_bar = jnp.zeros((), x.dtype)   # dummy slot
+            T_bar = T_bar + y                  # the rhs IS T
+        return (rhs_bar, T_bar, _f0(code), jnp.zeros_like(glo),
+                jnp.zeros_like(ghi), jnp.zeros_like(gsl),
+                jnp.zeros_like(gsh), dtor_bar)
+
+    solve.defvjp(fwd, bwd)
+    return solve
+
+
+def vp2_sweep_solve(rhs, T, code, glo, ghi, gsl, gsh, dtor, *, spec,
+                    interpret: bool = False, nat_rhs_out: bool = False):
+    """Differentiable fused_vp2_sweep.  ``spec`` is the hashable static
+    tuple (k_spec, cp_spec, h_lo, h_hi, tinf_void, emissivity, edge0,
+    edge1); ``rhs=None`` means the rhs IS T (first BE sweep)."""
+    has_d = rhs is not None
+    fn = _vp2_sweep_solve(interpret, nat_rhs_out, has_d, spec)
+    if not has_d:
+        rhs = jnp.zeros((), T.dtype)
+    return fn(rhs, T, code, glo, ghi, gsl, gsh, dtor)
+
+
+@functools.cache
+def _vp2_cyclic_solve(interpret: bool, spec: tuple):
+    from .pallas_vp2 import fused_vp2_cyclic_axis1, vp2_cyclic_streams_xla
+    from .thomas import cyclic_thomas
+
+    (k_spec, cp_spec, h_void, tv, eps) = spec
+    kw = dict(k_spec=k_spec, cp_spec=cp_spec, h_void=h_void, tinf_void=tv,
+              emissivity=eps)
+
+    @jax.custom_vjp
+    def solve(rhs, T, code, geo2, gs2, dtor):
+        return fused_vp2_cyclic_axis1(rhs, T, code, geo2, gs2, dtor,
+                                      interpret=interpret, **kw)
+
+    def fwd(rhs, T, code, geo2, gs2, dtor):
+        x = solve(rhs, T, code, geo2, gs2, dtor)
+        return x, (x, T, code, geo2, gs2, dtor)
+
+    def bwd(res, g):
+        x, T, code, geo2, gs2, dtor = res
+        build = lambda T_, d_: vp2_cyclic_streams_xla(T_, code, gs2, d_,
+                                                      **kw)
+        (flo, dw, sink, srhs), pull = jax.vjp(build, T, dtor)
+        fhi = jnp.roll(flo, -1, axis=1)     # periodic hi faces (bwd only)
+        gg = geo2[:, None, :]
+        a = -dw * gg * flo
+        c = -dw * gg * fhi
+        b = 1.0 + dw * (gg * (flo + fhi) + sink)
+        rup = lambda v: jnp.roll(v, -1, axis=1)
+        rdn = lambda v: jnp.roll(v, 1, axis=1)
+        t1 = lambda v: jnp.moveaxis(v, 1, 0)
+        y = jnp.moveaxis(cyclic_thomas(t1(rdn(c)), t1(b), t1(rup(a)),
+                                       t1(g)), 0, 1)
+        x_dn, x_up = rdn(x), rup(x)
+        dw_bar = y * (gg * (flo * (x_dn - x) + fhi * (x_up - x))
+                      - sink * x + srhs)
+        sink_bar = -y * dw * x
+        flo_bar = y * dw * gg * (x_dn - x)
+        fhi_bar = y * dw * gg * (x_up - x)
+        T_bar, dtor_bar = pull((flo_bar + rdn(fhi_bar), dw_bar, sink_bar,
+                                y * dw))
+        return (y, T_bar, _f0(code), jnp.zeros_like(geo2),
+                jnp.zeros_like(gs2), dtor_bar)
+
+    solve.defvjp(fwd, bwd)
+    return solve
+
+
+def vp2_cyclic_solve(rhs, T, code, geo2, gs2, dtor, *, spec,
+                     interpret: bool = False):
+    """Differentiable fused_vp2_cyclic_axis1 (natural-layout phi).
+    ``spec`` = (k_spec, cp_spec, h_void, tinf_void, emissivity)."""
+    return _vp2_cyclic_solve(interpret, spec)(rhs, T, code, geo2, gs2,
+                                              dtor)

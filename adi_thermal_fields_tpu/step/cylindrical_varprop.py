@@ -62,6 +62,13 @@ from .cylindrical import RobinBC, ZFaceBC
 
 __all__ = ["adi_step_cyl_varprop", "adi_step_cyl_varprop_masked"]
 
+# Tier-2 fully-fused kernels (solvers/pallas_vp2.py): k(T)/cp(T)/films
+# derived IN REGISTERS from T + a 1-byte face code — per sweep read
+# rhs+T+code, write x (~13 B/cell; 9 for the first sweep) instead of the
+# five prebuilt streams + their XLA build passes (~130 B/cell/step -> ~45).
+# Default OFF until chip-gated (scripts/vp2_chip.py).
+VP2_DEFAULT = False
+
 
 def _ev(tab, const, T, dtype):
     """Evaluate a property table (None/scalar/callable) at T in dtype."""
@@ -139,6 +146,116 @@ def _solve_cyclic_fields(a, b, c, d, implementation, interpret):
     return cyclic_thomas(a, b, c, d)
 
 
+def _vp2_be_step(T, grid, mat_ref, dt, robin_outer, zbc, k_specs, cp_spec,
+                 *, robin_inner, act, h_void, T_inf_void, h_front, source,
+                 emissivity, cp_table, interpret, constrain):
+    """Tier-2 fully-fused BE chain: r -> phi -> z with every per-cell
+    quantity derived in kernel registers from T^n + 1-byte face codes
+    (solvers/pallas_vp2.py; VP2_DEFAULT note).  Semantics identical to
+    the vp-fields branch of adi_step_cyl_varprop — parity tested in
+    tests/test_vp2.py::test_step_vp2_matches_classic_tier."""
+    from ..solvers.differentiable import vp2_cyclic_solve, vp2_sweep_solve
+    from ..solvers.pallas_vp2 import build_vp2_code
+
+    dtype = T.dtype
+    nr, nphi, nz = grid.nr, grid.nphi, grid.nz
+    if constrain is None:
+        constrain = lambda x, stage: x
+    act_b = jnp.ones(T.shape, bool) if act is None else act
+    eps = float(emissivity)
+    h_f = float(h_void if h_front is None else h_front)
+    h_v = float(h_void)
+    tv = float(T_inf_void)
+    dtor = (dt / mat_ref.rho).astype(jnp.float32)
+
+    r = np.maximum(np.asarray(grid.r, np.float64), 1e-15)
+    r_imh = np.maximum(np.asarray(grid.r_imh, np.float64), 1e-15)
+    r_iph = np.asarray(grid.r_iph, np.float64)
+    dr = grid.dr
+    f32v = lambda v: jnp.asarray(v, jnp.float32)
+
+    # --- r sweep (axis 0, natural leading) ---------------------------------
+    glo_r = f32v(r_imh / (r * dr * dr))
+    ghi_r = f32v(r_iph / (r * dr * dr))
+    gsl_r = f32v(r_imh / (r * dr))
+    gsh_r = f32v(r_iph / (r * dr))
+    edge_r0 = edge_r1 = None
+    if (grid.is_annular and robin_inner is not None
+            and (robin_inner.h != 0.0 or eps > 0.0)):
+        edge_r0 = (float(robin_inner.h), float(r_imh[0] / (r[0] * dr)),
+                   float(robin_inner.T_inf))
+    if robin_outer is not None and (robin_outer.h != 0.0 or eps > 0.0):
+        edge_r1 = (float(robin_outer.h),
+                   float(r_iph[nr - 1] / (r[nr - 1] * dr)),
+                   float(robin_outer.T_inf))
+    code_r = build_vp2_code(act_b, 0)
+    spec_r = (k_specs[0], cp_spec, h_v, h_v, tv, eps, edge_r0, edge_r1)
+
+    if source is None:
+        rhs_r = None
+    else:
+        cpf = _ev(cp_table, mat_ref.cp, T, dtype)
+        s = (dt / (mat_ref.rho * cpf)) * source
+        if act is not None:
+            s = jnp.where(act, s, jnp.zeros((), dtype))
+        rhs_r = T + s
+
+    X = vp2_sweep_solve(
+        None if rhs_r is None else constrain(rhs_r, "r"),
+        T, code_r, glo_r, ghi_r, gsl_r, gsh_r, dtor, spec=spec_r,
+        interpret=interpret)
+
+    # --- phi sweep (cyclic axis 1, natural) --------------------------------
+    if nphi > 1:
+        geo2 = jnp.broadcast_to(
+            f32v(1.0 / (r * r * grid.dphi * grid.dphi))[:, None], (nr, nz))
+        gs2 = jnp.broadcast_to(
+            f32v(1.0 / (r * grid.dphi))[:, None], (nr, nz))
+        code_p = build_vp2_code(act_b, 1, periodic=True)
+        if not grid.is_annular:
+            # full-disk axis-row regularity: r = 0 lines are identities
+            code_p = code_p.at[0].set(jnp.int8(0))
+        spec_p = (k_specs[1], cp_spec, h_v, tv, eps)
+        X = vp2_cyclic_solve(constrain(X, "phi"), T, code_p, geo2, gs2,
+                             dtor, spec=spec_p, interpret=interpret)
+
+    # --- z sweep (axis 2, NATURAL rhs/T/out; z-leading code) ---------------
+    ivz2 = 1.0 / (grid.dz * grid.dz)
+    geoz = np.full(nz, ivz2)
+    gs_z = np.full(nz, 1.0 / grid.dz)
+    z_pins = []
+    edge_z0 = edge_z1 = None
+    clear = []
+    for idx, kind, h, t_inf, t_dir in (
+            (0, zbc.kind_bot, zbc.h_bot, zbc.T_inf_bot, zbc.T_bot),
+            (nz - 1, zbc.kind_top, zbc.h_top, zbc.T_inf_top, zbc.T_top)):
+        if kind == "robin":
+            e = (float(h), 1.0 / grid.dz, float(t_inf))
+            if idx == 0:
+                edge_z0 = e
+            else:
+                edge_z1 = e
+        elif kind == "dirichlet":
+            geoz[idx] = 0.0
+            z_pins.append((idx, float(t_dir)))
+            clear.append(idx)       # no films on pinned rows
+        elif kind != "neumann0":
+            raise ValueError(f"unknown z-face BC kind: {kind!r}")
+    code_z = jnp.moveaxis(
+        build_vp2_code(act_b, 2, clear_rows=tuple(clear)), 2, 0)
+    spec_z = (k_specs[2], cp_spec, h_v, h_f, tv, eps, edge_z0, edge_z1)
+
+    dn = constrain(X, "z")
+    for idx, t_dir in z_pins:
+        pin = jnp.asarray(t_dir, dtype)
+        if act is not None:         # void end cells hold their value
+            pin = jnp.where(act[:, :, idx], pin, dn[:, :, idx])
+        dn = dn.at[:, :, idx].set(pin)
+    return vp2_sweep_solve(dn, T, code_z, f32v(geoz), f32v(geoz),
+                           f32v(gs_z), f32v(gs_z), dtor, spec=spec_z,
+                           interpret=interpret, nat_rhs_out=True)
+
+
 def adi_step_cyl_varprop(T: jax.Array, grid: CylindricalGrid,
                          mat_ref: Material, *, dt,
                          robin_outer: RobinBC, zbc: ZFaceBC,
@@ -152,7 +269,8 @@ def adi_step_cyl_varprop(T: jax.Array, grid: CylindricalGrid,
                          scheme: str = "be", theta: float = 0.5,
                          implementation: str = "auto",
                          interpret: bool | None = None,
-                         constrain=None, z_solver=None) -> jax.Array:
+                         constrain=None, z_solver=None,
+                         vp2: bool | None = None) -> jax.Array:
     """One variable-property cylindrical step (see module docstring).
 
     scheme: "be" (backward Euler, default — robust near the latent-heat
@@ -214,7 +332,8 @@ def adi_step_cyl_varprop(T: jax.Array, grid: CylindricalGrid,
             h_void=h_void, T_inf_void=T_inf_void, h_front=h_front,
             source=source, emissivity=emissivity, scheme=scheme,
             theta=theta, implementation=implementation,
-            interpret=interpret, constrain=constrain, z_solver=z_solver)
+            interpret=interpret, constrain=constrain, z_solver=z_solver,
+            vp2=vp2)
         return out.astype(T.dtype)
     if implementation == "auto":
         implementation = ("pallas" if (jax.default_backend() == "tpu"
@@ -227,6 +346,27 @@ def adi_step_cyl_varprop(T: jax.Array, grid: CylindricalGrid,
     nr, nphi, nz = grid.nr, grid.nphi, grid.nz
     dt = jnp.asarray(dt, dtype)
     act = None if active is None else active.astype(bool)
+
+    # tier-2 fully-fused path (module flag note): eligible when every
+    # property is a static pointwise spec and the solve chain is the plain
+    # single-chip BE composition
+    if vp2 is None:
+        vp2 = VP2_DEFAULT
+    if vp2 and implementation == "pallas" and scheme == "be" \
+            and z_solver is None and jnp.dtype(dtype).itemsize == 4:
+        from .cartesian_varprop import _table_spec
+
+        kts = (tuple(k_table) if isinstance(k_table, (tuple, list))
+               else (k_table,) * 3)
+        specs = tuple(_table_spec(t, mat_ref.k) for t in kts)
+        cp_spec = _table_spec(cp_table, mat_ref.cp)
+        if cp_spec is not None and all(s is not None for s in specs):
+            return _vp2_be_step(
+                T, grid, mat_ref, dt, robin_outer, zbc, specs, cp_spec,
+                robin_inner=robin_inner, act=act, h_void=h_void,
+                T_inf_void=T_inf_void, h_front=h_front, source=source,
+                emissivity=emissivity, cp_table=cp_table,
+                interpret=interpret, constrain=constrain)
 
     (kf_r, kf_p, kf_z), w = _props(T, mat_ref, k_table, cp_table)
     dw = dt * w
@@ -372,15 +512,51 @@ def adi_step_cyl_varprop(T: jax.Array, grid: CylindricalGrid,
     geoz = np.full(nz, ivz2)
     z_pins = []   # (idx, pin value) applied to every z-solve rhs
     t2 = lambda x: jnp.moveaxis(x, 2, 0)   # (nz, nr, nphi)
+
+    # ONE implementation of the z-face BC folding and the material/void
+    # interface sinks, shared by the z-leading and natural-layout branches
+    # below — they differ only in how an end-slab is addressed (``at``/
+    # ``end``) and which layout the act/T fields are in (ADVICE r3: the
+    # two near-verbatim copies risked silent divergence).
+    def _make_z_end(at, end_T, end_act):
+        def z_end(idx, kind, h, t_inf, t_dir, sink_z, srhs_z):
+            if kind == "neumann0":
+                return sink_z, srhs_z      # face conductivity already 0
+            if kind == "robin":
+                s = (float(h) + hr(end_T(idx), float(t_inf))) / grid.dz
+                a = end_act(idx)
+                if a is not None:
+                    s = jnp.where(a, s, 0.0)
+                sink_z = at(sink_z, idx).add(s)
+                srhs_z = at(srhs_z, idx).add(s * float(t_inf))
+                return sink_z, srhs_z
+            if kind == "dirichlet":
+                geoz[idx] = 0.0
+                z_pins.append((idx, float(t_dir)))
+                sink_z = at(sink_z, idx).set(0.0)
+                srhs_z = at(srhs_z, idx).set(0.0)
+                return sink_z, srhs_z
+            raise ValueError(f"unknown z-face BC kind: {kind!r}")
+        return z_end
+
+    def _z_iface_sinks(actx, hr_vx, axis, sink_z, srhs_z):
+        """Material/void interface Robin films along z (axis = z's index
+        in this layout): h_void on the lo face, h_front on the hi face."""
+        e_lo = actx & ~shift_in(actx, axis, -1, fill=True)
+        e_hi = actx & ~shift_in(actx, axis, +1, fill=True)
+        s = ((h_void + hr_vx) * e_lo.astype(dtype)
+             + (h_f + hr_vx) * e_hi.astype(dtype)) / grid.dz
+        return sink_z + s, srhs_z + s * T_inf_void
+
     # Layout-traffic fix (measured in the round-3 cyl-varprop trace: XLA
     # copies/pads ~1.6 ms/step vs ~1.1 ms of kernels at (64,512,256)): on
     # the fused BE path, build the z streams DIRECTLY in the z-leading
     # layout from T's transpose — re-evaluating k_z(T)/cp(T) there is pure
     # VPU work that XLA fuses with the transpose, whereas transposing the
     # four finished streams (fz_hi, dt*w, sink, srhs) costs 8 full HBM
-    # passes.  Only the chained RHS moves in and the solution out.  The
-    # rebuilt values are bitwise identical (same elementwise ops on
-    # permuted data), so parity tests cover both layouts.
+    # passes.  The rebuild applies the identical elementwise computation
+    # to permuted data (verified to solver round-off by the parity tests —
+    # XLA does not guarantee bitwise equality across layouts/fusions).
     z_fast = (implementation == "pallas" and z_solver is None
               and scheme == "be")
     if z_fast:
@@ -405,31 +581,12 @@ def adi_step_cyl_varprop(T: jax.Array, grid: CylindricalGrid,
         sink_z = jnp.zeros(Tz.shape, dtype)
         srhs_z = jnp.zeros(Tz.shape, dtype)
         if sink_on:
-            e_lo = act_z & ~shift_in(act_z, 0, -1, fill=True)
-            e_hi = act_z & ~shift_in(act_z, 0, +1, fill=True)
-            s = ((h_void + hr_void_z) * e_lo.astype(dtype)
-                 + (h_f + hr_void_z) * e_hi.astype(dtype)) / grid.dz
-            sink_z = sink_z + s
-            srhs_z = srhs_z + s * T_inf_void
+            sink_z, srhs_z = _z_iface_sinks(act_z, hr_void_z, 0,
+                                            sink_z, srhs_z)
 
-        def z_end(idx, kind, h, t_inf, t_dir, sink_z, srhs_z):
-            if kind == "neumann0":
-                return sink_z, srhs_z      # face conductivity already 0
-            if kind == "robin":
-                s = (float(h) + hr(Tz[idx], float(t_inf))) / grid.dz
-                if act_z is not None:
-                    s = jnp.where(act_z[idx], s, 0.0)
-                sink_z = sink_z.at[idx].add(s)
-                srhs_z = srhs_z.at[idx].add(s * float(t_inf))
-                return sink_z, srhs_z
-            if kind == "dirichlet":
-                geoz[idx] = 0.0
-                z_pins.append((idx, float(t_dir)))
-                sink_z = sink_z.at[idx].set(0.0)
-                srhs_z = srhs_z.at[idx].set(0.0)
-                return sink_z, srhs_z
-            raise ValueError(f"unknown z-face BC kind: {kind!r}")
-
+        z_end = _make_z_end(
+            lambda a, i: a.at[i], lambda i: Tz[i],
+            lambda i: None if act_z is None else act_z[i])
         sink_z, srhs_z = z_end(0, zbc.kind_bot, zbc.h_bot, zbc.T_inf_bot,
                                zbc.T_bot, sink_z, srhs_z)
         sink_z, srhs_z = z_end(nz - 1, zbc.kind_top, zbc.h_top,
@@ -461,29 +618,11 @@ def adi_step_cyl_varprop(T: jax.Array, grid: CylindricalGrid,
         sink_z = jnp.zeros(T.shape, dtype)
         srhs_z = jnp.zeros(T.shape, dtype)
         if sink_on:
-            s = ((h_void + hr_void) * exposed(2, -1).astype(dtype)
-                 + (h_f + hr_void) * exposed(2, +1).astype(dtype)) / grid.dz
-            sink_z = sink_z + s
-            srhs_z = srhs_z + s * T_inf_void
+            sink_z, srhs_z = _z_iface_sinks(act, hr_void, 2, sink_z, srhs_z)
 
-        def z_end(idx, kind, h, t_inf, t_dir, sink_z, srhs_z):
-            if kind == "neumann0":
-                return sink_z, srhs_z      # face conductivity already 0
-            if kind == "robin":
-                s = (float(h) + hr(T[:, :, idx], float(t_inf))) / grid.dz
-                if act is not None:
-                    s = jnp.where(act[:, :, idx], s, 0.0)
-                sink_z = sink_z.at[:, :, idx].add(s)
-                srhs_z = srhs_z.at[:, :, idx].add(s * float(t_inf))
-                return sink_z, srhs_z
-            if kind == "dirichlet":
-                geoz[idx] = 0.0
-                z_pins.append((idx, float(t_dir)))
-                sink_z = sink_z.at[:, :, idx].set(0.0)
-                srhs_z = srhs_z.at[:, :, idx].set(0.0)
-                return sink_z, srhs_z
-            raise ValueError(f"unknown z-face BC kind: {kind!r}")
-
+        z_end = _make_z_end(
+            lambda a, i: a.at[:, :, i], lambda i: T[:, :, i],
+            lambda i: None if act is None else act[:, :, i])
         sink_z, srhs_z = z_end(0, zbc.kind_bot, zbc.h_bot, zbc.T_inf_bot,
                                zbc.T_bot, sink_z, srhs_z)
         sink_z, srhs_z = z_end(nz - 1, zbc.kind_top, zbc.h_top,
