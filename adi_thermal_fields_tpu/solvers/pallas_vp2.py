@@ -62,7 +62,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_varprop import _clamp_sum, _harm
 
 __all__ = ["build_vp2_code", "fused_vp2_sweep", "fused_vp2_cyclic_axis1",
-           "vp2_streams_xla", "vp2_cyclic_streams_xla"]
+           "fused_vp2_sweep_axis1", "vp2_streams_xla",
+           "vp2_cyclic_streams_xla"]
 
 G = 8
 _SB = 5.670374419e-8
@@ -78,7 +79,7 @@ def _round_up(v, m):
 # ---------------------------------------------------------------------------
 
 def build_vp2_code(act, axis: int, *, periodic: bool = False,
-                   clear_rows=()) -> jax.Array:
+                   clear_rows=(), edge_exposed: bool = False) -> jax.Array:
     """int8 face code along ``axis`` from the active mask (module bits).
 
     act: bool field (any rank); ``None`` is not accepted here — pass
@@ -90,7 +91,10 @@ def build_vp2_code(act, axis: int, *, periodic: bool = False,
     shared face conductivity stays live so the neighbor keeps its coupling
     into the pinned value (the vp-fields tier's Dirichlet contract).
     Full identity rows (axis regularity) instead zero the code entirely at
-    the call site."""
+    the call site.  edge_exposed: domain-edge faces count as EXPOSED (the
+    Cartesian family's Robin convention, bc/faces.exposed_face fill=False
+    — every mask-boundary face cools, including at the domain edge); the
+    cylindrical family keeps them film-free (dedicated edge Robin rows)."""
     act = act.astype(bool)
     if periodic:
         nb_hi = jnp.roll(act, -1, axis=axis)
@@ -101,9 +105,12 @@ def build_vp2_code(act, axis: int, *, periodic: bool = False,
 
         nb_hi = shift_in(act, axis, +1, fill=False)
         nb_lo = shift_in(act, axis, -1, fill=False)
-        # domain-edge faces are NOT exposed (fill=True)
-        ex_hi = shift_in(act, axis, +1, fill=True)
-        ex_lo = shift_in(act, axis, -1, fill=True)
+        if edge_exposed:
+            ex_hi, ex_lo = nb_hi, nb_lo
+        else:
+            # domain-edge faces are NOT exposed (fill=True)
+            ex_hi = shift_in(act, axis, +1, fill=True)
+            ex_lo = shift_in(act, axis, -1, fill=True)
     code = ((act & nb_hi).astype(jnp.int8)
             + 2 * (act & ~ex_lo).astype(jnp.int8)
             + 4 * (act & ~ex_hi).astype(jnp.int8)
@@ -277,7 +284,7 @@ def _vp2_kernel(scal_ref, glo_ref, ghi_ref, gsl_ref, gsh_ref, d_hbm, t_hbm,
                 # next group's first row (aligned G-slice, row 0); the
                 # clamp keeps the slice in bounds — the clamped value is
                 # only consumed when g is NOT the chunk's last group
-                nb = jnp.minimum(s + G, cn - G)
+                nb = pl.multiple_of(jnp.minimum(s + G, cn - G), G)
                 t_nxt = jnp.swapaxes(qt[:, pl.ds(nb, G)], 0, 1)[0]
             else:
                 t_g = tbuf[slot, pl.ds(s, G)].astype(f32)
@@ -774,6 +781,210 @@ def fused_vp2_cyclic_axis1(rhs, T, code, geo2, gs2, dtor, *, k_spec,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(scal, geo2.astype(cdt), gs2.astype(cdt), rhs, T, code, tb)
+
+    if p1 or p2 or pn:
+        out = out[:b1, :n, :b2]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# open axis-1 sweep (the Cartesian y solve in its natural (B1, n, B2) layout)
+# ---------------------------------------------------------------------------
+
+def _vp2_axis1_kernel(scal_ref, d_hbm, t_hbm, code_hbm, tb_hbm, out_hbm,
+                      xbuf, dpbuf, dbuf, tbuf, cbuf, bbuf, in_sem, out_sem,
+                      *, n, n_true, cn, b1, b2, spec):
+    """Open vp2 sweep along AXIS 1 of natural (B1, n, B2) rhs/T/code — the
+    Cartesian y solve with uniform static geometry (glo/ghi = theta/dy^2,
+    gs = 1/dy baked as immediates); otherwise the derivations of
+    _vp2_kernel on the _vp2_cyclic_kernel chunk layout."""
+    (k_spec, cp_spec, h_lo, h_hi, tinf_void, eps, glo, ghi, gsl,
+     gsh) = spec
+    f32 = xbuf.dtype
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    r0 = i * b1
+    c0 = j * b2
+    nchunks = n // cn
+    dtor = scal_ref[0]
+
+    def in_dmas(slot, k):
+        s = k * cn
+        src = lambda ref: ref.at[pl.ds(r0, b1), pl.ds(s, cn), pl.ds(c0, b2)]
+        return (
+            pltpu.make_async_copy(src(d_hbm), dbuf.at[slot],
+                                  in_sem.at[slot, 0]),
+            pltpu.make_async_copy(src(t_hbm), tbuf.at[slot],
+                                  in_sem.at[slot, 1]),
+            pltpu.make_async_copy(src(code_hbm), cbuf.at[slot],
+                                  in_sem.at[slot, 2]),
+        )
+
+    def out_dma(k):
+        s = k * cn
+        return pltpu.make_async_copy(
+            xbuf.at[:, pl.ds(s, cn), :],
+            out_hbm.at[pl.ds(r0, b1), pl.ds(s, cn), pl.ds(c0, b2)],
+            out_sem.at[k])
+
+    bdma = pltpu.make_async_copy(
+        tb_hbm.at[:, pl.ds(r0, b1), pl.ds(c0, b2)], bbuf, in_sem.at[0, 3])
+    bdma.start()
+    for dma in in_dmas(0, 0):
+        dma.start()
+    if nchunks > 1:
+        for dma in in_dmas(1, 1):
+            dma.start()
+    bdma.wait()
+
+    zero = jnp.zeros((b1, b2), f32)
+    carry = (zero, zero, zero)        # cp', dp', f_lo of the next row
+    for k in range(nchunks):
+        slot = k % 2
+        for dma in in_dmas(slot, k):
+            dma.wait()
+
+        def grp(g, carry, *, slot=slot, base=k * cn):
+            cp_prev, dp_prev, f_lo = carry
+            s = pl.multiple_of(g * G, G)
+            sw = lambda ref: jnp.swapaxes(
+                ref[slot, :, pl.ds(s, G), :], 0, 1)
+            d_g = sw(dbuf).astype(f32)
+            t_g = sw(tbuf).astype(f32)
+            code_g = sw(cbuf).astype(jnp.int32)
+            gt = k * (cn // G) + g
+            k_bnd = _ev_spec(k_spec, bbuf[gt].astype(f32))
+            ks = [_ev_spec(k_spec, t_g[r]) for r in range(G)]
+            cps, dps = [], []
+            for r in range(G):
+                c_r32 = code_g[r]
+                bit = lambda b: ((c_r32 & b) > 0).astype(f32)
+                k_next = ks[r + 1] if r + 1 < G else k_bnd
+                f_hi = _harm(ks[r], k_next) * bit(1)
+                dw_r = dtor / _ev_spec(cp_spec, t_g[r])
+                hr_v = _rad(t_g[r], eps, tinf_void) if eps > 0.0 else 0.0
+                sink = (bit(2) * gsl * (h_lo + hr_v)
+                        + bit(4) * gsh * (h_hi + hr_v))
+                al = glo * f_lo
+                ch = ghi * f_hi
+                a_r = -dw_r * al
+                c_r = -dw_r * ch
+                b_r = 1.0 + dw_r * (al + ch + sink)
+                d_r = d_g[r] + dw_r * (sink * tinf_void)
+                inv = 1.0 / (b_r - a_r * cp_prev)
+                cp_prev = c_r * inv
+                dp_prev = (d_r - a_r * dp_prev) * inv
+                cps.append(cp_prev)
+                dps.append(dp_prev)
+                f_lo = f_hi
+            xbuf[:, pl.ds(base + s, G), :] = \
+                jnp.swapaxes(jnp.stack(cps), 0, 1)
+            dpbuf[:, pl.ds(base + s, G), :] = \
+                jnp.swapaxes(jnp.stack(dps), 0, 1)
+            return cp_prev, dp_prev, f_lo
+
+        carry = lax.fori_loop(0, cn // G, grp, carry)
+        if k + 2 < nchunks:
+            for dma in in_dmas(slot, k + 2):
+                dma.start()
+
+    x_next = zero
+    for k in range(nchunks - 1, -1, -1):
+        base = k * cn
+
+        def grp_b(gg, x_next, *, base=base):
+            s = pl.multiple_of((cn // G - 1 - gg) * G, G)
+            cp_g = jnp.swapaxes(xbuf[:, pl.ds(base + s, G), :], 0, 1)
+            dp_g = jnp.swapaxes(dpbuf[:, pl.ds(base + s, G), :], 0, 1)
+            xs = [None] * G
+            for r in range(G - 1, -1, -1):
+                x_next = dp_g[r] - cp_g[r] * x_next
+                xs[r] = x_next
+            xbuf[:, pl.ds(base + s, G), :] = \
+                jnp.swapaxes(jnp.stack(xs), 0, 1)
+            return x_next
+
+        x_next = lax.fori_loop(0, cn // G, grp_b, x_next)
+        out_dma(k).start()
+
+    for k in range(nchunks):
+        out_dma(k).wait()
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k_spec", "cp_spec", "h_lo", "h_hi", "tinf_void", "emissivity",
+    "glo", "ghi", "gs_lo", "gs_hi", "interpret", "block_b1", "block_b2",
+    "chunk"))
+def fused_vp2_sweep_axis1(rhs, T, code, dtor, *, k_spec, cp_spec,
+                          glo: float, ghi: float, gs_lo: float,
+                          gs_hi: float, h_lo: float = 0.0,
+                          h_hi: float = 0.0, tinf_void: float = 0.0,
+                          emissivity: float = 0.0, interpret: bool = False,
+                          block_b1: int = 8, block_b2: int | None = None,
+                          chunk: int = 64):
+    """Fully-fused vp2 sweep along AXIS 1 of natural (B1, n, B2)
+    rhs/T/code with UNIFORM static geometry (the Cartesian y solve:
+    glo = ghi = theta/dy^2, gs = 1/dy as kernel immediates)."""
+    b1, n, b2 = T.shape
+    dtype = T.dtype
+    if jnp.dtype(dtype).itemsize != 4:
+        raise ValueError("vp2 kernels take f32 streams; upcast/downcast "
+                         "around them")
+    if block_b2 is None:
+        cands = [c for c in (256, 128) if n <= 640 or c == 128]
+        block_b2 = min(cands, key=lambda c: (_round_up(b2, c), -c))
+    cn = min(chunk, _round_up(n, G))
+    pn = _round_up(n, cn) - n
+    p1 = _round_up(b1, block_b1) - b1
+    p2 = _round_up(b2, block_b2) - b2
+    if p1 or p2 or pn:
+        pad = ((0, p1), (0, pn), (0, p2))
+        rhs = jnp.pad(rhs, pad)
+        T = jnp.pad(T, pad)
+        code = jnp.pad(code, pad)      # padded rows: code 0 -> identities
+    P1, n_pad, P2 = T.shape
+    ng = n_pad // G
+    idx = np.minimum(np.arange(1, ng + 1) * G, n - 1)
+    tb = jnp.moveaxis(T[:, idx, :], 1, 0)   # chunk/group boundary rows
+
+    scal = jnp.asarray(dtor, jnp.float32).reshape(1)
+    spec = (_as_spec(k_spec), _as_spec(cp_spec), float(h_lo), float(h_hi),
+            float(tinf_void), float(emissivity), float(glo), float(ghi),
+            float(gs_lo), float(gs_hi))
+
+    grid = (P1 // block_b1, P2 // block_b2)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    cdt = jnp.float32
+    scratch = [
+        pltpu.VMEM((block_b1, n_pad, block_b2), cdt),    # x / cp
+        pltpu.VMEM((block_b1, n_pad, block_b2), cdt),    # dp
+        pltpu.VMEM((2, block_b1, cn, block_b2), dtype),  # rhs chunks
+        pltpu.VMEM((2, block_b1, cn, block_b2), dtype),  # T chunks
+        pltpu.VMEM((2, block_b1, cn, block_b2), jnp.int8),  # code chunks
+        pltpu.VMEM((ng, block_b1, block_b2), dtype),     # boundary rows
+        pltpu.SemaphoreType.DMA((2, 4)),
+        pltpu.SemaphoreType.DMA((n_pad // cn,)),
+    ]
+
+    def body(scal_, d_, t_, c_, tb_, o_, xb, dp, db, tbc, cb, bb, isem,
+             osem):
+        return _vp2_axis1_kernel(scal_, d_, t_, c_, tb_, o_, xb, dp, db,
+                                 tbc, cb, bb, isem, osem, n=n_pad,
+                                 n_true=n, cn=cn, b1=block_b1,
+                                 b2=block_b2, spec=spec)
+
+    out = pl.pallas_call(
+        body,
+        grid=grid,
+        in_specs=[sspec, hbm, hbm, hbm, hbm],
+        out_specs=hbm,
+        out_shape=jax.ShapeDtypeStruct((P1, n_pad, P2), dtype),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(scal, rhs, T, code, tb)
 
     if p1 or p2 or pn:
         out = out[:b1, :n, :b2]

@@ -65,6 +65,15 @@ FUSE_THETA_DEFAULT = True
 G_STREAMS_DEFAULT = False          # f32 states: classic fused tier
 G_STREAMS_BF16_DEFAULT = True      # sub-f32 states: g-stream tier
 
+# Tier-2 y/z solves (solvers/pallas_vp2.py): derive fc/w/films IN
+# REGISTERS from T + a 1-byte code instead of streaming the prebuilt
+# fields — per sweep read rhs+T+code, write x (13 B/cell).  For z the
+# Tz/mz transposes + 12 B of stream writes + 12 B of stream reads also
+# disappear (~25 B/cell off the varprop model); for y the fc/w/h stream
+# reads (~8 B).  Defaults OFF until chip-gated (scripts/vp2z_cart_chip).
+VP2_Z_DEFAULT = False
+VP2_Y_DEFAULT = False
+
 
 @dataclasses.dataclass(frozen=True)
 class PropertyTable:
@@ -508,6 +517,17 @@ def adi_step_varprop_fused(T: jax.Array, mask: jax.Array, codes: tuple,
     d_ax = grid.spacing
     hf = h_field
 
+    # tier-2 (vp2) eligibility, shared by the y and z solves: static
+    # pointwise property specs, f32 states, no stochastic stores, and a
+    # film that is either the scalar robin_h or the self-built pointwise
+    # radiative field (re-derivable from T in registers)
+    vp2_cp = _table_spec(cp_table, mat_ref.cp)
+    vp2_ok = (sr is None
+              and jnp.promote_types(dtype, jnp.float32) == dtype
+              and vp2_cp is not None and (hf is None or self_rad))
+    vp2_h = float(h_conv) if self_rad else float(robin_h)
+    vp2_eps = float(emissivity) if self_rad else 0.0
+
     def sweep(rhs, ax, fc_t, w_t, h_t, kernel=fused_varprop_sweep):
         return kernel(
             rhs, codes[ax], fc_t, w_t,
@@ -536,7 +556,23 @@ def adi_step_varprop_fused(T: jax.Array, mask: jax.Array, codes: tuple,
             interpret=interpret).astype(dtype)
         U = sweep(R0, 0, fc[0], w, hf)
     # y: the axis-1 kernel sweeps in the NATURAL layout — no transposes
-    V = sweep(U, 1, fc[1], w, hf, kernel=fused_varprop_sweep_axis1)
+    ky_tab = k_table[1] if isinstance(k_table, (tuple, list)) else k_table
+    ky_spec = _table_spec(ky_tab, mat_ref.k)
+    if VP2_Y_DEFAULT and vp2_ok and ky_spec is not None:
+        # tier-2 y solve (module flag note): fc_y/w/films derived in
+        # registers from T + code — the fc/w/h stream reads are gone
+        from ..solvers.pallas_vp2 import build_vp2_code, fused_vp2_sweep_axis1
+
+        code_y2 = build_vp2_code(mask, 1, edge_exposed=True)
+        V = fused_vp2_sweep_axis1(
+            U, T, code_y2, (dt / mat_ref.rho).astype(jnp.float32),
+            k_spec=ky_spec, cp_spec=vp2_cp,
+            glo=float(theta) * inv_d2[1], ghi=float(theta) * inv_d2[1],
+            gs_lo=1.0 / d_ax[1], gs_hi=1.0 / d_ax[1], h_lo=vp2_h,
+            h_hi=vp2_h, tinf_void=float(t_inf), emissivity=vp2_eps,
+            interpret=interpret)
+    else:
+        V = sweep(U, 1, fc[1], w, hf, kernel=fused_varprop_sweep_axis1)
     # z: (x,y,z) -> (z,x,y).  Session-H rule (NOTES.md): never transpose a
     # DERIVED stream — transpose its SOURCE and rebuild the stream in the
     # target layout.  Only the chained rhs moves in (and the solution
@@ -551,6 +587,29 @@ def adi_step_varprop_fused(T: jax.Array, mask: jax.Array, codes: tuple,
     kz_tab = k_table[2] if isinstance(k_table, (tuple, list)) else k_table
     z_rebuild = (_pointwise_tab(kz_tab) and _pointwise_tab(cp_table)
                  and (hf is None or self_rad))
+    kz_spec = _table_spec(kz_tab, mat_ref.k)
+    if VP2_Z_DEFAULT and vp2_ok and kz_spec is not None:
+        # tier-2 z solve (module flag note): fc_z/w/films derived in
+        # registers from T + code — no Tz/mz transposes, no z-leading
+        # stream rebuild passes.  Mapping onto the vp2 algebra: glo = ghi
+        # = theta/dz^2 and gs = 1/dz STATIC columns; dt rides in
+        # dw = (dt/rho)/cp(T), so dw*glo*fc = tg*w*fc and dw*gs*h =
+        # sk*w*h — identical row math to _varprop_kernel; exposure code
+        # bits with edge_exposed reproduce the (2-low-high)*inm film
+        # count (sweep_code contract).
+        from ..solvers.pallas_vp2 import build_vp2_code, fused_vp2_sweep
+
+        code_z2 = jnp.moveaxis(
+            build_vp2_code(mask, 2, edge_exposed=True), 2, 0)
+        nz = T.shape[2]
+        glo = jnp.full((nz,), float(theta) * inv_d2[2], jnp.float32)
+        gs = jnp.full((nz,), 1.0 / d_ax[2], jnp.float32)
+        return fused_vp2_sweep(
+            V, T, code_z2, glo, glo, gs, gs,
+            (dt / mat_ref.rho).astype(jnp.float32),
+            k_spec=kz_spec, cp_spec=vp2_cp, h_lo=vp2_h, h_hi=vp2_h,
+            tinf_void=float(t_inf), emissivity=vp2_eps,
+            nat_rhs_out=True, interpret=interpret)
     if z_rebuild:
         Tz = t2n(T)
         mz = t2n(mask)

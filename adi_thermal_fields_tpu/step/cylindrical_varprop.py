@@ -66,8 +66,10 @@ __all__ = ["adi_step_cyl_varprop", "adi_step_cyl_varprop_masked"]
 # derived IN REGISTERS from T + a 1-byte face code — per sweep read
 # rhs+T+code, write x (~13 B/cell; 9 for the first sweep) instead of the
 # five prebuilt streams + their XLA build passes (~130 B/cell/step -> ~45).
-# Default OFF until chip-gated (scripts/vp2_chip.py).
-VP2_DEFAULT = False
+# Chip gate (scripts/vp2_chip.py, v5e 2026-08-19): parity BITWISE vs the
+# vp-fields tier at (64,128,256); (64,512,1024) bench config 13.48 ->
+# 7.93 ms/step = 4.23 Gcell/s (1.70x, slope median-of-3, same session).
+VP2_DEFAULT = True
 
 
 def _ev(tab, const, T, dtype):

@@ -26,7 +26,7 @@ HBM_BYTES_PER_S = 819e9      # TPU v5e per-chip HBM bandwidth
 TRAFFIC_B_PER_CELL = 48.0    # see module docstring
 SOL_CELLS_PER_S = HBM_BYTES_PER_S / TRAFFIC_B_PER_CELL
 VARPROP_B_PER_CELL = 117.0       # derivation at main_varprop
-CYL_VARPROP_B_PER_CELL = 130.0   # derivation at main_cyl_varprop
+CYL_VARPROP_B_PER_CELL = 45.0    # derivation at main_cyl_varprop
 
 
 def probe_compile_service():
@@ -440,16 +440,16 @@ def run_cyl_varprop(shape=(64, 512, 256), steps=30, dtype=None):
 
 
 def main_cyl_varprop():
-    # traffic model (compressed kernels, round 4): the r/phi stream-build
-    # pass reads T+act (~5 B) and writes fr_hi/dw/sink/srhs +
-    # fp/sink_p/srhs_p (~32 B — fp_hi is now DERIVED IN-KERNEL from fp by
-    # periodicity); r kernel 24 B, phi kernel 24 B (one face stream);
-    # z streams built directly in the z-leading layout from T's transpose
-    # (read ~5 B, write 16 B); z kernel with NATURAL rhs/out (in-kernel
-    # chunk relayout: rhs 4 + streams 16 + out 4 = 24 B — the round-3
-    # rhs/out transpose pair is gone) -> ~130 B/cell/step.  (History:
-    # ~170 B round-3 session C; 154 B after the session-H z-leading
-    # builds, measured 14.90 ms at (64,512,1024) = 2.25 Gcell/s.)
+    # traffic model (tier-2 vp2 kernels, round 4): every per-cell quantity
+    # — k(T)/cp(T) clamp-sums, harmonic faces, radiative films, interface/
+    # edge Robin sinks — is derived IN REGISTERS from T + a 1-byte face
+    # code (solvers/pallas_vp2.py).  Per sweep: read rhs+T+code, write x;
+    # the r sweep's rhs IS T.  r 9 B + phi 13 B + z 13 B (natural rhs/T/
+    # out, in-kernel relayout) + code builds ~8 B + boundary-row gathers
+    # ~2 B -> ~45 B/cell/step.  (History: ~170 B round-3 session C; 154 B
+    # session H; 130 B round-4 session A (nat z + in-kernel phi hi-faces,
+    # 13.54 ms); vp2 chip gate 7.93 ms = 4.23 Gcell/s at (64,512,1024),
+    # bitwise vs the vp-fields tier, 1.70x.)
     value, shape = _retry_shapes(
         run_cyl_varprop,
         ((64, 512, 1024), (64, 512, 256), (64, 256, 128)), "cyl_varprop")

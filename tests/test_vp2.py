@@ -263,3 +263,69 @@ def test_step_vp2_gradients_match_classic():
     gb = jax.grad(lambda x: loss(x, True))(T)
     np.testing.assert_allclose(np.asarray(gb), np.asarray(ga),
                                rtol=5e-3, atol=5e-4)
+
+
+@pytest.mark.parametrize("rad", [False, True])
+def test_cartesian_vp2_z_matches_stream_rebuild(rad, monkeypatch):
+    """adi_step_varprop_fused with the tier-2 z solve (VP2_Z_DEFAULT) vs
+    the z-leading stream-rebuild path: identical physics, no Tz."""
+    import adi_thermal_fields_tpu.step.cartesian_varprop as cv
+    from adi_thermal_fields_tpu import CartesianGrid, Material
+
+    rng = np.random.default_rng(29)
+    shape = (24, 16, 40)
+    grid = CartesianGrid(*shape, 1e-3)
+    mat = Material(7800.0, 490.0, 54.0)
+    m = np.zeros(shape, bool)
+    m[:, :, :24] = True
+    m[:12, :8, 24:32] = True
+    mask = jnp.asarray(m)
+    T = jnp.asarray(np.where(m, 1500.0, 20.0)
+                    + 40.0 * rng.random(shape), jnp.float32)
+    codes = cv.build_varprop_codes(mask)
+    kw = dict(k_table=K_TAB, cp_table=CP_TAB, dt=jnp.float32(0.05),
+              theta=0.5, t_inf=20.0, robin_h=0.0 if rad else 150.0,
+              emissivity=0.5 if rad else None,
+              h_conv=30.0 if rad else 0.0, interpret=True)
+
+    def run(flag):
+        monkeypatch.setattr(cv, "VP2_Z_DEFAULT", flag)
+        return cv.adi_step_varprop_fused(T, mask, codes, grid, mat, **kw)
+
+    a = run(False)
+    b = run(True)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=2e-5, atol=5e-3)
+
+
+@pytest.mark.parametrize("rad", [False, True])
+def test_cartesian_vp2_y_matches_stream_path(rad, monkeypatch):
+    """adi_step_varprop_fused with the tier-2 y solve (VP2_Y_DEFAULT) vs
+    the streamed-fc path (fused_varprop_sweep_axis1)."""
+    import adi_thermal_fields_tpu.step.cartesian_varprop as cv
+    from adi_thermal_fields_tpu import CartesianGrid, Material
+
+    rng = np.random.default_rng(31)
+    shape = (24, 40, 16)
+    grid = CartesianGrid(*shape, 1e-3)
+    mat = Material(7800.0, 490.0, 54.0)
+    m = np.zeros(shape, bool)
+    m[:, :28, :] = True
+    m[:12, 28:34, :8] = True
+    mask = jnp.asarray(m)
+    T = jnp.asarray(np.where(m, 1500.0, 20.0)
+                    + 40.0 * rng.random(shape), jnp.float32)
+    codes = cv.build_varprop_codes(mask)
+    kw = dict(k_table=K_TAB, cp_table=CP_TAB, dt=jnp.float32(0.05),
+              theta=0.5, t_inf=20.0, robin_h=0.0 if rad else 150.0,
+              emissivity=0.5 if rad else None,
+              h_conv=30.0 if rad else 0.0, interpret=True)
+
+    def run(flag):
+        monkeypatch.setattr(cv, "VP2_Y_DEFAULT", flag)
+        return cv.adi_step_varprop_fused(T, mask, codes, grid, mat, **kw)
+
+    a = run(False)
+    b = run(True)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=2e-5, atol=5e-3)
