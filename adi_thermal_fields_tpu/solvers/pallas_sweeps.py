@@ -831,7 +831,9 @@ def _sweep_kernel_z2(scal_ref, d_hbm, code_hbm, out_hbm, xbuf, dpbuf,
     Traffic: read rhs + code, write x = 9 B/cell (plan-lite) with ZERO
     step-level transposes.
 
-    f32-only (the bf16 mixed mode keeps the transposed axis-0 path)."""
+    bf16 states widen at the relayout, narrow on the restage (the
+    STOCHASTIC bf16 mode keeps the transposed axis-0 path — no PRNG
+    stores here)."""
     tg = scal_ref[0]
     dt = scal_ref[1]
     t_inf = scal_ref[2]
@@ -877,7 +879,9 @@ def _sweep_kernel_z2(scal_ref, d_hbm, code_hbm, out_hbm, xbuf, dpbuf,
         # chunk relayout (b1, b2, cn) -> (b1, cn, b2): b1 independent 2-D
         # lane<->sublane transposes (static python loop — b1 is 8)
         for r in range(b1):
-            wbuf[r] = jnp.transpose(tbuf[slot][r], (1, 0)).astype(f32)
+            # cast BEFORE the 2-D transpose: the transpose unit's f32 path
+            # is the chip-gated one; bf16 states widen here (znat bf16)
+            wbuf[r] = jnp.transpose(tbuf[slot][r].astype(f32), (1, 0))
 
         def grp(g, carry, *, slot=slot, base=k * cn):
             cp_prev, dp_prev = carry
@@ -935,7 +939,7 @@ def _sweep_kernel_z2(scal_ref, d_hbm, code_hbm, out_hbm, xbuf, dpbuf,
         # transposes (dim-0/1 swap first is free-ish; per-row transpose)
         xk = jnp.swapaxes(xbuf[pl.ds(base, cn)], 0, 1)   # (b1, cn, b2)
         for r in range(b1):
-            obuf[k % 2, r] = jnp.transpose(xk[r], (1, 0))
+            obuf[k % 2, r] = jnp.transpose(xk[r], (1, 0)).astype(obuf.dtype)
         out_dma(k).start()
 
     for k in range(min(nchunks, 2)):
@@ -954,12 +958,11 @@ def fused_sweep_axis2_v2(rhs, code, theta_gam, dt, t_inf, rob_c,
 
     Plan-lite only (scalar-h Robin: ``rob_c = h/(rho cp dz)``); ``code``
     comes from the plan's axis-2 entry, ALREADY in the (z, x, y) layout.
-    f32 states only — bf16 keeps the transposed path."""
+    bf16 states widen to f32 at the in-kernel relayout and narrow on the
+    output restage (round-to-nearest; the stochastic bf16 mode keeps the
+    transposed axis-0 path — this kernel has no PRNG stores)."""
     b1f, b2f, n = rhs.shape
     dtype = rhs.dtype
-    if jnp.promote_types(dtype, jnp.float32) != dtype:
-        raise ValueError("fused_sweep_axis2_v2 is f32-only; use the "
-                         "transposed axis-0 path for bf16 states")
 
     if block_b2 is None:
         cands = [c for c in (256, 128) if n <= 640 or c == 128]

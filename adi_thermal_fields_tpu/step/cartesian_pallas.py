@@ -28,6 +28,12 @@ from .cartesian import masked_laplacian_1d
 __all__ = ["SweepPlan", "build_sweep_plan", "adi_step_pallas",
            "padded_shape", "pad_domain"]
 
+# bf16 states through the NATURAL-layout z solve (the kernel widens to f32
+# at the in-kernel relayout and narrows on the output restage; round 4A
+# measured the bf16 step's transposed-z pair at ~2.4 ms at 512^3).
+# Non-stochastic states only; OFF until chip-gated (scripts/znat_chip.py).
+Z_NAT_BF16_DEFAULT = False
+
 # layout of each sweep's arrays (axes of the natural (x,y,z) field):
 # x-sweep: natural (axis-0 kernel); y-sweep: natural (axis-1 kernel);
 # z-sweep: axis-first (axis-0 kernel on the (z, x, y) view)
@@ -202,11 +208,13 @@ def adi_step_pallas(T: jax.Array, plan: SweepPlan, grid: CartesianGrid,
                                    interpret=interpret)
         V = sweep_solve_lite(U, plan.codes[1], rc[1], tg[1], dt, t_inf,
                              axis=1, interpret=interpret)
-        if T.dtype == jnp.promote_types(T.dtype, jnp.float32):
+        if (T.dtype == jnp.promote_types(T.dtype, jnp.float32)
+                or Z_NAT_BF16_DEFAULT):
             # NATURAL-layout z solve: the in-kernel chunk relayout replaces
             # the step-level transpose pair — 24% of the 512^3 step was
             # pure layout traffic (chip-gated bitwise + 1.81x vs the
-            # t2+axis0+t2 chain, scripts/znat_chip.py)
+            # t2+axis0+t2 chain, scripts/znat_chip.py); bf16 widens at the
+            # relayout (module flag note)
             return fin(sweep_solve_lite(V, plan.codes[2], rc[2], tg[2], dt,
                                         t_inf, axis=2, interpret=interpret))
         W = sweep_solve_lite(jnp.transpose(V, (2, 0, 1)), plan.codes[2],
@@ -265,7 +273,8 @@ def adi_step_pallas(T: jax.Array, plan: SweepPlan, grid: CartesianGrid,
                              qflux=q[1], dir_val=dv[1], axis=1,
                              interpret=interpret)
         if (q[2] is None and dv[2] is None
-                and T.dtype == jnp.promote_types(T.dtype, jnp.float32)):
+                and (T.dtype == jnp.promote_types(T.dtype, jnp.float32)
+                     or Z_NAT_BF16_DEFAULT)):
             # natural-layout z solve (no transpose pair) — see above
             return fin(sweep_solve_lite(V, plan.codes[2], rc[2], tg[2], dt,
                                         t_inf, axis=2, interpret=interpret))

@@ -173,3 +173,41 @@ def test_varprop_z_leading_rebuild_matches_transposed_streams():
         h_field=radiative_h(T, eps, t_inf, h_conv=hc), interpret=True)
     np.testing.assert_allclose(np.asarray(new), np.asarray(old),
                                rtol=0, atol=1e-10)
+
+
+def test_bf16_natural_z_matches_transposed_path(monkeypatch):
+    """Z_NAT_BF16_DEFAULT: the bf16 state through the natural-layout z2
+    kernel (widen at the in-kernel relayout, narrow on the restage) vs the
+    transposed axis-0 path — identical f32 solve, same bf16 rounding."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    import adi_thermal_fields_tpu.step.cartesian_pallas as cp_mod
+    from adi_thermal_fields_tpu import CartesianGrid, Material
+
+    rng = np.random.default_rng(41)
+    shape = (24, 16, 40)
+    grid = CartesianGrid(*shape, 1e-3)
+    mat = Material(7800.0, 490.0, 54.0)
+    m = np.zeros(shape, bool)
+    m[:, :, :30] = True
+    m[:10, :8, 30:36] = True
+    mask = jnp.asarray(m)
+    T = jnp.asarray(np.where(m, 900.0, 20.0)
+                    + 25.0 * rng.random(shape)).astype(jnp.bfloat16)
+    rob_c = 200.0 / (mat.rho * mat.cp * grid.dx)
+    plan = cp_mod.build_sweep_plan(mask, None, has_neumann=False,
+                                   has_dirichlet=False, robin_const=rob_c)
+    dt = jnp.asarray(0.05, jnp.float32)
+
+    def run(flag):
+        monkeypatch.setattr(cp_mod, "Z_NAT_BF16_DEFAULT", flag)
+        return cp_mod.adi_step_pallas(T, plan, grid, mat, dt=dt,
+                                      theta=0.5, t_inf=20.0,
+                                      interpret=True)
+
+    a = np.asarray(run(False), np.float32)
+    b = np.asarray(run(True), np.float32)
+    # same f32 solve; only the final bf16 narrowing may differ by one ulp
+    np.testing.assert_allclose(b, a, rtol=1e-2, atol=0.5)
