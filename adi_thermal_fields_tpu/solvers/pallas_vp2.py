@@ -385,13 +385,14 @@ def _as_spec(v):
 @functools.partial(jax.jit, static_argnames=(
     "k_spec", "cp_spec", "h_lo", "h_hi", "tinf_void", "emissivity",
     "edge0", "edge1", "nat_rhs_out", "interpret", "block_b1", "block_b2",
-    "chunk"))
+    "chunk", "pipelined"))
 def fused_vp2_sweep(rhs, T, code, geo_lo, geo_hi, gs_lo, gs_hi, dtor, *,
                     k_spec, cp_spec, h_lo: float = 0.0, h_hi: float = 0.0,
                     tinf_void: float = 0.0, emissivity: float = 0.0,
                     edge0=None, edge1=None, nat_rhs_out: bool = False,
                     interpret: bool = False, block_b1: int = 8,
-                    block_b2: int = 256, chunk: int = 64):
+                    block_b2: int = 256, chunk: int = 64,
+                    pipelined: bool | None = None):
     """Fully-fused variable-property sweep along axis 0 of (n, B1, B2)
     T/code (module docstring).
 
@@ -455,6 +456,72 @@ def fused_vp2_sweep(rhs, T, code, geo_lo, geo_hi, gs_lo, gs_hi, dtor, *,
             float(tinf_void), float(emissivity),
             None if edge0 is None else tuple(float(v) for v in edge0),
             None if edge1 is None else tuple(float(v) for v in edge1))
+
+    # short lines (whole line = one chunk) have ZERO DMA/compute overlap
+    # in the streaming form — pipeline across batch tiles instead (the
+    # masked family's measured ~18% win; the cylindrical r solve at
+    # nr ~ 64 is exactly this shape)
+    itemsz = 4
+    tile_bytes = n_pad * block_b1 * block_b2 * (
+        2 * (2 + has_d) * itemsz + 2 * 1    # stream slots + code
+        + 2 * itemsz + itemsz)              # cp/dp lines + obuf
+    if pipelined is None:
+        pipelined = (not nat_rhs_out and n_pad <= cn
+                     and tile_bytes <= 48 * 1024 * 1024)
+    if pipelined:
+        assert not nat_rhs_out, "the pipelined form is solve-leading only"
+        grid = (P1 // block_b1, P2 // block_b2)
+        hbm = pl.BlockSpec(memory_space=pl.ANY)
+        sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        scratch = [
+            pltpu.VMEM((n_pad, block_b1, block_b2), cdt),        # x / cp
+            pltpu.VMEM((n_pad, block_b1, block_b2), cdt),        # dp
+            (pltpu.VMEM((2, n_pad, block_b1, block_b2), dtype)
+             if has_d else None),                                # rhs tiles
+            pltpu.VMEM((2, n_pad, block_b1, block_b2), dtype),   # T tiles
+            pltpu.VMEM((2, n_pad, block_b1, block_b2), jnp.int8),  # codes
+            pltpu.VMEM((n_pad, block_b1, block_b2), dtype),      # out stage
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA,
+        ]
+
+        def pbody(scal_, glo_, ghi_, gsl_, gsh_, *rest):
+            it = iter(rest)
+            d_ = next(it) if has_d else None
+            t_, c_, o_ = (next(it) for _ in range(3))
+            xb, dp = next(it), next(it)
+            db = next(it) if has_d else None
+            tbc, cb, ob = next(it), next(it), next(it)
+            isem, osem = next(it), next(it)
+            return _vp2_pipe_kernel(
+                scal_, glo_, ghi_, gsl_, gsh_, d_, t_, c_, o_, xb, dp, db,
+                tbc, cb, ob, isem, osem, n=n_pad, n_true=n, b1=block_b1,
+                b2=block_b2, nt1=P1 // block_b1, nt2=P2 // block_b2,
+                spec=spec)
+
+        inputs = [scal, geo_lo.astype(cdt), geo_hi.astype(cdt),
+                  gs_lo.astype(cdt), gs_hi.astype(cdt)]
+        in_specs = [sspec, sspec, sspec, sspec, sspec]
+        if has_d:
+            inputs.append(rhs)
+            in_specs.append(hbm)
+        inputs += [T, code]
+        in_specs += [hbm, hbm]
+        out = pl.pallas_call(
+            pbody,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=hbm,
+            out_shape=jax.ShapeDtypeStruct((n_pad, P1, P2), dtype),
+            scratch_shapes=[s for s in scratch if s is not None],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(*inputs)
+        if p1 or p2 or pn:
+            out = out[:n, :b1, :b2]
+        return out
 
     grid = (P1 // block_b1, P2 // block_b2)
     hbm = pl.BlockSpec(memory_space=pl.ANY)
@@ -989,3 +1056,155 @@ def fused_vp2_sweep_axis1(rhs, T, code, dtor, *, k_spec, cp_spec,
     if p1 or p2 or pn:
         out = out[:b1, :n, :b2]
     return out
+
+
+# ---------------------------------------------------------------------------
+# cross-tile pipelined open sweep (short lines: the cylindrical r solve)
+# ---------------------------------------------------------------------------
+
+def _vp2_pipe_kernel(scal_ref, glo_ref, ghi_ref, gsl_ref, gsh_ref, d_hbm,
+                     t_hbm, code_hbm, out_hbm, xbuf, dpbuf, dbuf, tbuf,
+                     cbuf, obuf, in_sem, out_sem, *, n, n_true, b1, b2,
+                     nt1, nt2, spec):
+    """Short-line vp2 sweep (whole line = one chunk): zero DMA/compute
+    overlap in the streaming form, so this variant pipelines across batch
+    tiles exactly like pallas_vpfields._vp_fields_pipe_kernel — tile q+1
+    prefetches while q computes; q-1's output drains during q's forward
+    pass.  The whole line is VMEM-resident, so the hi-face lookahead reads
+    the line buffer directly (no boundary-row prefetch)."""
+    (k_spec, cp_spec, h_lo, h_hi, tinf_void, eps, edge0, edge1) = spec
+    f32 = xbuf.dtype
+    has_d = dbuf is not None
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    q = i * nt2 + j
+    ntiles = nt1 * nt2
+    slot = q % 2
+    dtor = scal_ref[0]
+
+    def coords(t):
+        return (t // nt2) * b1, (t % nt2) * b2
+
+    def in_dmas(t):
+        r0, c0 = coords(t)
+        sl = t % 2
+        src = lambda ref: ref.at[:, pl.ds(r0, b1), pl.ds(c0, b2)]
+        dmas = ()
+        if has_d:
+            dmas += (pltpu.make_async_copy(src(d_hbm), dbuf.at[sl],
+                                           in_sem.at[0]),)
+        return dmas + (
+            pltpu.make_async_copy(src(t_hbm), tbuf.at[sl], in_sem.at[1]),
+            pltpu.make_async_copy(src(code_hbm), cbuf.at[sl],
+                                  in_sem.at[2]),
+        )
+
+    def out_dma(t):
+        r0, c0 = coords(t)
+        return pltpu.make_async_copy(
+            obuf, out_hbm.at[:, pl.ds(r0, b1), pl.ds(c0, b2)], out_sem)
+
+    @pl.when(q == 0)
+    def _first():
+        for dma in in_dmas(0):
+            dma.start()
+
+    for dma in in_dmas(q):
+        dma.wait()
+
+    @pl.when(q + 1 < ntiles)
+    def _prefetch():
+        for dma in in_dmas(q + 1):
+            dma.start()
+
+    zero = jnp.zeros((b1, b2), f32)
+
+    # compute body emitted twice under parity guards: static slot indices
+    # keep the hot per-group loads statically addressed (pallas_fields
+    # pipe-kernel note: a traced slot measured ~20% slower)
+    def forward(sl):
+        def grp(g, carry):
+            cp_prev, dp_prev, f_lo = carry
+            s = pl.multiple_of(g * G, G)
+            t_g = tbuf[sl, pl.ds(s, G)].astype(f32)
+            d_g = (dbuf[sl, pl.ds(s, G)].astype(f32) if has_d else t_g)
+            code_g = cbuf[sl, pl.ds(s, G)].astype(jnp.int32)
+            nb = jnp.minimum(s + G, n - 1)
+            t_bnd = tbuf[sl, nb].astype(f32)
+            ks = [_ev_spec(k_spec, t_g[r]) for r in range(G)]
+            k_bnd = _ev_spec(k_spec, t_bnd)
+            cps, dps = [], []
+            for r in range(G):
+                row = s + r
+                c_r32 = code_g[r]
+                bit = lambda b: ((c_r32 & b) > 0).astype(f32)
+                k_next = ks[r + 1] if r + 1 < G else k_bnd
+                f_hi = _harm(ks[r], k_next) * bit(1)
+                dw_r = dtor / _ev_spec(cp_spec, t_g[r])
+                hr_v = _rad(t_g[r], eps, tinf_void) if eps > 0.0 else 0.0
+                sink = (bit(2) * gsl_ref[row] * (h_lo + hr_v)
+                        + bit(4) * gsh_ref[row] * (h_hi + hr_v))
+                srhs = sink * tinf_void
+                if edge0 is not None:
+                    h_e, g_e, tinf_e = edge0
+                    hr_e = (hr_v if (eps <= 0.0 or tinf_e == tinf_void)
+                            else _rad(t_g[r], eps, tinf_e))
+                    s_e = jnp.where(row == 0,
+                                    bit(8) * g_e * (h_e + hr_e), 0.0)
+                    sink = sink + s_e
+                    srhs = srhs + s_e * tinf_e
+                if edge1 is not None:
+                    h_e, g_e, tinf_e = edge1
+                    hr_e = (hr_v if (eps <= 0.0 or tinf_e == tinf_void)
+                            else _rad(t_g[r], eps, tinf_e))
+                    s_e = jnp.where(row == n_true - 1,
+                                    bit(8) * g_e * (h_e + hr_e), 0.0)
+                    sink = sink + s_e
+                    srhs = srhs + s_e * tinf_e
+                al = glo_ref[row] * f_lo
+                ch = ghi_ref[row] * f_hi
+                a_r = -dw_r * al
+                c_r = -dw_r * ch
+                b_r = 1.0 + dw_r * (al + ch + sink)
+                d_r = d_g[r] + dw_r * srhs
+                inv = 1.0 / (b_r - a_r * cp_prev)
+                cp_prev = c_r * inv
+                dp_prev = (d_r - a_r * dp_prev) * inv
+                cps.append(cp_prev)
+                dps.append(dp_prev)
+                f_lo = f_hi
+            xbuf[pl.ds(s, G)] = jnp.stack(cps)
+            dpbuf[pl.ds(s, G)] = jnp.stack(dps)
+            return cp_prev, dp_prev, f_lo
+
+        lax.fori_loop(0, n // G, grp, (zero, zero, zero))
+
+    @pl.when(slot == 0)
+    def _fwd0():
+        forward(0)
+
+    @pl.when(slot == 1)
+    def _fwd1():
+        forward(1)
+
+    @pl.when(q >= 1)
+    def _drain_prev():
+        out_dma(q - 1).wait()
+
+    def grp_b(gg, x_next):
+        s = pl.multiple_of((n // G - 1 - gg) * G, G)
+        cp_g = xbuf[pl.ds(s, G)]
+        dp_g = dpbuf[pl.ds(s, G)]
+        xs = [None] * G
+        for r in range(G - 1, -1, -1):
+            x_next = dp_g[r] - cp_g[r] * x_next
+            xs[r] = x_next
+        obuf[pl.ds(s, G)] = jnp.stack(xs)
+        return x_next
+
+    lax.fori_loop(0, n // G, grp_b, zero)
+    out_dma(q).start()
+
+    @pl.when(q == ntiles - 1)
+    def _drain_last():
+        out_dma(q).wait()
