@@ -60,7 +60,8 @@ from .cartesian import shift_in
 from .cartesian_varprop import _face_g
 from .cylindrical import RobinBC, ZFaceBC
 
-__all__ = ["adi_step_cyl_varprop", "adi_step_cyl_varprop_masked"]
+__all__ = ["adi_step_cyl_varprop", "adi_step_cyl_varprop_masked",
+           "build_cyl_vp2_plan"]
 
 # Tier-2 fully-fused kernels (solvers/pallas_vp2.py): k(T)/cp(T)/films
 # derived IN REGISTERS from T + a 1-byte face code — per sweep read
@@ -148,9 +149,33 @@ def _solve_cyclic_fields(a, b, c, d, implementation, interpret):
     return cyclic_thomas(a, b, c, d)
 
 
+def build_cyl_vp2_plan(active, grid: CylindricalGrid, zbc: ZFaceBC):
+    """Prebuilt vp2 face codes for a FIXED activation mask — one per birth
+    event segment (the masked-const family's "plan prebuilt" convention):
+    (code_r, code_p natural, code_z z-leading).  Pass to
+    ``adi_step_cyl_varprop(vp2_plan=...)`` to shed the per-step XLA code
+    builds (~8 B/cell/step); during active deposition (mask changing every
+    step, e.g. apps/spiral_tube) simply omit it — the step rebuilds."""
+    from ..solvers.pallas_vp2 import build_vp2_code
+
+    act_b = (jnp.ones(grid.shape, bool) if active is None
+             else active.astype(bool))
+    code_r = build_vp2_code(act_b, 0)
+    code_p = build_vp2_code(act_b, 1, periodic=True)
+    if not grid.is_annular:
+        code_p = code_p.at[0].set(jnp.int8(0))
+    clear = tuple(idx for idx, kind in
+                  ((0, zbc.kind_bot), (grid.nz - 1, zbc.kind_top))
+                  if kind == "dirichlet")
+    code_z = jnp.moveaxis(
+        build_vp2_code(act_b, 2, clear_rows=clear), 2, 0)
+    return (code_r, code_p, code_z)
+
+
 def _vp2_be_step(T, grid, mat_ref, dt, robin_outer, zbc, k_specs, cp_spec,
                  *, robin_inner, act, h_void, T_inf_void, h_front, source,
-                 emissivity, cp_table, interpret, constrain):
+                 emissivity, cp_table, interpret, constrain,
+                 vp2_plan=None):
     """Tier-2 fully-fused BE chain: r -> phi -> z with every per-cell
     quantity derived in kernel registers from T^n + 1-byte face codes
     (solvers/pallas_vp2.py; VP2_DEFAULT note).  Semantics identical to
@@ -190,7 +215,8 @@ def _vp2_be_step(T, grid, mat_ref, dt, robin_outer, zbc, k_specs, cp_spec,
         edge_r1 = (float(robin_outer.h),
                    float(r_iph[nr - 1] / (r[nr - 1] * dr)),
                    float(robin_outer.T_inf))
-    code_r = build_vp2_code(act_b, 0)
+    code_r = (vp2_plan[0] if vp2_plan is not None
+              else build_vp2_code(act_b, 0))
     spec_r = (k_specs[0], cp_spec, h_v, h_v, tv, eps, edge_r0, edge_r1)
 
     if source is None:
@@ -213,10 +239,13 @@ def _vp2_be_step(T, grid, mat_ref, dt, robin_outer, zbc, k_specs, cp_spec,
             f32v(1.0 / (r * r * grid.dphi * grid.dphi))[:, None], (nr, nz))
         gs2 = jnp.broadcast_to(
             f32v(1.0 / (r * grid.dphi))[:, None], (nr, nz))
-        code_p = build_vp2_code(act_b, 1, periodic=True)
-        if not grid.is_annular:
-            # full-disk axis-row regularity: r = 0 lines are identities
-            code_p = code_p.at[0].set(jnp.int8(0))
+        if vp2_plan is not None:
+            code_p = vp2_plan[1]
+        else:
+            code_p = build_vp2_code(act_b, 1, periodic=True)
+            if not grid.is_annular:
+                # full-disk axis-row regularity: r = 0 lines = identities
+                code_p = code_p.at[0].set(jnp.int8(0))
         spec_p = (k_specs[1], cp_spec, h_v, tv, eps)
         X = vp2_cyclic_solve(constrain(X, "phi"), T, code_p, geo2, gs2,
                              dtor, spec=spec_p, interpret=interpret)
@@ -243,8 +272,8 @@ def _vp2_be_step(T, grid, mat_ref, dt, robin_outer, zbc, k_specs, cp_spec,
             clear.append(idx)       # no films on pinned rows
         elif kind != "neumann0":
             raise ValueError(f"unknown z-face BC kind: {kind!r}")
-    code_z = jnp.moveaxis(
-        build_vp2_code(act_b, 2, clear_rows=tuple(clear)), 2, 0)
+    code_z = (vp2_plan[2] if vp2_plan is not None else jnp.moveaxis(
+        build_vp2_code(act_b, 2, clear_rows=tuple(clear)), 2, 0))
     spec_z = (k_specs[2], cp_spec, h_v, h_f, tv, eps, edge_z0, edge_z1)
 
     dn = constrain(X, "z")
@@ -272,7 +301,8 @@ def adi_step_cyl_varprop(T: jax.Array, grid: CylindricalGrid,
                          implementation: str = "auto",
                          interpret: bool | None = None,
                          constrain=None, z_solver=None,
-                         vp2: bool | None = None) -> jax.Array:
+                         vp2: bool | None = None,
+                         vp2_plan=None) -> jax.Array:
     """One variable-property cylindrical step (see module docstring).
 
     scheme: "be" (backward Euler, default — robust near the latent-heat
@@ -335,7 +365,7 @@ def adi_step_cyl_varprop(T: jax.Array, grid: CylindricalGrid,
             source=source, emissivity=emissivity, scheme=scheme,
             theta=theta, implementation=implementation,
             interpret=interpret, constrain=constrain, z_solver=z_solver,
-            vp2=vp2)
+            vp2=vp2, vp2_plan=vp2_plan)
         return out.astype(T.dtype)
     if implementation == "auto":
         implementation = ("pallas" if (jax.default_backend() == "tpu"
@@ -368,7 +398,8 @@ def adi_step_cyl_varprop(T: jax.Array, grid: CylindricalGrid,
                 robin_inner=robin_inner, act=act, h_void=h_void,
                 T_inf_void=T_inf_void, h_front=h_front, source=source,
                 emissivity=emissivity, cp_table=cp_table,
-                interpret=interpret, constrain=constrain)
+                interpret=interpret, constrain=constrain,
+                vp2_plan=vp2_plan)
 
     (kf_r, kf_p, kf_z), w = _props(T, mat_ref, k_table, cp_table)
     dw = dt * w

@@ -415,13 +415,20 @@ def run_cyl_varprop(shape=(64, 512, 256), steps=30, dtype=None):
     act[:, :(3 * nphi) // 5, nz // 2:nz // 2 + nz // 8] = True
     active = jnp.asarray(act)
 
+    from adi_thermal_fields_tpu.step.cylindrical_varprop import (
+        build_cyl_vp2_plan)
+
+    # prebuilt vp2 face codes (production steady state between birth
+    # events — the masked case's "plan prebuilt" convention)
+    plan = jax.jit(lambda a: build_cyl_vp2_plan(a, grid, zbc))(active)
+
     @jax.jit
     def step(T, active, dt):
         return adi_step_cyl_varprop(
             T, grid, mat, dt=dt, robin_outer=rob, zbc=zbc,
             robin_inner=RobinBC(50.0, 20.0), active=active, h_void=80.0,
             T_inf_void=20.0, h_front=200.0, k_table=kt, cp_table=ct,
-            emissivity=0.5)
+            emissivity=0.5, vp2_plan=plan)
 
     probe = jax.jit(lambda x: jnp.sum(x[::16, ::64, ::64]))
     T = jnp.where(active, 1600.0, 20.0).astype(dtype)

@@ -329,3 +329,38 @@ def test_cartesian_vp2_y_matches_stream_path(rad, monkeypatch):
     b = run(True)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                rtol=2e-5, atol=5e-3)
+
+
+def test_step_vp2_nphi1_no_inner():
+    """Degenerate phi (nphi=1, pure r-z) + no inner Robin: the vp2 chain
+    skips the cyclic solve and the inner edge film."""
+    from adi_thermal_fields_tpu import CylindricalGrid
+    from adi_thermal_fields_tpu.step.cylindrical_varprop import (
+        adi_step_cyl_varprop)
+
+    grid = CylindricalGrid(12, 1, 24, 5e-4, 5e-4, r_inner=0.02)
+    rng = np.random.default_rng(37)
+    T = jnp.asarray(400.0 + 900.0 * rng.random(grid.shape), jnp.float32)
+    kw = _step_kw()
+    kw["robin_inner"] = None
+    dt = jnp.float32(0.02)
+    a = adi_step_cyl_varprop(T, grid, dt=dt, vp2=False, **kw)
+    b = adi_step_cyl_varprop(T, grid, dt=dt, vp2=True, **kw)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=2e-5, atol=5e-3)
+
+
+def test_step_vp2_plan_matches_inline_codes():
+    """build_cyl_vp2_plan prebuilt codes == per-step inline builds."""
+    from adi_thermal_fields_tpu.step.cylindrical_varprop import (
+        adi_step_cyl_varprop, build_cyl_vp2_plan)
+
+    grid, act, T = _tube()
+    kw = _step_kw()
+    dt = jnp.float32(0.02)
+    plan = build_cyl_vp2_plan(act, grid, kw["zbc"])
+    a = adi_step_cyl_varprop(T, grid, dt=dt, active=act, vp2=True, **kw)
+    b = adi_step_cyl_varprop(T, grid, dt=dt, active=act, vp2=True,
+                             vp2_plan=plan, **kw)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=0,
+                               atol=0)
