@@ -364,3 +364,25 @@ def test_step_vp2_plan_matches_inline_codes():
                              vp2_plan=plan, **kw)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=0,
                                atol=0)
+
+
+def test_vp2_sweep_single_chunk_streaming():
+    """nchunks == 1 with the pipelined form disabled: the boundary-row
+    slot is a zero dummy and must never leak into real rows."""
+    rng = np.random.default_rng(43)
+    shape = (64, 16, 128)
+    T, rhs = _fields(rng, shape)
+    act = jnp.asarray(_mask(rng, shape))
+    code = build_vp2_code(act, 0)
+    n = shape[0]
+    glo = jnp.asarray(0.3 + rng.random(n), jnp.float32)
+    gsl = jnp.asarray(0.1 + rng.random(n), jnp.float32)
+    dtor = jnp.float32(0.02 / RHO)
+    kw = dict(k_spec=K_SPEC, cp_spec=CP_SPEC, h_lo=80.0, h_hi=200.0,
+              tinf_void=20.0, emissivity=0.5)
+    a = fused_vp2_sweep(rhs, T, code, glo, glo, gsl, gsl, dtor,
+                        interpret=True, pipelined=True, **kw)
+    b = fused_vp2_sweep(rhs, T, code, glo, glo, gsl, gsl, dtor,
+                        interpret=True, pipelined=False, **kw)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=2e-6, atol=1e-4)
