@@ -28,6 +28,12 @@ EOF
     if [ $? -eq 0 ]; then
         echo "[watch] HEALTHY — running r4 gates" | tee -a /tmp/r4w/watch.log
         timeout 1800 python scripts/r4_gates.py 2>&1 | tee /tmp/r4w/gates.log
+        gates_rc=${PIPESTATUS[0]}
+        if [ "$gates_rc" -ne 0 ]; then
+            echo "[watch] gates FAILED (rc=$gates_rc) — skipping follow-up" \
+                | tee -a /tmp/r4w/watch.log
+            exit "$gates_rc"
+        fi
         bash scripts/r4_followup.sh 2>&1 | tee /tmp/r4w/followup.log
         echo "[watch] DONE" | tee -a /tmp/r4w/watch.log
         exit 0

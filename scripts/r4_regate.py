@@ -18,7 +18,12 @@ import r4_gates as g
 if __name__ == "__main__":
     import jax
     print(f"[r4 regate] {jax.devices()}", flush=True)
-    g.probe()   # informational only — slope timing excludes compiles
+    # DEGRADED also covers elevated steady-state exec time, which slope
+    # timing does NOT exclude — abort unless forced (ADVICE r4).
+    if not g.probe() and "--force" not in sys.argv:
+        print("[r4 regate] DEGRADED window — aborting (use --force to "
+              "override)", flush=True)
+        sys.exit(2)
     for name, y, z in (("classic", False, False), ("vp2-z", False, True)):
         ms = g.vp_case(384, y, z)
         print(f"[cart varprop 384^3 {name}] {ms:.2f} ms/step = "
