@@ -211,13 +211,16 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
         # fully-fused varprop path (solvers/pallas_varprop): per-cell
         # coefficients rebuilt in kernel registers from streamed k(T) and
         # 1/(rho cp(T)), Robin sink from the plan-lite codes — eligible for
-        # the flagship BC set (Robin-only scalar h / radiative film).
-        # Measured 384^3: 64 -> 38 ms/step vs the materialized
-        # field-coefficient path.  On a mesh the same kernels run per shard
-        # (dist/varprop) with XLA-collective halos/re-lays.
+        # the flagship BC set: Robin-only h (scalar, per-face dict, or 3-D
+        # field — per-face corrected fields ride the per-axis A/B streams
+        # of build_face_h_axes) / radiative film.  Measured 384^3:
+        # 64 -> 38 ms/step vs the materialized field-coefficient path.  On
+        # a mesh the same kernels run per shard (dist/varprop) with
+        # XLA-collective halos/re-lays (scalar h only — field h keeps the
+        # materialized formulation there).
         fused_vp = (impl_vp == "pallas" and neumann is None
                     and dirichlet_mask is None
-                    and (robin_h is None or isinstance(robin_h, (int, float))))
+                    and (scalar_conv or mesh is None))
         if stochastic_rounding and not fused_vp:
             raise ValueError("stochastic_rounding on the varprop path needs "
                              "the fused kernels (implementation='pallas', "
@@ -246,15 +249,62 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
             # change the layout contract).
             pad_vp = mesh is None
 
-            @jax.jit
-            def prepare(active):
-                active = active.astype(bool)
-                if pad_vp:
-                    active = pad_domain(active)
-                return (active, build_varprop_codes(active))
+            if scalar_conv:
+                @jax.jit
+                def prepare(active):
+                    active = active.astype(bool)
+                    if pad_vp:
+                        active = pad_domain(active)
+                    return (active, build_varprop_codes(active), None)
+            else:
+                # per-face/field h: fold the static convective fields and
+                # radiative area scales into per-axis A/B streams
+                # (build_face_h_axes) at plan-build time.  The 3-D field
+                # values are passed as jit ARGUMENTS — closing over them
+                # embeds HLO constants the remote compile service rejects
+                # at size (HTTP 413, NOTES.md); scalars/None stay static.
+                from ..bc.packs import _normalize_per_face
+                from ..step.cartesian_varprop import build_face_h_axes
+
+                h_pf = _normalize_per_face(robin_h)
+                s_pf = (_normalize_per_face(radiation_scale)
+                        if emissivity is not None else None)
+
+                def _split(pf):
+                    if pf is None:
+                        return {}, None
+                    arrs = {f: jnp.asarray(v) for f, v in pf.items()
+                            if v is not None
+                            and not isinstance(v, (int, float))}
+                    consts = {f: v for f, v in pf.items()
+                              if f not in arrs}
+                    return arrs, consts
+
+                h_arr, h_const = _split(h_pf)
+                s_arr, s_const = _split(s_pf)
+                h_dtype = jnp.promote_types(pack_dtype, jnp.float32)
+
+                @jax.jit
+                def _prep(active, h_arr, s_arr):
+                    active = active.astype(bool)
+                    if pad_vp:
+                        active = pad_domain(active)
+                        h_arr = {f: pad_domain(v)
+                                 for f, v in h_arr.items()}
+                        s_arr = {f: pad_domain(v)
+                                 for f, v in s_arr.items()}
+                    h_spec = {**h_const, **h_arr}
+                    s_spec = (None if s_pf is None
+                              else {**s_const, **s_arr})
+                    h_ab = build_face_h_axes(active, h_spec, s_spec,
+                                             dtype=h_dtype)
+                    return (active, build_varprop_codes(active), h_ab)
+
+                def prepare(active):
+                    return _prep(active, h_arr, s_arr)
 
             def step1(T, prep, dt, t, istep):
-                active, codes = prep
+                active, codes, h_ab = prep
                 T = constrain(T)
                 src = None if source_fn is None else source_fn(t)
                 if pad_vp and src is not None:
@@ -273,7 +323,8 @@ def make_cartesian_engine(grid: CartesianGrid, mat: Material, *,
                 return constrain(adi_step_varprop_fused(
                     T, active, codes, grid, mat, k_table=k_table,
                     cp_table=cp_table, dt=dt, theta=theta, t_inf=t_inf,
-                    robin_h=float(robin_h or 0.0), h_field=None,
+                    robin_h=(float(robin_h or 0.0) if scalar_conv else 0.0),
+                    h_field=None, h_axes=h_ab,
                     emissivity=emissivity, h_conv=h_conv, source=src,
                     rng_seed=seed,
                     # None = auto (interpret off-TPU); True forces it

@@ -290,6 +290,63 @@ def build_varprop_codes(mask: jax.Array) -> tuple:
             sweep_code(mask, None, 2))
 
 
+def build_face_h_axes(mask: jax.Array, robin_h, radiation_scale=None,
+                      dtype=jnp.float32) -> tuple:
+    """Per-axis effective film streams carrying PER-FACE convective h
+    fields (and per-face radiative area scales) through the fused varprop
+    sweeps' single-h-per-cell sink model ``sink = sk*h*(n_exposed)``.
+
+    The fused kernels multiply the streamed film by the axis exposure
+    count ``n = e_lo + e_hi`` (in {0,1,2}); a per-face spec needs
+    different values on the two faces, so we pre-fold the face sum and
+    normalize by the count: ``A = (e_lo*h_lo + e_hi*h_hi)/max(n,1)`` —
+    the kernel's ``A*n`` then reconstructs the true face sum EXACTLY
+    (division by 2 is an exponent shift, n==0 cells contribute nothing).
+    ``B`` is the same fold over the per-face radiative area-ratio scales
+    (``geometry/bc_correction.build_corrected_robin_fields`` contract,
+    reference voxel_bc_correction.py:207-225) so a Picard radiative film
+    enters per sweep as ``A + h_rad(T)*B`` with NO extra stream vs the
+    scalar-conv radiative path.
+
+    Returns ``((Ax, Bx), (Ay, By), (Az, Bz))`` with the z pair already in
+    the z-leading (z,x,y) layout (it is mask-static — transposing once at
+    plan-build time keeps the per-step z solve transpose-free).  ``B`` is
+    None when ``radiation_scale`` is None.  Rebuild on birth events."""
+    from ..bc.faces import exposed_face
+    from ..bc.packs import _normalize_per_face
+
+    mask = mask.astype(bool)
+    h_pf = _normalize_per_face(robin_h)
+    s_pf = (None if radiation_scale is None
+            else _normalize_per_face(radiation_scale))
+    out = []
+    for ax, (flo, fhi) in enumerate((("x-", "x+"), ("y-", "y+"),
+                                     ("z-", "z+"))):
+        e_lo = exposed_face(mask, flo).astype(dtype)
+        e_hi = exposed_face(mask, fhi).astype(dtype)
+        inv_n = 1.0 / jnp.maximum(e_lo + e_hi, 1.0)
+
+        def fold(pf):
+            lo = pf[flo] if pf[flo] is not None else 0.0
+            hi = pf[fhi] if pf[fhi] is not None else 0.0
+            return ((e_lo * jnp.asarray(lo, dtype)
+                     + e_hi * jnp.asarray(hi, dtype)) * inv_n)
+
+        A = fold(h_pf)
+        # missing radiation_scale faces default to 1 (uncorrected), per
+        # the engine _compose_h contract
+        if s_pf is None:
+            B = None
+        else:
+            B = fold({f: (1.0 if s_pf[f] is None else s_pf[f])
+                      for f in (flo, fhi)})
+        if ax == 2:
+            A = jnp.moveaxis(A, 2, 0)
+            B = None if B is None else jnp.moveaxis(B, 2, 0)
+        out.append((A, B))
+    return tuple(out)
+
+
 def _table_spec(tab, default: float):
     """Static kernel spec for a property: a float (constant) or the
     PropertyTable contents as hashable tuples; None if ineligible for the
@@ -439,6 +496,7 @@ def adi_step_varprop_fused(T: jax.Array, mask: jax.Array, codes: tuple,
                            theta: float = 0.5, t_inf=0.0,
                            robin_h: float = 0.0,
                            h_field: jax.Array | None = None,
+                           h_axes: tuple | None = None,
                            emissivity=None, h_conv=0.0,
                            source: jax.Array | None = None,
                            rng_seed=None,
@@ -464,17 +522,26 @@ def adi_step_varprop_fused(T: jax.Array, mask: jax.Array, codes: tuple,
     unfused chain at f32 (FMA-contraction reassociation only; tested).
     ``None`` takes ``FUSE_THETA_DEFAULT`` (module flag, flipped once the
     kernel is chip-validated) so the engine/WAAM/bench inherit one switch.
+
+    h_axes: per-axis (A, B) effective-film streams from
+    ``build_face_h_axes`` carrying PER-FACE convective h fields (e.g. the
+    STL area-corrected fields) and radiative area scales — the sweep-ax
+    film becomes ``A + h_rad(T)*B`` (B/emissivity optional), same stream
+    count as the scalar-conv radiative path.  Mutually exclusive with
+    ``h_field``/``robin_h``; ``h_conv`` is ignored (convection lives in A).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if fuse_theta is None:
         fuse_theta = FUSE_THETA_DEFAULT
+    if h_axes is not None and h_field is not None:
+        raise ValueError("h_axes and h_field are mutually exclusive")
     if gstreams is None:
         gstreams = (G_STREAMS_DEFAULT
                     or (G_STREAMS_BF16_DEFAULT
                         and jnp.promote_types(T.dtype, jnp.float32)
                         != T.dtype))
-    if gstreams and theta > 0.0 \
+    if gstreams and theta > 0.0 and h_axes is None \
             and jnp.promote_types(T.dtype, jnp.float32) == jnp.float32 \
             and _table_spec(k_table, mat_ref.k) is not None \
             and _table_spec(cp_table, mat_ref.cp) is not None:
@@ -489,7 +556,8 @@ def adi_step_varprop_fused(T: jax.Array, mask: jax.Array, codes: tuple,
     # g-tier folds it in-register instead).  ``self_rad`` marks the film as
     # a pure pointwise function of T — the z solve then REBUILDS it in the
     # z-leading layout instead of transposing the finished stream.
-    self_rad = emissivity is not None and h_field is None
+    self_rad = (emissivity is not None and h_field is None
+                and h_axes is None)
     if self_rad:
         h_field = radiative_h(T, emissivity, t_inf, h_conv=h_conv)
     from ..solvers.pallas_varprop import (fused_varprop_sweep,
@@ -513,9 +581,26 @@ def adi_step_varprop_fused(T: jax.Array, mask: jax.Array, codes: tuple,
     # — the bf16 production hazard, NOTES.md)
     sr = (rng_seed if jnp.promote_types(dtype, jnp.float32) != dtype
           else None)
-    rob = 0.0 if h_field is not None else float(robin_h)
+    rob = (0.0 if h_field is not None or h_axes is not None
+           else float(robin_h))
     d_ax = grid.spacing
     hf = h_field
+
+    if h_axes is not None:
+        # per-face film streams: A (static convective fold) plus the
+        # Picard radiative film scaled by the static per-face area-ratio
+        # fold B.  h_rad is PURE radiation (h_conv=0): the convective part
+        # lives in A.  ``Tl`` is T in the sweep's layout (pointwise film,
+        # so h_rad(transpose(T)) == transpose(h_rad(T)) and XLA fuses it
+        # into the stream build).
+        def h_ax_stream(ax, Tl):
+            A, B = h_axes[ax]
+            if B is None or emissivity is None:
+                return A.astype(dtype)
+            return (A + radiative_h(Tl, emissivity, t_inf,
+                                    h_conv=0.0) * B).astype(dtype)
+    else:
+        h_ax_stream = None
 
     # tier-2 (vp2) eligibility, shared by the y and z solves: static
     # pointwise property specs, f32 states, no stochastic stores, and a
@@ -524,7 +609,8 @@ def adi_step_varprop_fused(T: jax.Array, mask: jax.Array, codes: tuple,
     vp2_cp = _table_spec(cp_table, mat_ref.cp)
     vp2_ok = (sr is None
               and jnp.promote_types(dtype, jnp.float32) == dtype
-              and vp2_cp is not None and (hf is None or self_rad))
+              and vp2_cp is not None and (hf is None or self_rad)
+              and h_axes is None)
     vp2_h = float(h_conv) if self_rad else float(robin_h)
     vp2_eps = float(emissivity) if self_rad else 0.0
 
@@ -536,13 +622,15 @@ def adi_step_varprop_fused(T: jax.Array, mask: jax.Array, codes: tuple,
             rng_seed=None if sr is None else sr + (ax + 1),
             interpret=interpret)
 
+    hx = hf if h_ax_stream is None else h_ax_stream(0, T)
+    hy = hf if h_ax_stream is None else h_ax_stream(1, T)
     if fuse_theta:
         # ring kernel: theta-pass + x-sweep in one HBM pass, no R0 store
         U = fused_varprop_theta_sweep(
             T, codes[0], fc[0], fc[1], fc[2], w,
             (1.0 - theta) * dt, [float(v) for v in inv_d2],
             float(theta) * dt * inv_d2[0], dt / d_ax[0], t_inf,
-            h=hf, rob_c=rob, src=source, dt=dt,
+            h=hx, rob_c=rob, src=source, dt=dt,
             rng_seed=None if sr is None else sr + 1,
             interpret=interpret)
     else:
@@ -554,7 +642,7 @@ def adi_step_varprop_fused(T: jax.Array, mask: jax.Array, codes: tuple,
             src=source, dt=dt,
             rng_seed=None if sr is None else sr,
             interpret=interpret).astype(dtype)
-        U = sweep(R0, 0, fc[0], w, hf)
+        U = sweep(R0, 0, fc[0], w, hx)
     # y: the axis-1 kernel sweeps in the NATURAL layout — no transposes
     ky_tab = k_table[1] if isinstance(k_table, (tuple, list)) else k_table
     ky_spec = _table_spec(ky_tab, mat_ref.k)
@@ -572,7 +660,7 @@ def adi_step_varprop_fused(T: jax.Array, mask: jax.Array, codes: tuple,
             h_hi=vp2_h, tinf_void=float(t_inf), emissivity=vp2_eps,
             interpret=interpret)
     else:
-        V = sweep(U, 1, fc[1], w, hf, kernel=fused_varprop_sweep_axis1)
+        V = sweep(U, 1, fc[1], w, hy, kernel=fused_varprop_sweep_axis1)
     # z: (x,y,z) -> (z,x,y).  Session-H rule (NOTES.md): never transpose a
     # DERIVED stream — transpose its SOURCE and rebuild the stream in the
     # target layout.  Only the chained rhs moves in (and the solution
@@ -625,6 +713,10 @@ def adi_step_varprop_fused(T: jax.Array, mask: jax.Array, codes: tuple,
         # cannot be re-derived from Tz — fall back to transposing them
         fcz, wz = t2n(fc[2]), t2n(w)
         hz = None if hf is None else t2n(hf)
+    if h_ax_stream is not None:
+        # A_z/B_z are mask-static and stored z-led; only the pointwise
+        # radiative factor needs T in the z layout (fuses into the stream)
+        hz = h_ax_stream(2, Tz if z_rebuild else t2n(T))
     if jnp.promote_types(dtype, jnp.float32) == dtype:
         # NATURAL rhs/out z solve: the kernel relays chunks in VMEM, so
         # the chained rhs and the solution never pay a step-level

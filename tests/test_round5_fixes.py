@@ -1,0 +1,129 @@
+"""Round-5 fixes: per-face/field Robin h through the FUSED varprop tier
+(VERDICT r4 weak #4 — the flagship `--corrected_bc --emissivity`
+configuration previously dropped to the materialized field-coefficient
+path because the fused kernels' sink model is one h per cell per axis;
+build_face_h_axes folds per-face fields into per-axis A/B streams so the
+fast lane carries them at the same stream count.  Reference contract:
+voxel_bc_correction.py:207-225 — corrected Robin output is just another
+h field through the unified machinery)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from adi_thermal_fields_tpu import CartesianGrid, Material
+from adi_thermal_fields_tpu.apps.engine import make_cartesian_engine
+from adi_thermal_fields_tpu.step.cartesian_varprop import (PropertyTable,
+                                                           apparent_cp)
+
+FACES = ("x-", "x+", "y-", "y+", "z-", "z+")
+
+
+def _setup(n=8):
+    grid = CartesianGrid(n, n, n, 1e-3)
+    mat = Material(7800.0, 490.0, 54.0)
+    m = np.zeros(grid.shape, bool)
+    m[:, :, : n // 2] = True
+    m[: n // 2, : n // 2, n // 2 : n // 2 + 2] = True   # step feature
+    mask = jnp.asarray(m)
+    T0 = jnp.where(mask, 1400.0, 20.0)
+    rng = np.random.default_rng(7)
+    hf = {f: jnp.asarray(20.0 + 15.0 * rng.random(grid.shape))
+          for f in FACES}
+    sc = {f: jnp.asarray(0.6 + 0.8 * rng.random(grid.shape))
+          for f in FACES}
+    kt = PropertyTable(jnp.asarray([0.0, 800.0, 1600.0]),
+                       jnp.asarray([40.0, 50.0, 58.0]))
+    ct = apparent_cp(490.0, 520.0, 2.7e5, 1420.0, 1470.0)
+    return grid, mat, mask, T0, hf, sc, kt, ct
+
+
+def _run(impl, grid, mat, mask, T0, n_steps=6, **kw):
+    prepare, advance = make_cartesian_engine(
+        grid, mat, t_inf=20.0, implementation=impl, **kw)
+    prep = prepare(mask)
+    return advance(T0, prep, jnp.asarray(0.02), jnp.int32(n_steps), 0.0)
+
+
+def test_fused_field_h_radiative_matches_materialized():
+    """Per-face corrected-style h FIELDS + emissivity + per-face radiative
+    area scales: the fused (pallas, h_axes) lane must reproduce the
+    materialized field-coefficient lane."""
+    grid, mat, mask, T0, hf, sc, kt, ct = _setup()
+    kw = dict(robin_h=hf, emissivity=0.65, radiation_scale=sc,
+              k_table=kt, cp_table=ct)
+    Tf = _run("pallas", grid, mat, mask, T0, interpret=True, **kw)
+    Tx = _run("xla", grid, mat, mask, T0, **kw)
+    np.testing.assert_allclose(np.asarray(Tf), np.asarray(Tx),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_fused_field_h_convective_matches_materialized():
+    """A single 3-D convective h field (no radiation) through the fused
+    lane vs the materialized lane."""
+    grid, mat, mask, T0, hf, _, kt, ct = _setup()
+    h3d = hf["x-"]
+    kw = dict(robin_h=h3d, k_table=kt, cp_table=ct)
+    Tf = _run("pallas", grid, mat, mask, T0, interpret=True, **kw)
+    Tx = _run("xla", grid, mat, mask, T0, **kw)
+    np.testing.assert_allclose(np.asarray(Tf), np.asarray(Tx),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_fused_field_h_constant_fields_match_scalar_lane():
+    """Per-face fields all equal to one constant must agree with the
+    scalar-h fused lane (which derives the sink from code bits alone) —
+    the A-fold times the kernel's exposure count reconstructs the face
+    sum exactly."""
+    grid, mat, mask, T0, _, _, kt, ct = _setup()
+    h0 = 27.5
+    hconst = {f: jnp.full(grid.shape, h0) for f in FACES}
+    Tf = _run("pallas", grid, mat, mask, T0, interpret=True,
+              robin_h=hconst, k_table=kt, cp_table=ct)
+    Ts = _run("pallas", grid, mat, mask, T0, interpret=True,
+              robin_h=h0, k_table=kt, cp_table=ct)
+    np.testing.assert_allclose(np.asarray(Tf), np.asarray(Ts),
+                               rtol=1e-11, atol=1e-11)
+
+
+def test_fused_field_h_radiative_scalar_scale_equiv():
+    """emissivity + unit radiation scales through the field lane ==
+    scalar-conv radiative fused lane when the per-face fields equal the
+    scalar film."""
+    grid, mat, mask, T0, _, _, kt, ct = _setup()
+    h0 = 18.0
+    hconst = {f: jnp.full(grid.shape, h0) for f in FACES}
+    ones = {f: jnp.ones(grid.shape) for f in FACES}
+    Tf = _run("pallas", grid, mat, mask, T0, interpret=True,
+              robin_h=hconst, emissivity=0.5, radiation_scale=ones,
+              k_table=kt, cp_table=ct)
+    Ts = _run("pallas", grid, mat, mask, T0, interpret=True,
+              robin_h=h0, emissivity=0.5, k_table=kt, cp_table=ct)
+    np.testing.assert_allclose(np.asarray(Tf), np.asarray(Ts),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_fused_field_h_birth_rebuild():
+    """h_axes streams are rebuilt on birth events (prepare is mask-
+    dependent): activating a slab and stepping through the fused lane
+    matches the materialized lane after the rebuild."""
+    grid, mat, mask, T0, hf, sc, kt, ct = _setup()
+    kw = dict(robin_h=hf, emissivity=0.65, radiation_scale=sc,
+              k_table=kt, cp_table=ct)
+    m2 = np.asarray(mask).copy()
+    m2[:, :, grid.shape[2] // 2 : grid.shape[2] // 2 + 2] = True
+    mask2 = jnp.asarray(m2)
+
+    def both(impl, interp):
+        prepare, advance = make_cartesian_engine(
+            grid, mat, t_inf=20.0, implementation=impl,
+            interpret=interp, **kw)
+        T = advance(T0, prepare(mask), jnp.asarray(0.02), jnp.int32(3),
+                    0.0)
+        T = jnp.where(mask2 & ~mask, 1500.0, T)
+        return advance(T, prepare(mask2), jnp.asarray(0.02),
+                       jnp.int32(3), 0.0)
+
+    np.testing.assert_allclose(np.asarray(both("pallas", True)),
+                               np.asarray(both("xla", False)),
+                               rtol=1e-9, atol=1e-9)

@@ -265,6 +265,43 @@ def test_step_vp2_gradients_match_classic():
                                rtol=5e-3, atol=5e-4)
 
 
+def test_step_vp2_grad_error_budget_vs_f64_oracle():
+    """Error-budget decomposition of the loose (5e-3) vp2 grad tolerance
+    (VERDICT r4 weak #6): the vp2 tier is f32-gated, so instead of an x64
+    vp2 run, compare BOTH f32 tiers' gradients against the f64 XLA-tier
+    oracle.  If the vp2 VJP's deviation from the f64 truth is the same
+    order as the classic f32 tier's own deviation, the 5e-3 cross-f32
+    tolerance is f32 conditioning through the nonlinear property tables
+    (both tiers round differently on the same ~1e-3-conditioned chain),
+    not a pullback bug."""
+    from adi_thermal_fields_tpu.step.cylindrical_varprop import (
+        adi_step_cyl_varprop)
+
+    grid, act, T = _tube(shape=(6, 16, 16))
+    kw = _step_kw()
+    kw64 = dict(kw, implementation="xla")
+
+    def loss(T0, vp2, kwx, dtv):
+        out = adi_step_cyl_varprop(T0, grid, dt=dtv, active=act,
+                                   vp2=vp2, **kwx)
+        return jnp.sum(out * out) * 1e-6
+
+    g64 = jax.grad(lambda x: loss(x, False, kw64, jnp.float64(0.02)))(
+        T.astype(jnp.float64))
+    g32c = jax.grad(lambda x: loss(x, False, kw, jnp.float32(0.02)))(T)
+    g32v = jax.grad(lambda x: loss(x, True, kw, jnp.float32(0.02)))(T)
+
+    ref = np.asarray(g64)
+    nrm = np.linalg.norm(ref)
+    e_classic = np.linalg.norm(np.asarray(g32c, np.float64) - ref) / nrm
+    e_vp2 = np.linalg.norm(np.asarray(g32v, np.float64) - ref) / nrm
+    # both f32 tiers must sit at f32-conditioning distance from the f64
+    # truth, and vp2 must not be an outlier vs the classic tier
+    assert e_classic < 5e-4, e_classic
+    assert e_vp2 < 5e-4, e_vp2
+    assert e_vp2 <= 4.0 * e_classic + 1e-7, (e_vp2, e_classic)
+
+
 @pytest.mark.parametrize("rad", [False, True])
 def test_cartesian_vp2_z_matches_stream_rebuild(rad, monkeypatch):
     """adi_step_varprop_fused with the tier-2 z solve (VP2_Z_DEFAULT) vs
