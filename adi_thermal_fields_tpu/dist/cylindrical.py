@@ -316,6 +316,78 @@ def sharded_cyl_varprop_step(grid: CylindricalGrid, mat_ref: Material,
     return step
 
 
+def sharded_cyl_varprop_step_pallas(grid: CylindricalGrid,
+                                    mat_ref: Material, mesh: Mesh, *,
+                                    robin_outer: RobinBC, zbc: ZFaceBC,
+                                    k_table=None, cp_table=None,
+                                    robin_inner: RobinBC | None = None,
+                                    h_void: float = 0.0,
+                                    T_inf_void: float = 20.0,
+                                    h_front: float | None = None,
+                                    emissivity: float = 0.0,
+                                    interpret: bool = False):
+    """Sharded Pallas tier for the cylindrical varprop family (closes the
+    last dist-layer asymmetry: the Cartesian family already runs fused
+    kernels per shard, dist/varprop.py, while this configuration fell back
+    to XLA scans).  ``step(T, active, dt)``, backward Euler.
+
+    Division of labor (the dist/varprop pattern): the coupling/sink/srhs
+    STREAM builds stay in global XLA — they are elementwise + one-cell
+    shifts, so cross-shard halos lower to collective-permutes — and only
+    the three tridiagonal SOLVES run as shard_map-wrapped fused
+    vp-fields kernels (solvers/pallas_vpfields.py) on each shard's local
+    block, via adi_step_cyl_varprop's ``pallas_solvers`` hook.  Per-stage
+    layouts are _stage_specs (solve axis chip-local); the z solve keeps
+    the natural-rhs/out kernel so the z streams stay z-leading per shard.
+    New-design obligation (SURVEY §7) — the reference has no distributed
+    layer."""
+    from jax import shard_map
+
+    from ..solvers.differentiable import vp_cyclic_solve, vp_sweep_solve
+    from ..step.cylindrical_varprop import adi_step_cyl_varprop
+
+    specs = _stage_specs(mesh)
+    a, b = mesh.axis_names
+    sp_r, sp_p, sp_z = specs["r"], specs["phi"], specs["z"]
+    sp_zlead = P(None, None, (a, b))   # z-leading (nz, nr, nphi) streams
+    sp_geo_p = P(None, (a, b))         # phi geo2d (nr, nz), z sharded
+
+    def cz(x, stage):
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, specs[stage]))
+
+    r_solve = shard_map(
+        lambda d, fhi, dw, sink, srhs, glo, ghi: vp_sweep_solve(
+            d, fhi, dw, sink, srhs, glo, ghi, interpret=interpret),
+        mesh=mesh, in_specs=(sp_r,) * 5 + (P(), P()), out_specs=sp_r,
+        check_vma=False)
+    phi_solve = shard_map(
+        lambda d, flo, dw, sink, srhs, geo: vp_cyclic_solve(
+            d, flo, dw, sink, srhs, geo, interpret=interpret),
+        mesh=mesh, in_specs=(sp_p,) * 5 + (sp_geo_p,), out_specs=sp_p,
+        check_vma=False)
+    z_solve = shard_map(
+        lambda d, fhi, dw, sink, srhs, glo, ghi: vp_sweep_solve(
+            d, fhi, dw, sink, srhs, glo, ghi, interpret=interpret,
+            nat_rhs_out=True),
+        mesh=mesh, in_specs=(sp_z,) + (sp_zlead,) * 4 + (P(), P()),
+        out_specs=sp_z, check_vma=False)
+    solvers = {"r": r_solve, "phi": phi_solve, "z": z_solve}
+
+    @jax.jit
+    def step(T, active, dt):
+        out = adi_step_cyl_varprop(
+            cz(T, "r"), grid, mat_ref, dt=dt, robin_outer=robin_outer,
+            zbc=zbc, k_table=k_table, cp_table=cp_table,
+            robin_inner=robin_inner, active=active, h_void=h_void,
+            T_inf_void=T_inf_void, h_front=h_front,
+            emissivity=emissivity, implementation="pallas",
+            interpret=interpret, constrain=cz, pallas_solvers=solvers)
+        return cz(out, "r")
+
+    return step
+
+
 def sharded_cyl_varprop_longz(grid: CylindricalGrid, mat_ref: Material,
                               mesh: Mesh, *, robin_outer: RobinBC,
                               zbc: ZFaceBC, k_table=None, cp_table=None,

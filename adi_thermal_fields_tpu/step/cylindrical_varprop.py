@@ -302,7 +302,8 @@ def adi_step_cyl_varprop(T: jax.Array, grid: CylindricalGrid,
                          interpret: bool | None = None,
                          constrain=None, z_solver=None,
                          vp2: bool | None = None,
-                         vp2_plan=None) -> jax.Array:
+                         vp2_plan=None,
+                         pallas_solvers: dict | None = None) -> jax.Array:
     """One variable-property cylindrical step (see module docstring).
 
     scheme: "be" (backward Euler, default — robust near the latent-heat
@@ -351,6 +352,16 @@ def adi_step_cyl_varprop(T: jax.Array, grid: CylindricalGrid,
     long-axis decomposition (dist/cylindrical.sharded_cyl_varprop_longz)
     passes the substructured distributed Thomas here so a z-sharded field
     never reshards.
+
+    pallas_solvers: optional dict overriding the three ``implementation=
+    "pallas"`` stream solves with drop-in callables of the SAME
+    signatures — ``"r"``/``"z"``: ``(d, f_hi, dw, sink, srhs, glo, ghi)``
+    (z streams in the z-leading layout, rhs/out natural), ``"phi"``:
+    ``(d, f_lo, dw, sink, srhs, geo2d)``.  The multi-chip layer
+    (dist/cylindrical.sharded_cyl_varprop_step_pallas) passes shard_map-
+    wrapped kernels here so each shard runs the fused Pallas solves on
+    its local block while the stream builds stay global XLA (halo shifts
+    lower to collectives).  Disables the vp2 tier (single-device only).
     """
     if jnp.dtype(T.dtype).itemsize < 4:
         # sub-f32 states (bf16): solve at f32 and downcast once — the
@@ -365,7 +376,7 @@ def adi_step_cyl_varprop(T: jax.Array, grid: CylindricalGrid,
             source=source, emissivity=emissivity, scheme=scheme,
             theta=theta, implementation=implementation,
             interpret=interpret, constrain=constrain, z_solver=z_solver,
-            vp2=vp2, vp2_plan=vp2_plan)
+            vp2=vp2, vp2_plan=vp2_plan, pallas_solvers=pallas_solvers)
         return out.astype(T.dtype)
     if implementation == "auto":
         implementation = ("pallas" if (jax.default_backend() == "tpu"
@@ -379,13 +390,20 @@ def adi_step_cyl_varprop(T: jax.Array, grid: CylindricalGrid,
     dt = jnp.asarray(dt, dtype)
     act = None if active is None else active.astype(bool)
 
+    if pallas_solvers is not None and (scheme != "be"
+                                       or implementation != "pallas"):
+        raise ValueError("pallas_solvers overrides the implementation="
+                         "'pallas' BE solves (the sharded tier is backward-"
+                         "Euler only, like dist/cylindrical)")
+
     # tier-2 fully-fused path (module flag note): eligible when every
     # property is a static pointwise spec and the solve chain is the plain
     # single-chip BE composition
     if vp2 is None:
         vp2 = VP2_DEFAULT
     if vp2 and implementation == "pallas" and scheme == "be" \
-            and z_solver is None and jnp.dtype(dtype).itemsize == 4:
+            and z_solver is None and pallas_solvers is None \
+            and jnp.dtype(dtype).itemsize == 4:
         from .cartesian_varprop import _table_spec
 
         kts = (tuple(k_table) if isinstance(k_table, (tuple, list))
@@ -480,10 +498,13 @@ def adi_step_cyl_varprop(T: jax.Array, grid: CylindricalGrid,
             # pullback via the transposed scan (solvers/differentiable.py)
             from ..solvers.differentiable import vp_sweep_solve
 
+            glo_v = jnp.asarray(r_imh / (r * dr * dr), dtype)
+            ghi_v = jnp.asarray(r_iph / (r * dr * dr), dtype)
+            if pallas_solvers is not None:
+                return pallas_solvers["r"](d, fr_hi, dwx, sink_r, srhs_r,
+                                           glo_v, ghi_v)
             return vp_sweep_solve(
-                d, fr_hi, dwx, sink_r, srhs_r,
-                jnp.asarray(r_imh / (r * dr * dr), dtype),
-                jnp.asarray(r_iph / (r * dr * dr), dtype),
+                d, fr_hi, dwx, sink_r, srhs_r, glo_v, ghi_v,
                 interpret=interpret)
         a = -dwx * ga_r * fr
         c = -dwx * gc_r * fr_hi
@@ -521,6 +542,9 @@ def adi_step_cyl_varprop(T: jax.Array, grid: CylindricalGrid,
                 # hi faces derived in-kernel from fp by periodicity (the
                 # fp_hi roll pass + its stream are gone, ~12 B/cell); the
                 # xla tier and the Douglas operators keep fp_hi
+                if pallas_solvers is not None:
+                    return pallas_solvers["phi"](d_phi, fp, dwx, sink_p,
+                                                 srhs_p, geo2d)
                 return vp_cyclic_solve(
                     d_phi, fp, dwx, sink_p, srhs_p, geo2d,
                     interpret=interpret)
@@ -641,6 +665,9 @@ def adi_step_cyl_varprop(T: jax.Array, grid: CylindricalGrid,
                     pin = jnp.where(act[:, :, idx], pin, dn_rhs[:, :, idx])
                 dn_rhs = dn_rhs.at[:, :, idx].set(pin)
             gz = jnp.asarray(geoz, dtype)
+            if pallas_solvers is not None:
+                return pallas_solvers["z"](dn_rhs, fzh, dwz, sink_z,
+                                           srhs_z, gz, gz)
             return vp_sweep_solve(dn_rhs, fzh, dwz, sink_z, srhs_z, gz, gz,
                                   interpret=interpret, nat_rhs_out=True)
     else:
