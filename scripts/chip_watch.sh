@@ -34,6 +34,8 @@ EOF
                 | tee -a /tmp/r4w/watch.log
             exit "$gates_rc"
         fi
+        timeout 1200 python scripts/r5_cyl_be.py --trace 2>&1 \
+            | tee /tmp/r4w/cyl_be.log
         bash scripts/r4_followup.sh 2>&1 | tee /tmp/r4w/followup.log
         echo "[watch] DONE" | tee -a /tmp/r4w/watch.log
         exit 0
