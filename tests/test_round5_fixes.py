@@ -127,3 +127,25 @@ def test_fused_field_h_birth_rebuild():
     np.testing.assert_allclose(np.asarray(both("pallas", True)),
                                np.asarray(both("xla", False)),
                                rtol=1e-9, atol=1e-9)
+
+
+def test_cyl_pallas_solvers_requires_be_pallas():
+    """The pallas_solvers hook overrides the implementation='pallas' BE
+    solves only; other schemes/implementations must refuse loudly."""
+    import jax.numpy as jnp
+
+    from adi_thermal_fields_tpu import (CylindricalGrid, RobinBC, ZFaceBC)
+    from adi_thermal_fields_tpu.step.cylindrical_varprop import (
+        adi_step_cyl_varprop)
+
+    grid = CylindricalGrid(4, 8, 8, 5e-4, 1e-3, r_inner=0.02)
+    mat = Material(7800.0, 490.0, 54.0)
+    T = jnp.full(grid.shape, 100.0, jnp.float32)
+    kw = dict(robin_outer=RobinBC(100.0, 20.0),
+              zbc=ZFaceBC(kind_top="robin", h_top=50.0, T_inf_top=20.0),
+              dt=jnp.float32(0.01), pallas_solvers={})
+    with pytest.raises(ValueError, match="pallas_solvers"):
+        adi_step_cyl_varprop(T, grid, mat, scheme="douglas",
+                             implementation="pallas", **kw)
+    with pytest.raises(ValueError, match="pallas_solvers"):
+        adi_step_cyl_varprop(T, grid, mat, implementation="xla", **kw)

@@ -447,27 +447,29 @@ def test_vp2_forward_model_inverse_round_trip():
     pattern = jnp.asarray(rng.random(grid.shape), jnp.float32)
 
     def simulate(amp):
-        # f32 throughout: the vp2 tier is f32-gated, and the optax line
-        # search weak-promotes params to f64 under the suite's x64 mode
+        # interior stays f32 (the vp2 tier is f32-gated); the optimizer
+        # runs f64 log-amplitude with casts at the boundary
         src = amp.astype(jnp.float32) * pattern
         Tc = T0
         outs = []
-        for _ in range(6):
+        for _ in range(4):
             Tc = adi_step_cyl_varprop(Tc, grid, dt=dt, active=act,
                                       vp2=True, source=src, **kw)
             outs.append(Tc[3, ::4, ::4])
         return jnp.stack(outs)
 
-    amp_true = 2.5e6
+    # welding-scale volumetric heating (~13 K/step through dt*w): a weak
+    # source leaves the loss landscape flat against the 1600 C field
+    amp_true = 2.5e9
     y_obs = jax.jit(simulate)(jnp.float32(amp_true))
 
     def loss(la):
-        r = simulate(jnp.exp(la)) - y_obs
+        r = (simulate(jnp.exp(la)) - y_obs).astype(jnp.float64)
         return jnp.mean(r * r)
 
     # the calibrate_params L-BFGS recipe (apps/calibrate_params.py:163-177)
     opt = optax.lbfgs()
-    la = jnp.asarray(np.log(5e5), jnp.float32)
+    la = jnp.asarray(np.log(5e8))
     state = opt.init(la)
     vg = optax.value_and_grad_from_state(loss)
 
@@ -478,7 +480,8 @@ def test_vp2_forward_model_inverse_round_trip():
                                 value_fn=loss)
         return optax.apply_updates(p, upd), state, v
 
-    for _ in range(25):
+    for _ in range(10):
         la, state, v = lbfgs_step(la, state)
     amp_fit = float(jnp.exp(la))
-    assert abs(amp_fit - amp_true) / amp_true < 0.01, (amp_fit, float(v))
+    # standalone: converges to ~2e-8 rel in 8 iterations
+    assert abs(amp_fit - amp_true) / amp_true < 1e-3, (amp_fit, float(v))
