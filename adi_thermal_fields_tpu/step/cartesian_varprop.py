@@ -71,7 +71,15 @@ G_STREAMS_BF16_DEFAULT = True      # sub-f32 states: g-stream tier
 # Tz/mz transposes + 12 B of stream writes + 12 B of stream reads also
 # disappear (~25 B/cell off the varprop model); for y the fc/w/h stream
 # reads (~8 B).  Defaults OFF until chip-gated (scripts/vp2z_cart_chip).
-VP2_Z_DEFAULT = False
+# Cartesian tier-2 (vp2) y/z solves.  Chip gate 2026-08-20 05:02 (healthy
+# probe 12.0 s / 23.7 ms): parity 128^3 +z 6.1e-4 K, +y+z 7.3e-4 K; slope
+# A/B at 384^3 radiative (engine config; ratios — the harness inflated
+# absolutes ~19.6x, see scripts/r4_gates.py note): vp2-z 0.944x of
+# classic (15.0 -> ~14.2 ms), 512^3 vp2-z ~26.8 ms vs classic's recorded
+# 33.25 (1.24x) -> Z ON.  vp2-y+z measured 1.12x SLOWER than classic
+# (the y solve's in-register rebuild loses to streaming fc/w in the
+# natural-layout axis-1 kernel) -> Y stays OFF, refuted by that A/B.
+VP2_Z_DEFAULT = True
 VP2_Y_DEFAULT = False
 # bf16 states through the NATURAL-layout varprop z solve (f32 in-VMEM
 # relayout + stochastic-rounded downcast staging): interpret-verified,
@@ -613,7 +621,11 @@ def adi_step_varprop_fused(T: jax.Array, mask: jax.Array, codes: tuple,
     # film that is either the scalar robin_h or the self-built pointwise
     # radiative field (re-derivable from T in registers)
     vp2_cp = _table_spec(cp_table, mat_ref.cp)
+    # exactly-f32 states only (itemsize guard, as the cylindrical vp2
+    # gate): the vp2 kernels' geometry columns/dtor are f32 — routing f64
+    # through them would silently degrade the x64 parity tier
     vp2_ok = (sr is None
+              and jnp.dtype(dtype).itemsize == 4
               and jnp.promote_types(dtype, jnp.float32) == dtype
               and vp2_cp is not None and (hf is None or self_rad)
               and h_axes is None)

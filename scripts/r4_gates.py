@@ -85,11 +85,15 @@ def vp_case(n, y, z, steps=24, parity_field=False):
     if parity_field:
         return np.asarray(T1)
 
+    # ONE advance call with m sub-steps (lax.fori inside the jit): the
+    # 2026-08-20 05:02 gate run called advance per step with n_sub=i+2,
+    # inflating every wall-clock ~19.6x (sum of sub-steps) — the RATIOS
+    # were valid (same inflation per leg: classic 293.79 -> vp2-z 277.44
+    # = 0.944x, vp2-yz 329.01 = 1.12x SLOWER) and 293.79/19.58 = 15.0 ms
+    # reproduces the same-morning bench exactly, but absolute per-step
+    # numbers from that run must be divided by the inflation factor.
     def loop(m):
-        T2 = T1
-        for i in range(m):
-            T2 = advance(T2, prep, dt, jnp.int32(i + 2), 0.0)
-        return float(probe_s(T2))
+        return float(probe_s(advance(T1, prep, dt, jnp.int32(m), 0.0)))
 
     return slope3(loop, steps)
 

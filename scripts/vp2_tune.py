@@ -84,9 +84,12 @@ def main():
     code_r = jax.jit(lambda a: build_vp2_code(a, 0))(act)
     glo = jnp.asarray(0.3 + rng.random(nr), jnp.float32)
     gs = jnp.asarray(0.1 + rng.random(nr), jnp.float32)
+    # big arrays ride as default ARGS, never closures — closed-over arrays
+    # embed as HLO constants and the remote compile service 413s on them
+    # (NOTES.md; this script's phi leg crashed exactly so on 2026-08-20)
     for b2 in (256, 512):
-        f = jax.jit(lambda T=T: fused_vp2_sweep(
-            None, T, code_r, glo, glo, gs, gs, dtor, block_b2=b2,
+        f = jax.jit(lambda T=T, c=code_r: fused_vp2_sweep(
+            None, T, c, glo, glo, gs, gs, dtor, block_b2=b2,
             edge1=(300.0, 1.3, 20.0), **kw))
         ms = slope(f)
         print(f"[r leg b2={b2}] {ms:.2f} ms = "
@@ -100,8 +103,8 @@ def main():
                tinf_void=20.0, emissivity=0.5)
     for b2 in (128, 256):
         for ch in (64, 128):
-            f = jax.jit(lambda X=X: fused_vp2_cyclic_axis1(
-                X, T, code_p, geo2, gs2, dtor, block_b2=b2, chunk=ch,
+            f = jax.jit(lambda X=X, T=T, c=code_p: fused_vp2_cyclic_axis1(
+                X, T, c, geo2, gs2, dtor, block_b2=b2, chunk=ch,
                 **kwp))
             ms = slope(f)
             print(f"[phi leg b2={b2} cn={ch}] {ms:.2f} ms = "
@@ -114,8 +117,8 @@ def main():
     gsz = jnp.full((nz,), 0.2, jnp.float32)
     for b2 in (256, 512):
         for ch in (128, 256):
-            f = jax.jit(lambda X=X: fused_vp2_sweep(
-                X, T, code_z, gloz, gloz, gsz, gsz, dtor,
+            f = jax.jit(lambda X=X, T=T, c=code_z: fused_vp2_sweep(
+                X, T, c, gloz, gloz, gsz, gsz, dtor,
                 nat_rhs_out=True, block_b2=b2, chunk=ch,
                 edge1=(400.0, 2.0, 20.0), **kw))
             ms = slope(f)
