@@ -41,7 +41,8 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["sweep_code", "fused_sweep", "fused_sweep_axis0",
            "fused_sweep_axis0_v2", "fused_sweep_axis1_v2",
            "fused_sweep_axis2_v2",
-           "fused_sweep_const", "fused_cyclic_const", "fused_cyclic_phi"]
+           "fused_sweep_const", "fused_cyclic_const",
+           "fused_cyclic_const_nat", "fused_cyclic_phi"]
 
 _LOW, _HIGH, _PIN, _INMASK = np.int8(1), np.int8(2), np.int8(4), np.int8(8)
 
@@ -1854,16 +1855,135 @@ def fused_cyclic_const_axis1(rhs, fac, *, interpret: bool = False,
     return out
 
 
+def _cyclic_const_kernel_nat(fac_ref, d_ref, out_ref, zbuf, cp_ref, dpz_ref,
+                             *, n):
+    """NATURAL-layout (B1, n, B2) periodic solve — the phi leg without its
+    XLA transpose pair.  One full-buffer dim-0/1 swap relays the block into
+    the (n, B1, B2) solve layout (the chip-gated relayout pattern of
+    _const_sweep_kernel_nat; B2 stays the lane dim, so NO lane<->sublane
+    transposes are needed — unlike the z relayout), the axis-0
+    Sherman-Morrison recurrences run on cheap leading-dim row views, and one
+    swap restages the solution.  Replaces _cyclic_const_kernel_axis1's
+    per-group swaps (three line buffers tripled the swap overhead —
+    module-history note below)."""
+    f32 = zbuf.dtype
+    fac = fac_ref[:, 0, :]               # (B1, B2)
+    a = -fac
+    b = 1.0 + 2.0 * fac
+    gamma = -b
+    b0_mod = 2.0 * b                     # b - gamma
+    bn_mod = b - a * a / gamma           # b - alpha*beta/gamma
+
+    zbuf[...] = jnp.swapaxes(d_ref[...], 0, 1).astype(f32)  # (n, B1, B2)
+
+    def b_at(i):
+        bi = jnp.where(i == 0, b0_mod, b)
+        return jnp.where(i == n - 1, bn_mod, bi)
+
+    def u_at(i):
+        u = jnp.where(i == 0, gamma, jnp.zeros_like(gamma))
+        return jnp.where(i == n - 1, a, u)
+
+    def fwd(i, carry):
+        cp_prev, dy_prev, dz_prev = carry
+        a_i = jnp.where(i == 0, 0.0, a)         # a[0] unused (wrap via u)
+        c_i = jnp.where(i == n - 1, 0.0, a)     # c = a (symmetric)
+        inv = 1.0 / (b_at(i) - a_i * cp_prev)
+        cp = c_i * inv
+        dy = (zbuf[i] - a_i * dy_prev) * inv    # row consumed -> y staged
+        dz = (u_at(i) - a_i * dz_prev) * inv
+        cp_ref[i] = cp
+        zbuf[i] = dy
+        dpz_ref[i] = dz
+        return cp, dy, dz
+
+    zero = jnp.zeros(fac.shape, f32)
+    lax.fori_loop(0, n, fwd, (zero, zero, zero))
+
+    def bwd(j, carry):
+        y_next, z_next = carry
+        i = n - 1 - j
+        cp = cp_ref[i]
+        y = zbuf[i] - cp * y_next
+        z = dpz_ref[i] - cp * z_next
+        zbuf[i] = y
+        dpz_ref[i] = z
+        return y, z
+
+    y0, z0 = lax.fori_loop(0, n, bwd, (zero, zero))
+    yn = zbuf[n - 1]
+    zn = dpz_ref[n - 1]
+    fact = (y0 + a * yn / gamma) / (1.0 + z0 + a * zn / gamma)
+
+    def fix(i, _):
+        zbuf[i] = zbuf[i] - fact * dpz_ref[i]
+        return 0
+
+    lax.fori_loop(0, n, fix, 0)
+    out_ref[...] = jnp.swapaxes(zbuf[...], 0, 1).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_b1",
+                                             "block_b2"))
+def fused_cyclic_const_nat(rhs, fac, *, interpret: bool = False,
+                           block_b1: int = 8, block_b2: int = 128):
+    """Periodic constant-coefficient solve along axis 1 of NATURAL
+    (B1, n, B2) arrays via the in-VMEM dim-0/1 relayout; ``fac`` is
+    (B1, B2).  The ring length n cannot be padded (periodicity), but needs
+    no alignment: the solve indexes single rows of the untiled leading dim
+    of the relaid scratch."""
+    b1, n, b2 = rhs.shape
+    dtype = rhs.dtype
+    p1 = _round_up(b1, block_b1) - b1
+    p2 = _round_up(b2, block_b2) - b2
+    if p1 or p2:
+        rhs = jnp.pad(rhs, ((0, p1), (0, 0), (0, p2)))
+        # padded systems need a well-conditioned matrix; fac=0 -> identity
+        fac = jnp.pad(fac, ((0, p1), (0, p2)))
+    P1, P2 = rhs.shape[0], rhs.shape[2]
+
+    grid = (P1 // block_b1, P2 // block_b2)
+    blk = (block_b1, n, block_b2)
+    vspec = pl.BlockSpec(blk, lambda i, j: (i, 0, j), memory_space=pltpu.VMEM)
+    fspec = pl.BlockSpec((block_b1, 1, block_b2), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM)
+    cdt = jnp.promote_types(dtype, jnp.float32)
+    sblk = (n, block_b1, block_b2)
+
+    out = pl.pallas_call(
+        functools.partial(_cyclic_const_kernel_nat, n=n),
+        grid=grid,
+        in_specs=[fspec, vspec],
+        out_specs=vspec,
+        out_shape=jax.ShapeDtypeStruct((P1, n, P2), dtype),
+        scratch_shapes=[pltpu.VMEM(sblk, cdt), pltpu.VMEM(sblk, cdt),
+                        pltpu.VMEM(sblk, cdt)],
+        interpret=interpret,
+    )(fac[:, None, :].astype(cdt), rhs)
+
+    if p1 or p2:
+        out = out[:b1, :, :b2]
+    return out
+
+
+# Natural-layout phi: OFF until the chip A/B (scripts/r5_cyl_be.py) — the
+# transpose-pair default is the recorded-good path; flip on a same-session
+# win + parity.
+PHI_NAT_DEFAULT = False
+
+
 def fused_cyclic_phi(X, fac, *, interpret: bool = False):
     """Periodic phi solve on the natural (r, phi, z) layout.
 
-    Measured on TPU v5e at (128, 512, 512): the axis-0 kernel plus an XLA
-    transpose pair (3.8 ms standalone) still beats the transpose-free axis-1
-    kernel even after the group-swapaxes optimization (4.6 ms) — the cyclic
-    solve carries THREE line buffers, so the per-group swap overhead triples
-    where the open sweep's halves.  The axis-0 path stays the default;
-    fused_cyclic_const_axis1 remains available for layouts where the
-    transpose dominates."""
+    History: the axis-0 kernel plus an XLA transpose pair (3.8 ms standalone
+    at (128, 512, 512) v5e) beat the first transpose-free axis-1 kernel
+    (4.6 ms) — the cyclic solve carries THREE line buffers, so that
+    kernel's per-group swap overhead tripled where the open sweep's halved.
+    Round 5 replaces the per-group swaps with ONE full-buffer dim-0/1
+    relayout (_cyclic_const_kernel_nat, the chip-gated pattern of the
+    natural-z solves); PHI_NAT_DEFAULT routes it once chip-gated."""
+    if PHI_NAT_DEFAULT:
+        return fused_cyclic_const_nat(X, fac, interpret=interpret)
     out = fused_cyclic_const(jnp.transpose(X, (1, 0, 2)), fac,
                              interpret=interpret)
     return jnp.transpose(out, (1, 0, 2))

@@ -112,6 +112,62 @@ def main():
               f"{ncell * 8 / lms / 1e6:.0f} GB/s on the 8 B/cell "
               f"rhs-in/x-out model", flush=True)
 
+    # ---- 2b. candidate fixes, same-session A/B ----------------------------
+    # phi: the natural-layout cyclic kernel (full-buffer dim-0/1 relayout)
+    # vs the default transpose-pair path.  Parity on-chip, then slope A/B;
+    # flip pallas_sweeps.PHI_NAT_DEFAULT on a win.
+    from adi_thermal_fields_tpu.solvers import pallas_sweeps as ps
+    from adi_thermal_fields_tpu.solvers.spectral import phi_eigenvalue_factors
+
+    fac_r = (mat.alpha * dt * phi_eigenvalue_factors(grid, dtype=jnp.float32))
+    fac = jnp.broadcast_to(fac_r[:, None], (nr, nz))
+    phi_nat = jax.jit(lambda X: ps.fused_cyclic_const_nat(X, fac))
+    phi_t2 = jax.jit(lambda X: jnp.transpose(
+        ps.fused_cyclic_const(jnp.transpose(X, (1, 0, 2)), fac), (1, 0, 2)))
+    Xa, Xb = phi_nat(T1), phi_t2(T1)
+    err = float(jnp.max(jnp.abs(Xa - Xb)))
+    print(f"[cyl be phi nat-vs-t2 parity] max |diff| = {err:.3e} K "
+          f"({'PASS' if err < 1e-3 else 'FAIL'})", flush=True)
+    for name, fn in (("t2", phi_t2), ("nat", phi_nat)):
+        X1 = fn(T1)
+        float(probe_s(X1))
+
+        def leg_loop(k, fn=fn, X=X1):
+            for _ in range(k):
+                X = fn(X)
+            float(probe_s(X))
+
+        lms = slope3(leg_loop)
+        print(f"[cyl be phi {name}] {lms:.2f} ms, apparent "
+              f"{ncell * 8 / lms / 1e6:.0f} GB/s (8 B model)", flush=True)
+
+    # r sweep: lane-tile sweep (the vp2 morning tune found b2=512 beating
+    # 256 on the short-line r leg; the const tier defaults to 128).
+    # Coefficients exactly as cyl._r_sweep builds them.
+    ge_a, ge_c, ge_rob, rob_rhs = cyl._r_geometry(grid, mat, robin, None)
+    facr = jnp.asarray(float(dt) * mat.alpha, jnp.float32)
+    coef = (-facr * jnp.asarray(ge_a, jnp.float32),
+            1.0 + facr * jnp.asarray(ge_a + ge_c + ge_rob, jnp.float32),
+            -facr * jnp.asarray(ge_c, jnp.float32),
+            facr * jnp.asarray(rob_rhs, jnp.float32))
+    for b2 in (128, 256, 512):
+        rfn = jax.jit(functools.partial(ps.fused_sweep_const, block_b2=b2))
+        try:
+            X1 = rfn(T1, *coef)
+            float(probe_s(X1))
+        except Exception as e:
+            print(f"[cyl be r b2={b2}] FAILED: {type(e).__name__}", flush=True)
+            continue
+
+        def leg_loop(k, fn=rfn, X=X1):
+            for _ in range(k):
+                X = fn(X, *coef)
+            float(probe_s(X))
+
+        lms = slope3(leg_loop)
+        print(f"[cyl be r b2={b2}] {lms:.2f} ms, apparent "
+              f"{ncell * 8 / lms / 1e6:.0f} GB/s (8 B model)", flush=True)
+
     # ---- 3. device trace ---------------------------------------------------
     if args.trace:
         from adi_thermal_fields_tpu.io.profiling import trace

@@ -181,3 +181,24 @@ def test_fused_cyclic_phi_layouts_agree():
     X = jnp.asarray(rng.standard_normal((nr, 15, nz)))
     out = fused_cyclic_phi(X, fac, interpret=True)
     assert out.shape == X.shape
+
+
+def test_fused_cyclic_nat_matches_axis0():
+    """The round-5 natural-layout cyclic kernel (full-buffer dim-0/1
+    relayout, _cyclic_const_kernel_nat) is the SAME arithmetic sequence as
+    the axis-0 kernel on permuted data — exact agreement in interpret mode,
+    including batch shapes that need tile padding and odd ring lengths."""
+    from adi_thermal_fields_tpu.solvers.pallas_sweeps import (
+        fused_cyclic_const, fused_cyclic_const_nat)
+
+    rng = np.random.default_rng(11)
+    for (b1, n, b2) in [(16, 64, 128), (13, 25, 100), (8, 96, 256)]:
+        X = jnp.asarray(rng.standard_normal((b1, n, b2)).astype(np.float32))
+        fac = jnp.asarray(
+            rng.uniform(0.1, 2.0, (b1, b2)).astype(np.float32))
+        ref = jnp.transpose(fused_cyclic_const(jnp.transpose(X, (1, 0, 2)),
+                                               fac, interpret=True),
+                            (1, 0, 2))
+        new = fused_cyclic_const_nat(X, fac, interpret=True)
+        np.testing.assert_array_equal(np.asarray(new), np.asarray(ref),
+                                      err_msg=f"{(b1, n, b2)}")
