@@ -41,6 +41,8 @@ import r4_gates as g
 g.gate_bf16()" 2>&1 | tee /tmp/r5w/bf16_const.log
         timeout 1200 python scripts/r5_vp_bf16_znat.py --force 2>&1 \
             | tee /tmp/r5w/vp_bf16.log
+        timeout 900 python scripts/varprop_breakdown.py 2>&1 \
+            | tee /tmp/r5w/vp_legs.log
         timeout 1200 python scripts/r5_cyl_be.py --trace 2>&1 \
             | tee /tmp/r5w/cyl_be.log
         timeout 900 python scripts/vp2_tune.py 2>&1 | tee /tmp/r5w/vp2_tune.log

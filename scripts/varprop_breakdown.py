@@ -105,17 +105,50 @@ def main():
     Vz, fcz, wz, hz = t2n(V, fc[2], w, hf)
     W = sw_z(Vz, fcz, wz, hz)
 
+    # the bench/engine configuration: SELF-radiative (emissivity given, no
+    # caller h_field) — required for the vp2-z tier's eligibility
     full = jax.jit(lambda T: adi_step_varprop_fused(
         T, mask, codes, grid, mat, k_table=kt, cp_table=ct, dt=dt,
-        theta=theta, t_inf=20.0, h_field=radh(T)))
+        theta=theta, t_inf=20.0, emissivity=0.5, h_conv=15.0))
     full(T)
+
+    # The CURRENT flagship legs (round 5): ring theta+x, y axis-1, vp2-z
+    # nat — the self-radiative engine configuration (bench --case varprop).
+    from adi_thermal_fields_tpu.solvers.pallas_varprop import (
+        fused_varprop_theta_sweep)
+    from adi_thermal_fields_tpu.solvers.pallas_vp2 import (build_vp2_code,
+                                                           fused_vp2_sweep)
+    from adi_thermal_fields_tpu.step.cartesian_varprop import _table_spec
+
+    tgx = theta * dt * inv_d2[0]
+    skx = dt / grid.spacing[0]
+    ring = jax.jit(lambda T, fc, w, h_: fused_varprop_theta_sweep(
+        T, codes[0], fc[0], fc[1], fc[2], w, (1.0 - theta) * dt,
+        [float(v) for v in inv_d2], tgx, skx, 20.0, h=h_))
+    Ur = ring(T, fc, w, hf)
+
+    kz_spec = _table_spec(kt, mat.k)
+    cp_spec = _table_spec(ct, mat.cp)
+    code_z2 = jax.jit(lambda m: jnp.moveaxis(
+        build_vp2_code(m, 2, edge_exposed=True), 2, 0))(mask)
+    nz = T.shape[2]
+    glo = jnp.full((nz,), theta * inv_d2[2], jnp.float32)
+    gs = jnp.full((nz,), 1.0 / grid.spacing[2], jnp.float32)
+    dtor = jnp.asarray(dt / mat.rho, jnp.float32)
+    vp2z = jax.jit(lambda V, T: fused_vp2_sweep(
+        V, T, code_z2, glo, glo, gs, gs, dtor, k_spec=kz_spec,
+        cp_spec=cp_spec, h_lo=15.0, h_hi=15.0, tinf_void=20.0,
+        emissivity=0.5, nat_rhs_out=True))
+    vp2z(V, T)
 
     comps = [
         ("interp", lambda: interp(T)[0][0]),
         ("rad_h", lambda: radh(T)),
         ("stencil", lambda: stencil(fc, w, T)),
+        ("ring_tx", lambda: ring(T, fc, w, hf)),
         ("sweep_x", lambda: sw_x(R0, fc[0], w, hf)),
         ("sweep_y", lambda: sw_y(U, fc[1], w, hf)),
+        ("vp2_z", lambda: vp2z(V, T)),
         ("relay_z", lambda: t2n(V, fc[2], w, hf)[0]),
         ("sweep_z", lambda: sw_z(Vz, fcz, wz, hz)),
         ("relay_back", lambda: tback(W)),
@@ -123,14 +156,16 @@ def main():
     ]
     ncell = n ** 3
     print(f"[varprop breakdown] {n}^3 f32, radiative film, slope median-of-3")
+    cur_path = {"interp", "rad_h", "ring_tx", "sweep_y", "vp2_z"}
     tot = 0.0
     for name, fn in comps:
         el = slope(fn)
-        if name != "full":
+        if name in cur_path:
             tot += el
         print(f"  {name:10s} {el * 1e3:8.2f} ms   "
               f"{ncell / el / 1e9:6.2f} Gcell/s-equiv")
-    print(f"  {'sum':10s} {tot * 1e3:8.2f} ms (vs full — overlap delta)")
+    print(f"  {'sum':10s} {tot * 1e3:8.2f} ms (current-path legs "
+          f"interp+rad_h+ring+y+vp2z vs full — overlap delta)")
 
 
 if __name__ == "__main__":
