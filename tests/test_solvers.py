@@ -183,6 +183,33 @@ def test_fused_cyclic_phi_layouts_agree():
     assert out.shape == X.shape
 
 
+def test_phi_nat_flag_step_level_parity():
+    """PHI_NAT_DEFAULT routes the plain-BE phi leg through the natural
+    kernel with NO step-level output change (same arithmetic sequence as
+    the transpose-pair path)."""
+    from adi_thermal_fields_tpu import CylindricalGrid, Material
+    from adi_thermal_fields_tpu.solvers import pallas_sweeps as ps
+    from adi_thermal_fields_tpu.step import cylindrical as cyl
+    from adi_thermal_fields_tpu.step.cylindrical import RobinBC, ZFaceBC
+
+    g = CylindricalGrid(12, 24, 16, 1e-3, 1e-3, r_inner=6e-3)
+    mat = Material(7800.0, 490.0, 54.0)
+    robin = RobinBC(300.0, 20.0)
+    zbc = ZFaceBC(kind_top="robin", h_top=400.0, T_inf_top=20.0)
+    rng = np.random.default_rng(3)
+    T = jnp.asarray(rng.uniform(100, 900, g.shape).astype(np.float32))
+    outs = {}
+    try:
+        for flag in (False, True):
+            ps.PHI_NAT_DEFAULT = flag
+            outs[flag] = np.asarray(
+                cyl.adi_step(T, g, mat, dt=0.05, robin_outer=robin,
+                             zbc=zbc, implementation="pallas"))
+    finally:
+        ps.PHI_NAT_DEFAULT = False
+    np.testing.assert_array_equal(outs[True], outs[False])
+
+
 def test_fused_cyclic_nat_matches_axis0():
     """The round-5 natural-layout cyclic kernel (full-buffer dim-0/1
     relayout, _cyclic_const_kernel_nat) is the SAME arithmetic sequence as
