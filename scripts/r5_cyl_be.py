@@ -128,9 +128,17 @@ def main():
     err = float(jnp.max(jnp.abs(Xa - Xb)))
     print(f"[cyl be phi nat-vs-t2 parity] max |diff| = {err:.3e} K "
           f"({'PASS' if err < 1e-3 else 'FAIL'})", flush=True)
-    for name, fn in (("t2", phi_t2), ("nat", phi_nat)):
-        X1 = fn(T1)
-        float(probe_s(X1))
+    phi_nat256 = jax.jit(lambda X: ps.fused_cyclic_const_nat(
+        X, fac, block_b2=256))
+    for name, fn in (("t2", phi_t2), ("nat", phi_nat),
+                     ("nat-b2=256", phi_nat256)):
+        try:
+            X1 = fn(T1)
+            float(probe_s(X1))
+        except Exception as e:
+            print(f"[cyl be phi {name}] FAILED: {type(e).__name__}",
+                  flush=True)
+            continue
 
         def leg_loop(k, fn=fn, X=X1):
             for _ in range(k):
