@@ -61,7 +61,10 @@ FUSE_THETA_DEFAULT = True
 # f32 (0.861x scalar-h, 0.893x radiative — its +11 B/cell of
 # pre-multiplied streams cost more than the code-decode they shed) but
 # WINS at bf16 (1.034x: halved state traffic raises the stream-overhead
-# ratio) -> default ON for sub-f32 states only.
+# ratio) -> default ON for sub-f32 states only.  Re-judged 2026-08-21
+# (scripts/r5_vp_bf16_znat.py, 384^3 radiative, same-session slope):
+# g-stream 11.32 ms vs classic 12.53 = 1.107x — the VERDICT r4 #5 keep
+# bar (>= 1.10x) met; the tier stays.
 G_STREAMS_DEFAULT = False          # f32 states: classic fused tier
 G_STREAMS_BF16_DEFAULT = True      # sub-f32 states: g-stream tier
 
@@ -82,10 +85,12 @@ G_STREAMS_BF16_DEFAULT = True      # sub-f32 states: g-stream tier
 VP2_Z_DEFAULT = True
 VP2_Y_DEFAULT = False
 # bf16 states through the NATURAL-layout varprop z solve (f32 in-VMEM
-# relayout + stochastic-rounded downcast staging): interpret-verified,
-# OFF until chip-gated (the round-3 Mosaic rule — sub-f32 relayout tile
-# constraints are invisible in interpret mode).  Gate:
-# scripts/r5_vp_bf16_znat.py.
+# relayout + stochastic-rounded downcast staging).  REFUTED on chip
+# 2026-08-21 (scripts/r5_vp_bf16_znat.py, 384^3 radiative, same-session
+# slope, parity bitwise): nat 20.67 ms vs transposed 12.53 — the mixed
+# upcast-relayout/stochastic-downcast staging costs far more than the
+# z transpose pair it removes.  Stays OFF (the kernel path remains for
+# re-judgement if the staging is ever rewritten).
 Z_NAT_VP_BF16_DEFAULT = False
 
 

@@ -146,15 +146,18 @@ def bf16_case(n, flag, steps=24, parity_field=False):
     T = jax.jit(cp_mod.pad_domain)(
         jnp.where(mask, jnp.bfloat16(900.0), jnp.bfloat16(20.0)))
 
+    # plan passed as a jit ARGUMENT: closing over it embeds the 512^3 plan
+    # arrays as HLO constants and the remote compile rejects the upload
+    # (HTTP 413 -- NOTES round-3 rule)
     @functools.partial(jax.jit, donate_argnums=0)
-    def step(T, dt):
+    def step(T, plan, dt):
         return cp_mod.adi_step_pallas(T, plan, grid, mat, dt=dt,
                                       theta=0.5, t_inf=20.0)
 
     probe_s = jax.jit(lambda x: jnp.sum(x[::64, ::64, ::64]
                                         .astype(jnp.float32)))
     dt = jnp.asarray(0.05, jnp.float32)
-    T1 = step(jnp.copy(T), dt)
+    T1 = step(jnp.copy(T), plan, dt)
     float(probe_s(T1))
     if parity_field:
         return np.asarray(T1, np.float32)
@@ -162,7 +165,7 @@ def bf16_case(n, flag, steps=24, parity_field=False):
     def loop(k):
         T2 = jnp.copy(T1)
         for _ in range(k):
-            T2 = step(T2, dt)
+            T2 = step(T2, plan, dt)
         return float(probe_s(T2))
 
     return slope3(loop, steps)
