@@ -40,13 +40,13 @@ def probe():
     return el < 30
 
 
-def slope(fn, steps=24):
+def slope(fn, *args, steps=24):
     k = max(1, steps // 4)
 
     def loop(m):
         x = None
         for _ in range(m):
-            x = fn()
+            x = fn(*args)
         return float(jnp.sum(x[::16, ::64, ::64]))
 
     loop(k)
@@ -84,14 +84,14 @@ def main():
     code_r = jax.jit(lambda a: build_vp2_code(a, 0))(act)
     glo = jnp.asarray(0.3 + rng.random(nr), jnp.float32)
     gs = jnp.asarray(0.1 + rng.random(nr), jnp.float32)
-    # big arrays ride as default ARGS, never closures — closed-over arrays
-    # embed as HLO constants and the remote compile service 413s on them
-    # (NOTES.md; this script's phi leg crashed exactly so on 2026-08-20)
+    # big arrays must be REAL call-time jit arguments — lambda DEFAULTS
+    # still trace as HLO constants (the phi leg 413'd twice on exactly
+    # this: 2026-08-20 closures, 2026-08-21 default-args)
     for b2 in (256, 512):
-        f = jax.jit(lambda T=T, c=code_r: fused_vp2_sweep(
+        f = jax.jit(lambda T, c, b2=b2: fused_vp2_sweep(
             None, T, c, glo, glo, gs, gs, dtor, block_b2=b2,
             edge1=(300.0, 1.3, 20.0), **kw))
-        ms = slope(f)
+        ms = slope(f, T, code_r)
         print(f"[r leg b2={b2}] {ms:.2f} ms = "
               f"{cells*9/ms/1e6:.0f} GB/s on 9 B", flush=True)
 
@@ -103,10 +103,11 @@ def main():
                tinf_void=20.0, emissivity=0.5)
     for b2 in (128, 256):
         for ch in (64, 128):
-            f = jax.jit(lambda X=X, T=T, c=code_p: fused_vp2_cyclic_axis1(
-                X, T, c, geo2, gs2, dtor, block_b2=b2, chunk=ch,
-                **kwp))
-            ms = slope(f)
+            f = jax.jit(lambda X, T, c, b2=b2, ch=ch:
+                        fused_vp2_cyclic_axis1(
+                            X, T, c, geo2, gs2, dtor, block_b2=b2,
+                            chunk=ch, **kwp))
+            ms = slope(f, X, T, code_p)
             print(f"[phi leg b2={b2} cn={ch}] {ms:.2f} ms = "
                   f"{cells*13/ms/1e6:.0f} GB/s on 13 B", flush=True)
 
@@ -117,11 +118,11 @@ def main():
     gsz = jnp.full((nz,), 0.2, jnp.float32)
     for b2 in (256, 512):
         for ch in (128, 256):
-            f = jax.jit(lambda X=X, T=T, c=code_z: fused_vp2_sweep(
+            f = jax.jit(lambda X, T, c, b2=b2, ch=ch: fused_vp2_sweep(
                 X, T, c, gloz, gloz, gsz, gsz, dtor,
                 nat_rhs_out=True, block_b2=b2, chunk=ch,
                 edge1=(400.0, 2.0, 20.0), **kw))
-            ms = slope(f)
+            ms = slope(f, X, T, code_z)
             print(f"[z leg b2={b2} cn={ch}] {ms:.2f} ms = "
                   f"{cells*13/ms/1e6:.0f} GB/s on 13 B", flush=True)
 
