@@ -1,20 +1,22 @@
 #!/bin/bash
 # Round-5 recovery watcher: probe the remote TPU service every few
-# minutes; on the first HEALTHY probe run the round-5 chip backlog in
-# value order (windows die fast — cheapest decisive gates first):
+# minutes; on the first HEALTHY probe run the REMAINING round-5 backlog
+# (updated 2026-08-21 01:40 after the 00:38 window: bf16-varprop gates
+# DECIDED (nat-z refuted, g-streams kept); 512^3 f32 / varprop 384 /
+# corrected 384 bench rows recorded; the service FAILED_PRECONDITION'd
+# through the rest):
 #   1. r4_gates.gate_bf16      — const-prop bf16 natural-z A/B at 512^3
-#                                (Z_NAT_BF16_DEFAULT decision)
-#   2. r5_vp_bf16_znat.py      — varprop bf16 nat-z A/B + the g-streams
-#                                keep-or-kill re-judgement (VERDICT r4 #5)
-#   3. r5_cyl_be.py --trace    — name the plain-cyl-BE missing ~2.8 ms
-#   4. vp2_tune.py             — finish the tune matrix (phi leg; r-leg
-#                                b2=512 candidate from the morning run)
-#   5. bench.py                — full driver-format record set
+#                                (413 closure bug fixed; still undecided)
+#   2. varprop_breakdown.py    — leg map for the flagship varprop step
+#   3. r5_cyl_be.py --trace    — name the plain-cyl-BE missing ~2.8 ms;
+#                                phi-nat + r-tile A/Bs
+#   4. vp2_tune.py             — leg tile sweep (args-fix applied)
+#   5. bench.py                — the cases the dead service zeroed
 # Logs to /tmp/r5w/.  Exits 0 after the chain, non-zero on give-up.
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p /tmp/r5w
-MAX_TRIES=${MAX_TRIES:-60}
+MAX_TRIES=${MAX_TRIES:-70}
 for i in $(seq 1 "$MAX_TRIES"); do
     echo "[watch] probe $i/$MAX_TRIES $(date -u +%H:%M:%S)" | tee -a /tmp/r5w/watch.log
     timeout 150 python - <<'EOF' >> /tmp/r5w/watch.log 2>&1
@@ -34,19 +36,18 @@ print(f"[probe] compile {el:.1f} s, exec {ex*1e3:.1f} ms "
 raise SystemExit(0 if ok else 1)
 EOF
     if [ $? -eq 0 ]; then
-        echo "[watch] HEALTHY — running the round-5 backlog" | tee -a /tmp/r5w/watch.log
+        echo "[watch] HEALTHY — running the remaining round-5 backlog" \
+            | tee -a /tmp/r5w/watch.log
         timeout 900 python -c "
 import sys; sys.path.insert(0, 'scripts'); sys.path.insert(0, '.')
 import r4_gates as g
-g.gate_bf16()" 2>&1 | tee /tmp/r5w/bf16_const.log
-        timeout 1200 python scripts/r5_vp_bf16_znat.py --force 2>&1 \
-            | tee /tmp/r5w/vp_bf16.log
+g.gate_bf16()" 2>&1 | tee /tmp/r5w/bf16_const2.log
         timeout 900 python scripts/varprop_breakdown.py 2>&1 \
-            | tee /tmp/r5w/vp_legs.log
+            | tee /tmp/r5w/vp_legs2.log
         timeout 1200 python scripts/r5_cyl_be.py --trace 2>&1 \
-            | tee /tmp/r5w/cyl_be.log
-        timeout 900 python scripts/vp2_tune.py 2>&1 | tee /tmp/r5w/vp2_tune.log
-        timeout 2400 python bench.py 2>&1 | tee /tmp/r5w/bench.log
+            | tee /tmp/r5w/cyl_be2.log
+        timeout 900 python scripts/vp2_tune.py 2>&1 | tee /tmp/r5w/vp2_tune2.log
+        timeout 2400 python bench.py 2>&1 | tee /tmp/r5w/bench2.log
         echo "[watch] DONE" | tee -a /tmp/r5w/watch.log
         exit 0
     fi
