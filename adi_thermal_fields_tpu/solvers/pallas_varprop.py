@@ -1221,11 +1221,21 @@ def _harm(ka, kb):
 
 
 def _vp_fields_kernel(T_ref, M_ref, fx_ref, fy_ref, fz_ref, w_ref,
-                      kbuf, mbuf, *, k_spec, cp_spec, rho):
+                      *rest, k_spec, cp_spec, rho, rad=None):
     """One x-plane per grid step: evaluate k(T)/cp(T) clamp-sums in
     registers, build the three PRE-MASKED harmonic face fields + 1/(rho cp).
     fx needs the previous plane's k and mask — a one-plane carry; fy/fz are
-    in-plane sublane/lane shifts (zero-filled: domain edges vanish)."""
+    in-plane sublane/lane shifts (zero-filled: domain edges vanish).
+
+    rad: static ``(emissivity, t_inf, h_conv)`` — also emit the Picard
+    radiative film h(T) (bc/radiation.radiative_h) as a 5th output,
+    folding the step's separate XLA radiative pass (a full T re-read)
+    into this one."""
+    if rad is None:
+        kbuf, mbuf = rest
+        h_ref = None
+    else:
+        h_ref, kbuf, mbuf = rest
     i = pl.program_id(0)
     f32 = jnp.float32
     Tc = T_ref[0].astype(f32)
@@ -1241,6 +1251,12 @@ def _vp_fields_kernel(T_ref, M_ref, fx_ref, fy_ref, fz_ref, w_ref,
     cp = (_clamp_sum(Tc, *cp_spec) if isinstance(cp_spec, tuple)
           else jnp.full_like(Tc, float(cp_spec)))
     w_ref[0] = (1.0 / (rho * cp)).astype(w_ref.dtype)
+    if rad is not None:
+        eps, tinf, hconv = rad
+        Tk = Tc + 273.15
+        Tik = tinf + 273.15
+        h_ref[0] = (eps * 5.670374419e-8 * (Tk + Tik)
+                    * (Tk * Tk + Tik * Tik) + hconv).astype(h_ref.dtype)
 
     k_prev = kbuf[0]
     m_prev = mbuf[0]
@@ -1254,9 +1270,9 @@ def _vp_fields_kernel(T_ref, M_ref, fx_ref, fy_ref, fz_ref, w_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("k_spec", "cp_spec", "rho",
-                                             "interpret"))
+                                             "rad", "interpret"))
 def varprop_fields(T, mask_i8, *, k_spec, cp_spec, rho: float,
-                   interpret: bool = False):
+                   rad: tuple | None = None, interpret: bool = False):
     """The build_varprop_fields pass as ONE Pallas HBM pass: stream
     T (4 B) + mask (1 B), write fx/fy/fz/w (16 B) — the XLA formulation
     materializes k(T) and re-reads it shifted for every face direction
@@ -1266,7 +1282,9 @@ def varprop_fields(T, mask_i8, *, k_spec, cp_spec, rho: float,
     ``k_spec``/``cp_spec``: a float (constant property) or a static
     ``(points, values)`` tuple-of-tuples — the PropertyTable contents,
     baked as kernel immediates.  Compute is f32; outputs are ``T.dtype``.
-    Returns ``(fx, fy, fz), w`` exactly like build_varprop_fields."""
+    Returns ``(fx, fy, fz), w`` exactly like build_varprop_fields —
+    plus the radiative film h(T) when ``rad=(eps, t_inf, h_conv)``
+    (kernel docstring), shedding the step's separate XLA radiative pass."""
     nx, ny, nz = T.shape
     dtype = T.dtype
 
@@ -1282,14 +1300,15 @@ def varprop_fields(T, mask_i8, *, k_spec, cp_spec, rho: float,
     idx = lambda i: (i, 0, 0)
     vspec = pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM)
 
+    nout = 4 if rad is None else 5
     shp = jax.ShapeDtypeStruct((nx, Py, Pz), dtype)
-    fx, fy, fz, w = pl.pallas_call(
+    outs = pl.pallas_call(
         functools.partial(_vp_fields_kernel, k_spec=k_spec, cp_spec=cp_spec,
-                          rho=rho),
+                          rho=rho, rad=rad),
         grid=(nx,),
         in_specs=[vspec, vspec],
-        out_specs=[vspec] * 4,
-        out_shape=[shp] * 4,
+        out_specs=[vspec] * nout,
+        out_shape=[shp] * nout,
         scratch_shapes=[
             pltpu.VMEM((1, Py, Pz), jnp.float32),    # k plane carry
             pltpu.VMEM((1, Py, Pz), jnp.float32),    # mask plane carry
@@ -1300,5 +1319,8 @@ def varprop_fields(T, mask_i8, *, k_spec, cp_spec, rho: float,
     )(T, mask_i8)
 
     if p1 or p2:
-        fx, fy, fz, w = (a[:, :ny, :nz] for a in (fx, fy, fz, w))
-    return (fx, fy, fz), w
+        outs = [a[:, :ny, :nz] for a in outs]
+    fx, fy, fz, w = outs[:4]
+    if rad is None:
+        return (fx, fy, fz), w
+    return (fx, fy, fz), w, outs[4]

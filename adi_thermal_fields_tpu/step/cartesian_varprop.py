@@ -384,7 +384,8 @@ def _table_spec(tab, default: float):
 
 def build_varprop_fields(T: jax.Array, mask: jax.Array,
                          mat_ref: Material, k_table=None, cp_table=None, *,
-                         use_kernel: bool = False, interpret: bool = False):
+                         use_kernel: bool = False, interpret: bool = False,
+                         rad: tuple | None = None):
     """Per-axis PRE-MASKED harmonic face-conductivity fields + 1/(rho cp).
 
     ``fc[ax][i] = 2 k[i-1] k[i] / (k[i-1] + k[i])`` along ``ax`` where
@@ -403,7 +404,12 @@ def build_varprop_fields(T: jax.Array, mask: jax.Array,
     per face direction).  Falls back here for configurations the kernel
     does not take: per-axis anisotropic k tuples, arbitrary callables,
     f64.  SINGLE-DEVICE only — the sharded step (dist/varprop.py) needs
-    the global-XLA shifts so cross-shard face halos lower to collectives."""
+    the global-XLA shifts so cross-shard face halos lower to collectives.
+
+    rad: static ``(emissivity, t_inf, h_conv)`` — also return the Picard
+    radiative film h(T) as a third result, evaluated inside the fields
+    pass (kernel path) so the step sheds its separate radiative_h pass
+    (a full extra T read)."""
     dtype = T.dtype
     mask = mask.astype(bool)
 
@@ -415,7 +421,7 @@ def build_varprop_fields(T: jax.Array, mask: jax.Array,
 
             return varprop_fields(T, mask.astype(jnp.int8), k_spec=ks,
                                   cp_spec=cs, rho=float(mat_ref.rho),
-                                  interpret=interpret)
+                                  rad=rad, interpret=interpret)
 
     def k_of(tab):
         if tab is None:
@@ -433,6 +439,11 @@ def build_varprop_fields(T: jax.Array, mask: jax.Array,
     cpf = (cp_table(T) if cp_table is not None
            else jnp.full(T.shape, mat_ref.cp, dtype))
     w = (1.0 / (mat_ref.rho * cpf)).astype(dtype)
+    if rad is not None:
+        from ..bc.radiation import radiative_h
+
+        eps, tinf, hconv = rad
+        return fc, w, radiative_h(T, eps, tinf, h_conv=hconv)
     return fc, w
 
 
@@ -571,14 +582,14 @@ def adi_step_varprop_fused(T: jax.Array, mask: jax.Array, codes: tuple,
             source=source, rng_seed=rng_seed, interpret=interpret)
     from ..bc.radiation import radiative_h
 
-    # radiative request on the classic tier: build the film here (the
-    # g-tier folds it in-register instead).  ``self_rad`` marks the film as
-    # a pure pointwise function of T — the z solve then REBUILDS it in the
-    # z-leading layout instead of transposing the finished stream.
+    # radiative request on the classic tier: the film is emitted by the
+    # FIELDS pass below (in-kernel — no separate radiative XLA pass/T
+    # re-read; the g-tier folds it in-register instead).  ``self_rad``
+    # marks the film as a pure pointwise function of T — the z solve then
+    # REBUILDS it in the z-leading layout instead of transposing the
+    # finished stream.
     self_rad = (emissivity is not None and h_field is None
                 and h_axes is None)
-    if self_rad:
-        h_field = radiative_h(T, emissivity, t_inf, h_conv=h_conv)
     from ..solvers.pallas_varprop import (fused_varprop_sweep,
                                           fused_varprop_sweep_axis1,
                                           fused_varprop_theta_sweep,
@@ -591,9 +602,17 @@ def adi_step_varprop_fused(T: jax.Array, mask: jax.Array, codes: tuple,
     inv_d2 = [1.0 / (d * d) for d in grid.spacing]
 
     # one Pallas HBM pass: k(T)/cp(T) clamp-sums + harmonic faces + mask
-    # zeroing (XLA fallback for anisotropic/callable tables and f64)
-    fc, w = build_varprop_fields(T, mask, mat_ref, k_table, cp_table,
-                                 use_kernel=True, interpret=interpret)
+    # zeroing + (self-radiative) the Picard film h(T) — the film rides the
+    # same T stream instead of a separate XLA pass (XLA fallback for
+    # anisotropic/callable tables and f64)
+    if self_rad:
+        fc, w, h_field = build_varprop_fields(
+            T, mask, mat_ref, k_table, cp_table, use_kernel=True,
+            interpret=interpret,
+            rad=(float(emissivity), float(t_inf), float(h_conv)))
+    else:
+        fc, w = build_varprop_fields(T, mask, mat_ref, k_table, cp_table,
+                                     use_kernel=True, interpret=interpret)
 
     # bf16 states: solve at f32, stochastically round every bf16 store
     # (round-to-nearest drops sub-quantum updates and freezes slow cooling
