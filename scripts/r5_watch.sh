@@ -19,7 +19,7 @@ mkdir -p /tmp/r5w
 MAX_TRIES=${MAX_TRIES:-70}
 for i in $(seq 1 "$MAX_TRIES"); do
     echo "[watch] probe $i/$MAX_TRIES $(date -u +%H:%M:%S)" | tee -a /tmp/r5w/watch.log
-    timeout 150 python - <<'EOF' >> /tmp/r5w/watch.log 2>&1
+    timeout 240 python - <<'EOF' >> /tmp/r5w/watch.log 2>&1
 import time, jax, jax.numpy as jnp
 x = jnp.full((64, 64, 64), 1.5, jnp.float32)
 t0 = time.perf_counter()
@@ -30,24 +30,27 @@ t0 = time.perf_counter()
 for _ in range(30):
     float(f(x).sum())
 ex = (time.perf_counter() - t0) / 30
-ok = el < 30 and ex < 0.05
+# EXEC health is what validates slope timing; slow compiles only cost
+# setup wall-clock (the 01:20 bench recorded 2% spreads under a 38 s
+# compile probe).  Gate on exec < 35 ms with compile merely bounded.
+ok = el < 120 and ex < 0.035
 print(f"[probe] compile {el:.1f} s, exec {ex*1e3:.1f} ms "
-      f"({'HEALTHY' if ok else 'DEGRADED'})", flush=True)
+      f"({'USABLE' if ok else 'DEGRADED'})", flush=True)
 raise SystemExit(0 if ok else 1)
 EOF
     if [ $? -eq 0 ]; then
-        echo "[watch] HEALTHY — running the remaining round-5 backlog" \
+        echo "[watch] USABLE (exec-clean) — running the remaining round-5 backlog" \
             | tee -a /tmp/r5w/watch.log
         timeout 900 python -c "
 import sys; sys.path.insert(0, 'scripts'); sys.path.insert(0, '.')
 import r4_gates as g
 g.gate_bf16()" 2>&1 | tee /tmp/r5w/bf16_const2.log
-        timeout 900 python scripts/varprop_breakdown.py 2>&1 \
+        timeout 1800 python scripts/varprop_breakdown.py 2>&1 \
             | tee /tmp/r5w/vp_legs2.log
-        timeout 1200 python scripts/r5_cyl_be.py --trace 2>&1 \
+        timeout 1800 python scripts/r5_cyl_be.py --trace --force 2>&1 \
             | tee /tmp/r5w/cyl_be2.log
-        timeout 900 python scripts/vp2_tune.py 2>&1 | tee /tmp/r5w/vp2_tune2.log
-        timeout 2400 python bench.py 2>&1 | tee /tmp/r5w/bench2.log
+        timeout 1500 python scripts/vp2_tune.py 2>&1 | tee /tmp/r5w/vp2_tune2.log
+        timeout 3600 python bench.py 2>&1 | tee /tmp/r5w/bench2.log
         echo "[watch] DONE" | tee -a /tmp/r5w/watch.log
         exit 0
     fi
