@@ -149,3 +149,32 @@ def test_cyl_pallas_solvers_requires_be_pallas():
                              implementation="pallas", **kw)
     with pytest.raises(ValueError, match="pallas_solvers"):
         adi_step_cyl_varprop(T, grid, mat, implementation="xla", **kw)
+
+
+def test_fields_kernel_rad_output_matches_radiative_h():
+    """varprop_fields(rad=...) emits the same Picard film as
+    bc/radiation.radiative_h (the separate XLA pass it replaces)."""
+    from adi_thermal_fields_tpu.bc.radiation import radiative_h
+    from adi_thermal_fields_tpu.step.cartesian_varprop import (
+        _table_spec, build_varprop_fields, melt_pool_enhanced_k)
+
+    grid = CartesianGrid(16, 16, 24, 1e-3)
+    mat = Material(7800.0, 490.0, 54.0)
+    rng = np.random.default_rng(3)
+    mask = jnp.asarray(rng.random(grid.shape) > 0.3)
+    T = jnp.asarray(rng.uniform(20.0, 1600.0,
+                                grid.shape).astype(np.float32))
+    kt = melt_pool_enhanced_k(mat.k, 1420.0, 1470.0, enhancement=4.0)
+    ct = apparent_cp(490.0, 520.0, 2.7e5, 1420.0, 1470.0)
+    rad = (0.45, 20.0, 12.0)
+    fc_k, w_k, h_k = build_varprop_fields(
+        T, mask, mat, kt, ct, use_kernel=True, interpret=True, rad=rad)
+    fc_x, w_x, h_x = build_varprop_fields(
+        T, mask, mat, kt, ct, use_kernel=False, rad=rad)
+    want = radiative_h(T, 0.45, 20.0, h_conv=12.0)
+    np.testing.assert_allclose(np.asarray(h_k), np.asarray(want),
+                               rtol=2e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(h_x), np.asarray(want))
+    for a, b in zip(fc_k, fc_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-8)
