@@ -149,6 +149,28 @@ def main():
         print(f"[cyl be phi {name}] {lms:.2f} ms, apparent "
               f"{ncell * 8 / lms / 1e6:.0f} GB/s (8 B model)", flush=True)
 
+    # step-level A/B with the nat phi routed (the flip decision number)
+    ps.PHI_NAT_DEFAULT = True
+    try:
+        @jax.jit
+        def step_nat(T, dt):
+            return cyl.adi_step(T, grid, mat, dt=dt, robin_outer=robin,
+                                zbc=zbc, implementation="pallas")
+
+        Tn = step_nat(T1, dt)
+        float(probe_s(Tn))
+
+        def full_nat_loop(k, T=Tn):
+            for _ in range(k):
+                T = step_nat(T, dt)
+            float(probe_s(T))
+
+        msn = slope3(full_nat_loop)
+        print(f"[cyl be full PHI_NAT {args.shape}] {msn:.2f} ms/step = "
+              f"{ncell/msn/1e6:.2f} Gcell/s (vs t2 {ms:.2f})", flush=True)
+    finally:
+        ps.PHI_NAT_DEFAULT = False
+
     # r sweep: lane-tile sweep (the vp2 morning tune found b2=512 beating
     # 256 on the short-line r leg; the const tier defaults to 128).
     # Coefficients exactly as cyl._r_sweep builds them.
