@@ -1551,18 +1551,36 @@ def _const_sweep_kernel_nat(a_ref, b_ref, c_ref, radd_ref, d_ref, out_ref,
         out_ref[r] = jnp.transpose(wbuf[r], (1, 0)).astype(out_ref.dtype)
 
 
+def _adaptive_b2(n, b2, bufs, itemsize=4, budget=64 * 1024 * 1024):
+    """Lane tile minimizing padding over legal multiples of 128, preferring
+    the largest whose estimated VMEM residency (``bufs`` revolving/scratch
+    line buffers of (n, 8, cand)) fits the budget."""
+    cands = [c for c in (512, 384, 256, 128)
+             if bufs * n * 8 * c * itemsize <= budget]
+    if not cands:
+        return 128
+    return min(cands, key=lambda c: (_round_up(b2, c), -c))
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "block_b1",
                                              "block_b2", "nat_rhs_out"))
 def fused_sweep_const(rhs, a, b, c, radd=None, *, interpret: bool = False,
-                      block_b1: int = 8, block_b2: int = 128,
+                      block_b1: int = 8, block_b2: int | None = None,
                       nat_rhs_out: bool = False):
     """Tridiagonal sweep along axis 0 of (n, B1, B2) rhs with per-row scalar
     coefficient vectors a, b, c (shape (n,)) and optional per-row RHS
     additions ``radd``.
 
     nat_rhs_out: rhs passed — and solution returned — in the NATURAL
-    (B1, B2, n) layout (in-VMEM relayout; no step-level transpose pair)."""
+    (B1, B2, n) layout (in-VMEM relayout; no step-level transpose pair).
+
+    block_b2=None: ADAPTIVE lane tile — minimize padding over
+    (512, 384, 256, 128) under a VMEM budget, preferring the largest
+    (chip A/B at (128,512,512): the r sweep ran 0.88/0.49/0.38 ms at
+    128/256/512 — the fixed 128 default was a 2.3x cliff)."""
     if nat_rhs_out:
+        if block_b2 is None:
+            block_b2 = 128        # natural-block geometry: own tuning
         b1, b2, n = rhs.shape
         dtype = rhs.dtype
         if radd is None:
@@ -1605,6 +1623,9 @@ def fused_sweep_const(rhs, a, b, c, radd=None, *, interpret: bool = False,
     dtype = rhs.dtype
     if radd is None:
         radd = jnp.zeros((n,), dtype)
+    if block_b2 is None:
+        # in + out (pipeline-revolving, ~2x each) + dp scratch
+        block_b2 = _adaptive_b2(n, b2, 5)
 
     p1 = _round_up(b1, block_b1) - b1
     p2 = _round_up(b2, block_b2) - b2
@@ -1624,6 +1645,8 @@ def fused_sweep_const(rhs, a, b, c, radd=None, *, interpret: bool = False,
         out_specs=vspec,
         out_shape=jax.ShapeDtypeStruct((n, P1, P2), dtype),
         scratch_shapes=[pltpu.VMEM((n, block_b1, block_b2), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(a.astype(dtype), b.astype(dtype), c.astype(dtype), radd.astype(dtype),
       rhs)
@@ -1702,13 +1725,18 @@ def _cyclic_const_kernel(fac_ref, d_ref, out_ref, cp_ref, dpz_ref, *, n):
 
 @functools.partial(jax.jit, static_argnames=("interpret", "block_b1", "block_b2"))
 def fused_cyclic_const(rhs, fac, *, interpret: bool = False,
-                       block_b1: int = 8, block_b2: int = 128):
+                       block_b1: int = 8, block_b2: int | None = None):
     """Solve the periodic implicit operator ``(I - fac*L_per) x = rhs`` along
     axis 0 of (n, B1, B2) arrays, where ``L_per`` is the periodic second
     difference and ``fac`` is a per-system (B1, B2) field (e.g.
-    ``theta*dt*alpha/(r^2 dphi^2)`` for the phi sweep)."""
+    ``theta*dt*alpha/(r^2 dphi^2)`` for the phi sweep).
+
+    block_b2=None: adaptive lane tile (fused_sweep_const note)."""
     n, b1, b2 = rhs.shape
     dtype = rhs.dtype
+    if block_b2 is None:
+        # in + out (revolving) + cp + dpz scratch
+        block_b2 = _adaptive_b2(n, b2, 6)
     p1 = _round_up(b1, block_b1) - b1
     p2 = _round_up(b2, block_b2) - b2
     if p1 or p2:
@@ -1729,6 +1757,8 @@ def fused_cyclic_const(rhs, fac, *, interpret: bool = False,
         out_specs=vspec,
         out_shape=jax.ShapeDtypeStruct((n, P1, P2), dtype),
         scratch_shapes=[pltpu.VMEM(blk, dtype), pltpu.VMEM(blk, dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(fac[None].astype(dtype), rhs)
 
@@ -1966,9 +1996,12 @@ def fused_cyclic_const_nat(rhs, fac, *, interpret: bool = False,
     return out
 
 
-# Natural-layout phi: OFF until the chip A/B (scripts/r5_cyl_be.py) — the
-# transpose-pair default is the recorded-good path; flip on a same-session
-# win + parity.
+# Natural-layout phi: REFUTED on chip 2026-08-21 03:20 (scripts/
+# r5_cyl_be.py, (128,512,512), same-session slope; parity bitwise): leg
+# nat 2.84 ms vs t2 1.93; step 4.65 vs 3.77 — the triple-scratch
+# relayout costs more than the XLA transpose pair it removes (unlike the
+# OPEN nat-z solve, the cyclic solve touches THREE line buffers).  Stays
+# OFF; the kernel remains for layouts where a transpose is impossible.
 PHI_NAT_DEFAULT = False
 
 
