@@ -26,6 +26,10 @@ from adi_thermal_fields_tpu.analytic.endface import (EndFaceProblem,
                                                      neumann_end_profile,
                                                      robin_end_profile)
 
+# heavy tier (analytic end-face oracle fits): excluded from
+# scripts/test.sh --smoke
+pytestmark = pytest.mark.full
+
 K, RHO, CP = 54.0, 7800.0, 490.0
 T_INF = 20.0
 R = 0.02

@@ -16,6 +16,9 @@ from adi_thermal_fields_tpu.apps.optimize_process import (
     build_argparser, build_wall_problem, make_forward, optimize, run)
 from adi_thermal_fields_tpu.core.material import Material
 
+# heavy tier (adjoint schedule optimizations): excluded from scripts/test.sh --smoke
+pytestmark = pytest.mark.full
+
 
 def _tiny_problem(n_layers=3, target=2.0):
     mat = Material(7800.0, 490.0, 30.0)

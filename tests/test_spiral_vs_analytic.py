@@ -37,6 +37,9 @@ from adi_thermal_fields_tpu.birth.spiral import (active_at, newborn_between,
                                                  spiral_activation_times)
 from adi_thermal_fields_tpu.step.cylindrical_masked import adi_step_masked_robin
 
+# heavy tier (spiral/ring oracle fits): excluded from scripts/test.sh --smoke
+pytestmark = pytest.mark.full
+
 # Shared physics (reference tests/test_spiral_vs_analytic.py:124-139)
 K, RHO, CP = 54.0, 7800.0, 490.0
 T_INF, T_DEP = 20.0, 900.0
