@@ -404,7 +404,7 @@ def fused_vp2_sweep(rhs, T, code, geo_lo, geo_hi, gs_lo, gs_hi, dtor, *,
                     tinf_void: float = 0.0, emissivity: float = 0.0,
                     edge0=None, edge1=None, nat_rhs_out: bool = False,
                     interpret: bool = False, block_b1: int = 8,
-                    block_b2: int = 256, chunk: int = 64,
+                    block_b2: int | None = None, chunk: int | None = None,
                     pipelined: bool | None = None):
     """Fully-fused variable-property sweep along axis 0 of (n, B1, B2)
     T/code (module docstring).
@@ -432,10 +432,26 @@ def fused_vp2_sweep(rhs, T, code, geo_lo, geo_hi, gs_lo, gs_hi, dtor, *,
     if jnp.dtype(dtype).itemsize != 4:
         raise ValueError("vp2 kernels take f32 streams; upcast/downcast "
                          "around them (adi_step_cyl_varprop does)")
+    if chunk is None:
+        chunk = 128 if nat_rhs_out else 64
     if nat_rhs_out:
         cn = max(128, min(_round_up(chunk, 128), _round_up(n, 128)))
     else:
         cn = min(chunk, _round_up(n, G))
+    if block_b2 is None:
+        # ADAPTIVE lane tile: minimize padding over legal 128-multiples —
+        # a fixed 256 padded the Cartesian 384^3 z solve's lanes
+        # 384 -> 512 (33% wasted relayout+compute, the round-3 fixed-tile
+        # cliff class).  Tie preference by FORM (chip tune (64,512,1024)):
+        # streaming/nat prefers the largest (nat-z b2=512/cn=128 1.20 ms
+        # vs 256 1.31); the cross-tile-pipelined short-line form prefers
+        # 256 (r leg 0.43 ms at 256 vs 0.61 at 512 — more tiles, more
+        # overlap).
+        short_line = (not nat_rhs_out) and _round_up(n, cn) <= cn
+        cands = ((256, 128, 512, 384) if short_line
+                 else (512, 384, 256, 128))
+        block_b2 = min(cands,
+                       key=lambda c: (_round_up(b2, c), cands.index(c)))
     pn = _round_up(n, cn) - n
     p1 = _round_up(b1, block_b1) - b1
     p2 = _round_up(b2, block_b2) - b2
@@ -797,17 +813,23 @@ def fused_vp2_cyclic_axis1(rhs, T, code, geo2, gs2, dtor, *, k_spec,
                            cp_spec, h_void: float = 0.0,
                            tinf_void: float = 0.0, emissivity: float = 0.0,
                            interpret: bool = False, block_b1: int = 8,
-                           block_b2: int = 128, chunk: int = 64):
+                           block_b2: int | None = None, chunk: int = 128):
     """Fully-fused variable-property CYCLIC sweep along axis 1 of natural
     (B1, n, B2) rhs/T/code (module docstring; the phi solve).
 
     geo2/gs2: (B1, B2) coupling / film metric fields (1/(r dphi)^2 and
-    1/(r dphi) broadcast over z)."""
+    1/(r dphi) broadcast over z).  Defaults (b2 adaptive-prefer-256,
+    cn=128) from the 2026-08-21 chip tune at (64,512,1024): 2.33 ms vs
+    2.66 at the old (128, 64)."""
     b1, n, b2 = T.shape
     dtype = T.dtype
     if jnp.dtype(dtype).itemsize != 4:
         raise ValueError("vp2 kernels take f32 streams; upcast/downcast "
                          "around them (adi_step_cyl_varprop does)")
+    if block_b2 is None:
+        cands = (256, 128, 512, 384)
+        block_b2 = min(cands,
+                       key=lambda c: (_round_up(b2, c), cands.index(c)))
     cn = min(chunk, _round_up(n, G))
     pn = _round_up(n, cn) - n
     p1 = _round_up(b1, block_b1) - b1
