@@ -220,6 +220,13 @@ def emit(metric, value, bytes_per_cell):
     carries the model itself plus the ABSOLUTE apparent bandwidth in GB/s
     and as a percentage of the v5e's 819 GB/s HBM."""
     v = value or 0.0
+    if not v and _DEFER_ZERO:
+        # first-pass failure under main_all: hold the zero record — the
+        # case gets a second chance after the sweep (FAILED_PRECONDITION
+        # patches are transient: observed twice on 2026-08-21, mid-run
+        # cases zeroed while the final case succeeded)
+        _DEFERRED.append((metric, bytes_per_cell))
+        return
     gbps = v * bytes_per_cell / 1e9
     print(json.dumps({
         "metric": metric,
@@ -567,27 +574,79 @@ def main_all():
     """Default driver run: every flagship case, one JSON line each
     (VERDICT r3 #5).  The Cartesian headline is measured FIRST (so a
     mid-run tunnel outage cannot lose it) but printed LAST — the driver
-    parses the final line, which thereby keeps its round-3 meaning."""
-    global _HELD_HEADLINE
+    parses the final line, which thereby keeps its round-3 meaning.
+    Cases that fail the first pass (transient FAILED_PRECONDITION
+    patches) get ONE retry pass at the end before their zero records
+    print."""
+    global _HELD_HEADLINE, _DEFER_ZERO
     _HELD_HEADLINE = main_headline(hold=True)
-    for case_fn, name in ((main_varprop, "varprop"),
-                          (main_corrected, "corrected"),
-                          (main_hostile, "hostile"),
-                          (main_masked, "masked"),
-                          (main_cyl_varprop, "cyl_varprop"),
-                          (main_cylindrical, "cylindrical"),
-                          (main_bf16, "bf16")):
+    cases = ((main_varprop, "varprop"),
+             (main_corrected, "corrected"),
+             (main_hostile, "hostile"),
+             (main_masked, "masked"),
+             (main_cyl_varprop, "cyl_varprop"),
+             (main_cylindrical, "cylindrical"),
+             (main_bf16, "bf16"))
+    failed = []
+    _DEFER_ZERO = True
+    for case_fn, name in cases:
+        n_def = len(_DEFERRED)
         try:
             case_fn()
         except Exception as e:
             print(f"[bench] case {name} FAILED: {type(e).__name__}: "
                   f"{str(e)[:200]}", file=sys.stderr)
-            emit(f"{name}_cell_updates_per_s_per_chip", None, 48.0)
+            _DEFERRED.append((f"{name}_cell_updates_per_s_per_chip", 48.0))
+        if len(_DEFERRED) > n_def:
+            failed.append((case_fn, name))
+    if failed:
+        import time as _time
+
+        print(f"[bench] retry pass over {len(failed)} failed case(s) "
+              "after 120 s (transient-outage second chance)",
+              file=sys.stderr)
+        _time.sleep(120)
+        for case_fn, name in failed:
+            stash = list(_DEFERRED)
+            del _DEFERRED[:]
+            _DEFER_ZERO = False      # second pass: zero records print
+            try:
+                case_fn()
+            except Exception as e:
+                print(f"[bench] case {name} retry FAILED: "
+                      f"{type(e).__name__}: {str(e)[:200]}",
+                      file=sys.stderr)
+                emit(f"{name}_cell_updates_per_s_per_chip", None, 48.0)
+            _DEFER_ZERO = True
+            _DEFERRED[:] = [m for m in stash
+                            if not _case_matches(m, name)]
+    _DEFER_ZERO = False
+    for metric, bpc in _DEFERRED:    # anything left: emit honest zeros
+        emit(metric, None, bpc)
+    del _DEFERRED[:]
     rec, _HELD_HEADLINE = _HELD_HEADLINE, None
     emit(*rec)
 
 
+def _case_matches(deferred_entry, name):
+    metric = deferred_entry[0]
+    if metric.startswith(f"{name}_cell"):     # the exception-path fallback
+        return True
+    prefix = {"varprop": "varprop_cell", "corrected": "corrected_",
+              "hostile": "hostile_", "masked": "masked_",
+              "cyl_varprop": "cyl_varprop_", "cylindrical": "cyl_adi_",
+              "bf16": "adi_cell"}[name]
+    ok = metric.startswith(prefix)
+    if name == "bf16":
+        ok = ok and metric.endswith("_bf16")
+    if name == "varprop":
+        ok = ok and "corrected" not in metric
+    return ok
+
+
 _HELD_HEADLINE = None
+_DEFER_ZERO = False
+_DEFERRED = []
 
 
 def _install_watchdog():
