@@ -463,8 +463,16 @@ def main_hostile():
     auto-coarsening (waam_from_stl_v7_mm.py:247-252).  Model: the padded
     domain does 608^3-ish work on 576^3 counted cells — the same 117
     B/cell varprop model applies to within the pad overhead."""
+    # (96,384,576) FIRST: the padded-576-lane check at a size that always
+    # fits.  The 576^3 attempt reproducibly kills the device client with
+    # FAILED_PRECONDITION (2026-08-21, three separate runs — the padded
+    # (576,640,640) varprop working set is a likely HBM OOM surfacing as
+    # FAILED_PRECONDITION through the relay) and the POISONED process
+    # then zero-records every later attempt and case; standalone the
+    # small shape runs 6.32 ms = 3.36 Gcell/s.  576^3 stays as a stretch
+    # SECOND shape so its failure can no longer shadow the record.
     value, n = _retry_shapes(lambda n: run_varprop(n, steps=12),
-                             (576, (96, 384, 576)), "hostile")
+                             ((96, 384, 576), 576), "hostile")
     tag = f"{n}^3" if isinstance(n, int) else f"{n}"
     emit(f"hostile_varprop_cell_updates_per_s_per_chip_{tag}_f32", value,
          VARPROP_B_PER_CELL)
