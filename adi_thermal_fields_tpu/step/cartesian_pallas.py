@@ -31,8 +31,10 @@ __all__ = ["SweepPlan", "build_sweep_plan", "adi_step_pallas",
 # bf16 states through the NATURAL-layout z solve (the kernel widens to f32
 # at the in-kernel relayout and narrows on the output restage; round 4A
 # measured the bf16 step's transposed-z pair at ~2.4 ms at 512^3).
-# Non-stochastic states only; OFF until chip-gated (scripts/znat_chip.py).
-Z_NAT_BF16_DEFAULT = False
+# Non-stochastic states only.  Chip gate 2026-08-21 04:5x
+# (r4_gates.gate_bf16, same-session slope): parity 128^3 BITWISE;
+# 512^3 natural-z 9.75 ms vs transposed 10.61 = 1.09x -> ON.
+Z_NAT_BF16_DEFAULT = True
 
 # layout of each sweep's arrays (axes of the natural (x,y,z) field):
 # x-sweep: natural (axis-0 kernel); y-sweep: natural (axis-1 kernel);
