@@ -178,3 +178,68 @@ def test_fields_kernel_rad_output_matches_radiative_h():
     for a, b in zip(fc_k, fc_x):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-8)
+
+
+def test_bench_main_all_defer_retry_flow(monkeypatch):
+    """bench.main_all emits exactly one record per case with the headline
+    last, recovers transiently-failing cases on the retry pass, and prints
+    an honest zero only for cases dead on both passes (the 2026-08-21
+    FAILED_PRECONDITION-patch hardening — the driver parses this output)."""
+    import contextlib
+    import io
+    import json
+    import sys
+    import time
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    monkeypatch.setattr(bench, "main_headline",
+                        lambda hold=False: ("adi_512_f32", 1.0e10, 48.0))
+    monkeypatch.setattr(time, "sleep", lambda s: None)
+
+    def ok(metric, bpc):
+        return lambda: bench.emit(metric, 2.0e9, bpc)
+
+    def flaky(metric, bpc):
+        st = {"n": 1}
+
+        def f():
+            if st["n"]:
+                st["n"] -= 1
+                bench.emit(metric, None, bpc)
+            else:
+                bench.emit(metric, 3.0e9, bpc)
+        return f
+
+    def raises():
+        def f():
+            raise RuntimeError("dead")
+        return f
+
+    monkeypatch.setattr(bench, "main_varprop",
+                        ok("varprop_cell_updates_x", 117.0))
+    monkeypatch.setattr(bench, "main_corrected",
+                        ok("corrected_varprop_cell_updates_x", 141.0))
+    monkeypatch.setattr(
+        bench, "main_hostile",
+        flaky("hostile_varprop_cell_updates_x", 117.0))
+    monkeypatch.setattr(bench, "main_masked",
+                        ok("masked_cyl_cell_updates_x", 51.0))
+    monkeypatch.setattr(bench, "main_cyl_varprop", raises())
+    monkeypatch.setattr(bench, "main_cylindrical",
+                        ok("cyl_adi_cell_updates_x", 24.0))
+    monkeypatch.setattr(bench, "main_bf16",
+                        flaky("adi_cell_updates_x_bf16", 24.0))
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bench.main_all()
+    out = [json.loads(line) for line in buf.getvalue().strip().split("\n")]
+    assert len(out) == 8, [o["metric"] for o in out]
+    assert out[-1]["metric"] == "adi_512_f32"          # headline last
+    zeros = [o["metric"] for o in out if not o["value"]]
+    assert zeros == ["cyl_varprop_cell_updates_per_s_per_chip"], zeros
+    by = {o["metric"]: o["value"] for o in out}
+    assert by["hostile_varprop_cell_updates_x"] == 3.0e9   # retried OK
+    assert by["adi_cell_updates_x_bf16"] == 3.0e9
